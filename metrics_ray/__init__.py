@@ -1,0 +1,21 @@
+"""metrics_ray — a Ray-Data-native schema + constraint validation engine.
+
+Re-expresses the Luzzu/Metrics quality-metric framework (reference at
+/root/reference: streaming per-quad ``compute()`` folds producing a scalar
+metric value, a ProblemCollection of violations, and an observation-activity
+profile) as vectorized per-batch checks over Arrow tables of audio
+clip + transcript pairs, executed by Ray Data's streaming executor.
+
+Architecture (SURVEY.md §7):
+  - ``schema``     canonical Arrow schemas (clip table, violations, metrics)
+  - ``audio``      deterministic PCM synthesis + fake codecs + SNR
+  - ``synth``      clips-table derivation from the driver's documents table
+                   (SQL-mirrored so DuckDB oracles can verify the checks)
+  - ``sketches``   mergeable HLL / t-digest / histogram (KS, PSI) states
+  - ``checks``     the Check protocol + implementations
+  - ``runner``     single-pass suite execution, verdicts, checkpoint/resume
+  - ``functions``  text analysis / dedup / similarity primitives
+  - ``pipelines``  end-to-end pipelines exposed through __ray_entry__
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,84 @@
+"""Canonical Arrow schemas for the validation engine.
+
+The clip table mirrors BASELINE.json ``input_hint``; the violations table is
+the analog of the reference's ProblemCollection rows
+(``utilities/.../vocabulary/DQMPROB.java:26-241`` — closed enum of problem
+codes attached to the offending node), and the metric rows mirror
+``QualityMetric.metricValue()`` + ``getObservationActivity()`` counters
+(``ShortURIs.java:126-167``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# BASELINE.json input_hint schema + explicit partition column (the analog of
+# the reference's per-run dataset PLD identity, AbstractQualityMetric.java:12-25).
+CLIP_SCHEMA = pa.schema(
+    [
+        ("clip_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()),
+        ("dur_ms", pa.int32()),
+        ("codec", pa.string()),
+        ("transcript", pa.string()),
+        ("partition", pa.int32()),
+    ]
+)
+
+# Violation rows — ProblemCollectionQuad analog: one row per offending node,
+# (check, partition, offender, problem code, actual vs expected, free detail).
+VIOLATION_SCHEMA = pa.schema(
+    [
+        ("check_id", pa.string()),
+        ("partition", pa.int32()),
+        ("clip_id", pa.string()),
+        ("code", pa.string()),
+        ("actual", pa.string()),
+        ("expected", pa.string()),
+        ("detail", pa.string()),
+    ]
+)
+
+# Per-(check, partition) metric rows; partition == -1 is the global roll-up.
+METRIC_SCHEMA = pa.schema(
+    [
+        ("check_id", pa.string()),
+        ("partition", pa.int32()),
+        ("metric_value", pa.float64()),
+        ("rows_scanned", pa.int64()),
+        ("rows_violating", pa.int64()),
+        ("is_estimate", pa.bool_()),
+        ("passed", pa.bool_()),
+    ]
+)
+
+# Closed problem-code vocabulary (DQMPROB analog).
+class Codes:
+    SCHEMA_MISMATCH = "SchemaMismatch"
+    OUT_OF_RANGE = "OutOfRange"
+    BAD_ENUM_VALUE = "BadEnumValue"
+    DEPRECATED_VALUE = "DeprecatedValue"
+    NULL_OR_EMPTY = "NullOrEmpty"
+    BAD_ID_FORMAT = "BadIdFormat"
+    DUPLICATE_KEY = "DuplicateKey"
+    MISSING_REFERENCE = "MissingReference"
+    DUPLICATE_CONTENT = "DuplicateContent"
+    DECODE_ERROR = "DecodeError"
+    CODEC_MISMATCH = "CodecMismatch"
+    LOW_SNR = "LowSNR"
+    DURATION_MISMATCH = "DurationMismatch"
+    TRANSCRIPT_MISMATCH = "TranscriptMismatch"
+    DISTRIBUTION_DRIFT = "DistributionDrift"
+    LANG_MISMATCH = "LangMismatch"
+
+
+# Declared validity domains (the engine's "vocabulary", VocabularyLoader analog —
+# a broadcast read-only constraint table instead of a singleton with LRU caches).
+VALID_SR_HZ = (8000, 16000, 22050, 44100, 48000)
+VALID_CODECS = ("pcm_s16le", "flac", "mp3", "opus")
+DEPRECATED_CODECS = ("gsm", "amr", "g722")
+MIN_DUR_MS = 1
+MAX_DUR_MS = 30_000
+CLIP_ID_RE = r"^clip-[0-9]{8}$"
+SNR_THRESHOLD_DB = 30.0

@@ -1,0 +1,220 @@
+"""Mergeable, deterministic sketches: HyperLogLog, t-digest, fixed-bin histogram.
+
+The reference bounds state with an RLBS Bloom filter bank (k=13, M=5.5e6
+bits, fp 0.01 — ``EstimatedExtensionalConciseness.java:40-45,79``) and 1M-slot
+reservoirs (``EstimateSimpleEntitiesAsMembersOfDisjointClasses.java:55``),
+merged never (single JVM instance). Here every sketch is associative +
+commutative so per-batch partials can be merged through
+``groupby().aggregate`` and a driver-side reduce, and deterministic so golden
+tests stay exact (SURVEY.md §7.4 "Mergeable-state correctness").
+
+Value hashing uses ``pandas.util.hash_array`` (vectorized 64-bit, fixed key,
+stable across processes).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+
+def hash64(values: np.ndarray) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a numpy array (any dtype)."""
+    if values.dtype == object:
+        values = values.astype(str).astype(object)
+    return pd.util.hash_array(values, categorize=False)
+
+
+# ------------------------------------------------------------------- HLL
+
+@dataclass
+class HLL:
+    """HyperLogLog distinct-count sketch, p=14 (16384 registers, ~0.8% err)."""
+
+    p: int = 14
+    registers: np.ndarray = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.registers is None:
+            self.registers = np.zeros(1 << self.p, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        h = h.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)  # remaining 64-p bits in the high part
+        # rho = position of the leftmost 1-bit in `rest` (1-based), capped
+        nz = rest != 0
+        lz = np.full(h.shape, 64 - self.p, dtype=np.uint8)
+        # leading zeros via the float64 exponent (deterministic; the rare
+        # round-up-to-power-of-2 edge shifts rho by 1 with prob ~2^-53 —
+        # harmless for an estimator, and identical on every worker)
+        _, exp = np.frexp(rest[nz].astype(np.float64))
+        lz[nz] = np.minimum(64 - exp, 64 - self.p).astype(np.uint8)
+        rho = lz + 1
+        np.maximum.at(self.registers, idx, rho)
+
+    def merge(self, other: "HLL") -> "HLL":
+        out = HLL(self.p, np.maximum(self.registers, other.registers))
+        return out
+
+    def estimate(self) -> float:
+        m = float(1 << self.p)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting
+        return float(e)
+
+    def dumps(self) -> bytes:
+        return pickle.dumps(("hll", self.p, self.registers))
+
+    @staticmethod
+    def loads(b: bytes) -> "HLL":
+        tag, p, reg = pickle.loads(b)
+        assert tag == "hll"
+        return HLL(p, reg)
+
+
+# ---------------------------------------------------------------- t-digest
+
+@dataclass
+class TDigest:
+    """Merging t-digest (Dunning): capped centroid list, scale function k1.
+    Deterministic: centroids kept sorted; merge = concat + sorted compress."""
+
+    delta: float = 100.0
+    means: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
+    weights: np.ndarray = field(default_factory=lambda: np.empty(0, np.float64))
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        # vectorized pre-clustering: reduce the batch to <=512 equal-weight
+        # centroids so the O(n) python compress loop stays O(hundreds)
+        if v.size > 512:
+            v = np.sort(v, kind="stable")
+            bounds = np.linspace(0, v.size, 513).astype(np.int64)
+            sums = np.add.reduceat(v, bounds[:-1])
+            cnts = np.diff(bounds).astype(np.float64)
+            keep = cnts > 0
+            m, w = sums[keep] / cnts[keep], cnts[keep]
+        else:
+            m, w = v, np.ones(v.size)
+        self.means = np.concatenate([self.means, m])
+        self.weights = np.concatenate([self.weights, w])
+        self._compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(self.delta,
+                      np.concatenate([self.means, other.means]),
+                      np.concatenate([self.weights, other.weights]))
+        out._compress()
+        return out
+
+    def _compress(self) -> None:
+        if self.means.size <= 1:
+            return
+        order = np.argsort(self.means, kind="stable")
+        m, w = self.means[order], self.weights[order]
+        total = w.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = m[0], w[0]
+        w_so_far = 0.0
+        for i in range(1, m.size):
+            q = (w_so_far + cur_w) / total
+            limit = total * self._k_size(q)
+            if cur_w + w[i] <= limit:
+                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m); out_w.append(cur_w)
+                w_so_far += cur_w
+                cur_m, cur_w = m[i], w[i]
+        out_m.append(cur_m); out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def _k_size(self, q: float) -> float:
+        # k1 scale function size bound: 4 * sqrt(q(1-q)) / delta
+        return max(4.0 * np.sqrt(max(q * (1 - q), 1e-12)) / self.delta, 1e-9)
+
+    def quantile(self, q: float) -> float:
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    @property
+    def n(self) -> float:
+        return float(self.weights.sum())
+
+    def dumps(self) -> bytes:
+        return pickle.dumps(("tdigest", self.delta, self.means, self.weights))
+
+    @staticmethod
+    def loads(b: bytes) -> "TDigest":
+        tag, d, m, w = pickle.loads(b)
+        assert tag == "tdigest"
+        return TDigest(d, m, w)
+
+
+# --------------------------------------------------------------- histogram
+
+@dataclass
+class FixedHistogram:
+    """Counts over fixed bin edges (from a baseline profile) + under/overflow.
+    Supports PSI and KS distance vs a reference histogram on the same edges."""
+
+    edges: np.ndarray  # len B+1
+    counts: np.ndarray = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.counts is None:
+            self.counts = np.zeros(len(self.edges) + 1, dtype=np.int64)
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.searchsorted(self.edges, v, side="right")  # 0..B+1
+        np.add.at(self.counts, np.clip(idx, 0, len(self.counts) - 1), 1)
+
+    def merge(self, other: "FixedHistogram") -> "FixedHistogram":
+        assert np.array_equal(self.edges, other.edges)
+        return FixedHistogram(self.edges, self.counts + other.counts)
+
+    def psi(self, reference: "FixedHistogram", eps: float = 1e-6) -> float:
+        p = self.counts / max(self.counts.sum(), 1)
+        q = reference.counts / max(reference.counts.sum(), 1)
+        p = np.clip(p, eps, None)
+        q = np.clip(q, eps, None)
+        return float(np.sum((p - q) * np.log(p / q)))
+
+    def ks(self, reference: "FixedHistogram") -> float:
+        p = np.cumsum(self.counts) / max(self.counts.sum(), 1)
+        q = np.cumsum(reference.counts) / max(reference.counts.sum(), 1)
+        return float(np.max(np.abs(p - q)))
+
+    def dumps(self) -> bytes:
+        return pickle.dumps(("hist", self.edges, self.counts))
+
+    @staticmethod
+    def loads(b: bytes) -> "FixedHistogram":
+        tag, e, c = pickle.loads(b)
+        assert tag == "hist"
+        return FixedHistogram(e, c)
+
+
+def loads_any(b: bytes):
+    tag = pickle.loads(b)[0]
+    return {"hll": HLL.loads, "tdigest": TDigest.loads,
+            "hist": FixedHistogram.loads}[tag](b)

@@ -1,0 +1,92 @@
+"""Sketch layer tests: mergeability, determinism, accuracy envelopes.
+
+Accuracy tolerances follow the reference's estimate-test pattern
+(ReuseExistingTermsTest.java:53 — tol 0.15 on estimated metrics) while
+determinism is exact (SURVEY.md §7.4 mergeable-state correctness).
+"""
+
+import numpy as np
+
+from metrics_ray.sketches import HLL, FixedHistogram, TDigest, hash64, loads_any
+
+
+def test_hash64_stable_and_vectorized():
+    a = np.array(["a", "b", "a"], dtype=object)
+    h = hash64(a)
+    assert h[0] == h[2] and h[0] != h[1]
+    assert np.array_equal(h, hash64(a.copy()))
+
+
+def test_hll_accuracy_and_merge():
+    vals = hash64(np.arange(50_000)).astype(np.uint64)
+    n_true = len(np.unique(vals))
+    one = HLL()
+    one.add_hashes(vals)
+    est = one.estimate()
+    assert abs(est - n_true) / n_true < 0.05
+
+    # merge of halves == whole (exact register equality)
+    h1, h2 = HLL(), HLL()
+    h1.add_hashes(vals[:25_000])
+    h2.add_hashes(vals[25_000:])
+    merged = h1.merge(h2)
+    assert np.array_equal(merged.registers, one.registers)
+    # serialization roundtrip
+    assert np.array_equal(loads_any(merged.dumps()).registers, one.registers)
+
+
+def test_hll_small_cardinality_linear_counting():
+    h = HLL()
+    vals = np.arange(100, dtype=np.uint64) * np.uint64(2654435761) * np.uint64(2**32 + 1)
+    import pandas as pd
+
+    h.add_hashes(pd.util.hash_array(np.arange(100)))
+    assert abs(h.estimate() - 100) < 3
+
+
+def test_tdigest_quantiles_and_merge():
+    rng = np.random.default_rng(7)
+    vals = rng.normal(1000.0, 100.0, size=40_000)
+    td = TDigest()
+    for chunk in np.array_split(vals, 10):
+        td.add(chunk)
+    for q, expect in ((0.5, 1000.0), (0.1, 1000.0 - 128.2), (0.9, 1000.0 + 128.2)):
+        got = td.quantile(q)
+        assert abs(got - np.quantile(vals, q)) < 15.0, (q, got)
+    # merge path
+    t1, t2 = TDigest(), TDigest()
+    t1.add(vals[:20_000])
+    t2.add(vals[20_000:])
+    tm = t1.merge(t2)
+    assert abs(tm.quantile(0.5) - np.quantile(vals, 0.5)) < 15.0
+    assert tm.n == 40_000
+    rt = loads_any(tm.dumps())
+    assert rt.quantile(0.5) == tm.quantile(0.5)
+
+
+def test_histogram_psi_ks():
+    edges = np.linspace(0, 100, 21)
+    rng = np.random.default_rng(3)
+    ref = FixedHistogram(edges)
+    ref.add(rng.uniform(0, 100, 100_000))
+    same = FixedHistogram(edges)
+    same.add(rng.uniform(0, 100, 50_000))
+    shifted = FixedHistogram(edges)
+    shifted.add(rng.uniform(30, 130, 50_000))
+    assert same.psi(ref) < 0.01
+    assert shifted.psi(ref) > 0.5
+    assert same.ks(ref) < 0.02
+    assert shifted.ks(ref) > 0.2
+    # merge
+    m = same.merge(shifted)
+    assert m.counts.sum() == 100_000
+    rt = loads_any(m.dumps())
+    assert np.array_equal(rt.counts, m.counts)
+
+
+def test_tdigest_deterministic():
+    vals = np.sin(np.arange(10_000)) * 500 + 500
+    a, b = TDigest(), TDigest()
+    a.add(vals)
+    b.add(vals)
+    assert np.array_equal(a.means, b.means)

@@ -1,0 +1,98 @@
+"""Decode-vs-declared + SNR invariant check — the actor-pool stage.
+
+The reference's "declared representation vs actual content" family
+(SURVEY.md §2.5): MisreportedContentType.java:118-174 (declared HTTP
+Content-Type vs actual parseability), Dereferenceability's parse check
+(helper/ModelParser.java), CompatibleDatatype's isValid lexical test.
+
+Per row: decode ``bytes`` (actual codec detected by payload magic), then
+  DECODE_ERROR        payload undecodable
+  CODEC_MISMATCH      declared codec valid but != actual codec
+  DURATION_MISMATCH   n_samples != round(sr_hz * dur_ms / 1000)
+  LOW_SNR             SNR(decoded vs reference signal for clip_id) < 30 dB
+
+This is the one genuinely per-row stage (variable-length payloads); it runs
+in the shared suite executor, which the runner maps as an ACTOR POOL
+(``map_batches(Cls, concurrency=N)``) so decode state and the check graph
+build once per actor, mirroring the reference's one-time before() setup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import audio
+from ..schema import SNR_THRESHOLD_DB, VALID_CODECS, Codes
+from .base import BatchCheck, BatchOutcome, CheckContext, violations_table
+
+
+class DecodeCheck(BatchCheck):
+    check_id = "decode_invariants"
+    columns = ("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "partition")
+
+    def __init__(self, check_id: str = "decode_invariants",
+                 snr_threshold: float = SNR_THRESHOLD_DB):
+        self.check_id = check_id
+        self.snr_threshold = snr_threshold
+
+    def setup(self, ctx: CheckContext) -> None:
+        self._valid = set(VALID_CODECS)
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        clip_ids = batch.column("clip_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        sr = batch.column("sr_hz").to_numpy(zero_copy_only=False)
+        dur = batch.column("dur_ms").to_numpy(zero_copy_only=False)
+        codecs = batch.column("codec").to_pylist()
+
+        v_part, v_id, v_code, v_actual, v_expected, v_detail = [], [], [], [], [], []
+        viol_mask = np.zeros(len(batch), dtype=bool)
+
+        def emit(i: int, code: str, actual: str, expected: str, detail: str = ""):
+            viol_mask[i] = True
+            v_part.append(int(part[i])); v_id.append(clip_ids[i])
+            v_code.append(code); v_actual.append(actual)
+            v_expected.append(expected); v_detail.append(detail)
+
+        for i in range(len(batch)):
+            payload = payloads[i]
+            if payload is None:
+                emit(i, Codes.DECODE_ERROR, "null", "decodable payload")
+                continue
+            try:
+                actual_codec, pcm = audio.decode(payload)
+            except ValueError as e:
+                emit(i, Codes.DECODE_ERROR, f"{len(payload)}B", "decodable payload",
+                     str(e))
+                continue
+            if codecs[i] in self._valid and actual_codec != codecs[i]:
+                emit(i, Codes.CODEC_MISMATCH, actual_codec, codecs[i])
+            expected_n = audio.n_samples_for(int(sr[i]), int(dur[i]))
+            if expected_n != len(pcm):
+                emit(i, Codes.DURATION_MISMATCH, f"{len(pcm)} samples",
+                     f"{expected_n} samples",
+                     f"sr_hz={sr[i]} dur_ms={dur[i]}")
+            ref = audio.synth_pcm(audio.clip_seed(clip_ids[i]), len(pcm))
+            s = audio.snr_db(ref, pcm)
+            if s < self.snr_threshold:
+                emit(i, Codes.LOW_SNR, f"{s:.1f} dB",
+                     f">= {self.snr_threshold:.1f} dB")
+
+        from .base import per_partition_counts
+
+        counters = per_partition_counts(part, viol_mask)
+        viol = None
+        if v_id:
+            viol = pa.table(
+                {
+                    "partition": pa.array(np.asarray(v_part, dtype=np.int32)),
+                    "clip_id": pa.array(v_id, pa.string()),
+                    "code": pa.array(v_code, pa.string()),
+                    "actual": pa.array(v_actual, pa.string()),
+                    "expected": pa.array(v_expected, pa.string()),
+                    "detail": pa.array(v_detail, pa.string()),
+                }
+            )
+        return BatchOutcome(violations=viol, counters=counters)

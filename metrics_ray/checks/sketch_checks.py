@@ -1,0 +1,149 @@
+"""Sketch-backed estimated checks (the reference's ``isEstimate`` family —
+EstimatedExtensionalConciseness's bloom-filter dedup, the 1M-slot reservoir
+metrics, SURVEY.md §2.6) re-expressed as mergeable per-batch partials.
+
+Each batch emits one serialized sketch; partials merge associatively in the
+driver reduce — no ordered-stream assumption (the reference's one
+order-dependent operator, EstimatedExtensionalConciseness.java:96-120, is
+deliberately re-expressed order-free, SURVEY.md §7.4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..schema import Codes
+from ..sketches import HLL, FixedHistogram, TDigest, hash64, loads_any
+from .base import BatchCheck, BatchOutcome, CheckContext, per_partition_counts
+
+
+class DistinctHLLCheck(BatchCheck):
+    """Approximate key-uniqueness (ValidIFPUsage.java:42-148 semantics — a
+    key must map to exactly one entity — with the estimate flavor of the
+    RLBS bloom filter, EstimatedExtensionalConciseness.java:40-45).
+
+    metric = estimated_distinct / rows  (1.0 ⇒ no duplication)."""
+
+    is_estimate = True
+
+    def __init__(self, check_id: str, column: str, tolerance: float = 0.02):
+        self.check_id = check_id
+        self.column = column
+        self.tolerance = tolerance
+        self.columns = (column, "partition")
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        vals = batch.column(self.column).to_numpy(zero_copy_only=False)
+        h = HLL()
+        h.add_hashes(hash64(vals))
+        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        return BatchOutcome(
+            counters=per_partition_counts(part, np.zeros(len(batch), bool)),
+            partial=h.dumps(),
+        )
+
+    def merge(self, partials: list[bytes]) -> bytes | None:
+        if not partials:
+            return None
+        acc = loads_any(partials[0])
+        for b in partials[1:]:
+            acc = acc.merge(loads_any(b))
+        return acc.dumps()
+
+    def finalize_value(self, scanned, violating, merged):
+        if scanned == 0 or merged is None:
+            return 1.0, True, ""
+        est = loads_any(merged).estimate()
+        ratio = min(est / scanned, 1.0)
+        return ratio, ratio >= 1.0 - self.tolerance, f"est_distinct={est:.0f}"
+
+
+class QuantileProfileCheck(BatchCheck):
+    """t-digest column profile (the observation-activity analog: estimation
+    parameters reported per run, EstimatedExtensionalConciseness.java:183-207).
+    metric = p50; detail carries p01/p25/p50/p75/p99. Always passes —
+    profiles inform, thresholds belong to DriftCheck."""
+
+    is_estimate = True
+
+    def __init__(self, check_id: str, column: str):
+        self.check_id = check_id
+        self.column = column
+        self.columns = (column, "partition")
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        vals = batch.column(self.column).to_numpy(zero_copy_only=False).astype(np.float64)
+        td = TDigest()
+        td.add(vals)
+        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        return BatchOutcome(
+            counters=per_partition_counts(part, np.zeros(len(batch), bool)),
+            partial=td.dumps(),
+        )
+
+    def merge(self, partials):
+        if not partials:
+            return None
+        acc = loads_any(partials[0])
+        for b in partials[1:]:
+            acc = acc.merge(loads_any(b))
+        return acc.dumps()
+
+    def finalize_value(self, scanned, violating, merged):
+        if merged is None:
+            return float("nan"), True, ""
+        td = loads_any(merged)
+        qs = {q: td.quantile(q) for q in (0.01, 0.25, 0.5, 0.75, 0.99)}
+        detail = " ".join(f"p{int(q*100):02d}={v:.1f}" for q, v in qs.items())
+        return qs[0.5], True, detail
+
+
+class DriftCheck(BatchCheck):
+    """Distribution drift vs a baseline profile (the engine's KS/PSI analog
+    of the Estimated* family's baseline-vs-observed comparisons; baseline
+    loaded once per actor like ComplexQualityMetric.before()).
+
+    metric = PSI; fails when PSI > threshold."""
+
+    is_estimate = True
+
+    def __init__(self, check_id: str, column: str, psi_threshold: float = 0.2):
+        self.check_id = check_id
+        self.column = column
+        self.psi_threshold = psi_threshold
+        self.columns = (column, "partition")
+        self._edges: np.ndarray | None = None
+        self._baseline_counts: np.ndarray | None = None
+
+    def setup(self, ctx: CheckContext) -> None:
+        prof = ctx.baseline_profile.get(self.column)
+        if prof is not None:
+            self._edges = np.asarray(prof["edges"], dtype=np.float64)
+            self._baseline_counts = np.asarray(prof["counts"], dtype=np.int64)
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        counters = per_partition_counts(part, np.zeros(len(batch), bool))
+        if self._edges is None:
+            return BatchOutcome(counters=counters)
+        vals = batch.column(self.column).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = FixedHistogram(self._edges)
+        h.add(vals)
+        return BatchOutcome(counters=counters, partial=h.dumps())
+
+    def merge(self, partials):
+        if not partials:
+            return None
+        acc = loads_any(partials[0])
+        for b in partials[1:]:
+            acc = acc.merge(loads_any(b))
+        return acc.dumps()
+
+    def finalize_value(self, scanned, violating, merged):
+        if merged is None or self._baseline_counts is None:
+            return 0.0, True, "no baseline profile"
+        h = loads_any(merged)
+        ref = FixedHistogram(self._edges, self._baseline_counts)
+        psi = h.psi(ref)
+        ks = h.ks(ref)
+        return psi, psi <= self.psi_threshold, f"psi={psi:.4f} ks={ks:.4f}"

@@ -1,0 +1,156 @@
+"""Stateless per-batch predicate checks — zero-copy Arrow, pyarrow.compute.
+
+The reference's stateless metric family (SURVEY.md §2.3): CompatibleDatatype
+(type/lexical conformance), ShortURIs (format predicate with LRU dedup),
+NoProlixRDF / DifferentSerialisationFormatsCount (closed-set membership),
+UsageOfDeprecatedClassesOrProperties (deprecated-term set), BasicProvenance /
+HumanReadableLabelling-degenerate (non-null presence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import Codes
+from .base import (
+    BatchCheck,
+    BatchOutcome,
+    CheckContext,
+    per_partition_counts,
+    violations_table,
+)
+
+
+def _mask_outcome(batch: pa.Table, mask: np.ndarray, column: str, code: str,
+                  expected: str, detail: str = "") -> BatchOutcome:
+    part = batch.column("partition").to_numpy(zero_copy_only=False)
+    counters = per_partition_counts(part, mask)
+    viol = None
+    if mask.any():
+        idx = np.nonzero(mask)[0]
+        actual = batch.column(column).take(pa.array(idx)).to_pylist()
+        viol = violations_table(
+            part[idx],
+            batch.column("clip_id").take(pa.array(idx)).to_pylist(),
+            code, actual, expected, detail,
+        )
+    return BatchOutcome(violations=viol, counters=counters)
+
+
+class RangeCheck(BatchCheck):
+    """Numeric range conformance (CompatibleDatatype.java:54-116 analog:
+    the declared value must be a valid member of its type's domain)."""
+
+    def __init__(self, check_id: str, column: str, lo: float, hi: float):
+        self.check_id = check_id
+        self.column = column
+        self.lo, self.hi = lo, hi
+        self.columns = (column, "clip_id", "partition")
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        col = batch.column(self.column)
+        ok = pc.and_(pc.greater_equal(col, self.lo), pc.less_equal(col, self.hi))
+        # null comparison yields null → fill as violating
+        mask = ~pc.fill_null(ok, False).to_numpy(zero_copy_only=False).astype(bool)
+        return _mask_outcome(batch, mask, self.column, Codes.OUT_OF_RANGE,
+                             f"[{self.lo}, {self.hi}]")
+
+
+class EnumCheck(BatchCheck):
+    """Closed-set membership (DifferentSerialisationFormatsCount.java:58-83:
+    23-format closed set; NoProlixRDF construct detection)."""
+
+    def __init__(self, check_id: str, column: str, allowed: tuple,
+                 code: str = Codes.BAD_ENUM_VALUE, invert: bool = False):
+        self.check_id = check_id
+        self.column = column
+        self.allowed = allowed
+        self.code = code
+        self.invert = invert  # True → membership IS the violation (deprecated)
+        self.columns = (column, "clip_id", "partition")
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        col = batch.column(self.column)
+        member = pc.is_in(col, value_set=pa.array(list(self.allowed), col.type))
+        m = pc.fill_null(member, False).to_numpy(zero_copy_only=False).astype(bool)
+        mask = m if self.invert else ~m
+        expected = (("not in " if self.invert else "one of ")
+                    + ",".join(str(a) for a in self.allowed))
+        return _mask_outcome(batch, mask, self.column, self.code, expected)
+
+
+class NonNullCheck(BatchCheck):
+    """Presence check (BasicProvenanceMetric.java:47-84 — dataset must carry
+    creator/publisher; HumanReadableLabelling per-entity label presence)."""
+
+    def __init__(self, check_id: str, column: str, reject_empty: bool = True):
+        self.check_id = check_id
+        self.column = column
+        self.reject_empty = reject_empty
+        self.columns = (column, "clip_id", "partition")
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        col = batch.column(self.column)
+        mask = col.is_null().to_numpy(zero_copy_only=False).astype(bool)
+        if self.reject_empty and pa.types.is_string(col.type):
+            empty = pc.equal(pc.utf8_length(pc.fill_null(col, "x")), 0)
+            mask |= empty.to_numpy(zero_copy_only=False).astype(bool)
+        return _mask_outcome(batch, mask, self.column, Codes.NULL_OR_EMPTY,
+                             "non-null, non-empty")
+
+
+class RegexCheck(BatchCheck):
+    """Format predicate (ShortURIs.java:41-149 — URI length/shape rules;
+    uses pyarrow's compiled re2 kernel, no per-row python)."""
+
+    def __init__(self, check_id: str, column: str, pattern: str):
+        self.check_id = check_id
+        self.column = column
+        self.pattern = pattern
+        self.columns = (column, "clip_id", "partition")
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        col = batch.column(self.column)
+        ok = pc.match_substring_regex(pc.fill_null(col, ""), self.pattern)
+        mask = ~ok.to_numpy(zero_copy_only=False).astype(bool)
+        return _mask_outcome(batch, mask, self.column, Codes.BAD_ID_FORMAT,
+                             self.pattern)
+
+
+class SchemaCheck(BatchCheck):
+    """Arrow-schema conformance — names and types of the batch must match the
+    declared table schema (the engine-level CompatibleDatatype: data is never
+    rejected, mismatches are counted and reported, VocabularyLoader
+    'advisory schema' semantics)."""
+
+    def __init__(self, check_id: str, expected: pa.Schema):
+        self.check_id = check_id
+        self.expected = expected
+        self.columns = ()  # needs whatever arrives; participates in no pruning
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        problems = []
+        for f in self.expected:
+            if f.name not in batch.column_names:
+                problems.append((f.name, "missing", str(f.type)))
+            elif batch.schema.field(f.name).type != f.type:
+                problems.append(
+                    (f.name, str(batch.schema.field(f.name).type), str(f.type)))
+        counters = per_partition_counts(part, np.zeros(len(batch), bool))
+        if problems:
+            n = len(batch)
+            for p in counters:
+                counters[p] = (counters[p][0], counters[p][0])
+            viol = violations_table(
+                np.asarray([part[0] if len(part) else -1] * len(problems)),
+                [f"<column:{name}>" for name, _, _ in problems],
+                Codes.SCHEMA_MISMATCH,
+                [a for _, a, _ in problems],
+                "; ".join(e for _, _, e in problems),
+                "schema mismatch",
+            )
+            return BatchOutcome(violations=viol, counters=counters)
+        return BatchOutcome(counters=counters)

@@ -1,0 +1,118 @@
+"""Clip-table source pipelines: distributed synthesis, parquet caching, and
+the validation entrypoint used by __ray_entry__ / bench.
+
+The clips table is derived from the driver's documents.parquet (synth.py);
+for repeated validation runs it is materialized ONCE to a partitioned parquet
+cache under /tmp so every validation pass streams from storage with column
+pruning — the same shape as production (clips living in Lance/parquet on
+shared storage; ray.data.read_lance would replace read_parquet verbatim,
+SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import pyarrow.parquet as pq
+
+from .. import synth
+from ..runner import SuiteReport, run_suite
+from ..suite import build_baseline_profile, default_ctx, full_checks, keyed_checks
+
+CACHE_ROOT = os.environ.get("METRICS_RAY_CACHE", "/tmp/metrics_ray_cache")
+
+
+def documents_count(sf_dir: str) -> int:
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+def clips_dataset(sf_dir: str, replicas: int = 1, with_audio: bool = True,
+                  dur_scale: float = 1.0, override_num_blocks: int | None = None):
+    """Lazily derive the clips Dataset from documents.parquet — synthesis
+    runs inside map_batches, so generation itself is distributed."""
+    import ray.data as rd
+
+    n_docs = documents_count(sf_dir)
+    path = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    for r in range(replicas):
+        ds = rd.read_parquet(path, columns=["doc_id", "text"],
+                             override_num_blocks=override_num_blocks)
+        parts.append(ds.map_batches(
+            partial(synth.derive_clips_batch, n_docs=n_docs, replica=r,
+                    with_audio=with_audio, dur_scale=dur_scale),
+            batch_format="pyarrow", batch_size=256))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def transcript_index_df(sf_dir: str, replicas: int = 1):
+    """Small reference side table (broadcast side of the referential join)."""
+    import pandas as pd
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    n = docs.num_rows
+    frames = [synth.derive_transcript_index_batch(docs, n_docs=n, replica=r)
+              .to_pandas() for r in range(replicas)]
+    return pd.concat(frames, ignore_index=True)
+
+
+def ensure_clips_parquet(sf_dir: str, replicas: int = 1,
+                         dur_scale: float = 1.0) -> str:
+    """Materialize the derived clips to a cached parquet dir (one-off cost);
+    returns the cache path. Layout is resumable: multiple part files, the
+    `partition` column preserved for per-partition verdicts/pruning."""
+    tag = (f"clips_{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_r{replicas}_d{dur_scale}")
+    out = os.path.join(CACHE_ROOT, tag)
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    ds = clips_dataset(sf_dir, replicas=replicas, dur_scale=dur_scale)
+    ds.write_parquet(out)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def clips_factory(parquet_dir: str):
+    """→ ds_factory(columns) reading the cached clips with projection
+    pruning (prune-at-the-read: a keyed check over clip_id never touches
+    the audio payload column)."""
+    import ray.data as rd
+
+    def factory(columns=None):
+        files = [os.path.join(parquet_dir, f)
+                 for f in sorted(os.listdir(parquet_dir))
+                 if f.endswith(".parquet")]
+        return rd.read_parquet(files, columns=columns)
+
+    return factory
+
+
+def validate_sf(sf_dir: str, replicas: int = 1, with_decode: bool = True,
+                with_content_dedup: bool = True, dur_scale: float = 1.0,
+                batch_size: int = 1024, concurrency=None,
+                baseline_sf_dir: str | None = None) -> SuiteReport:
+    """The flagship pipeline: derive/cache clips → full check suite.
+
+    ``baseline_sf_dir`` supplies the clean reference generation for the
+    drift check's baseline profile (defaults to self-profile)."""
+    path = ensure_clips_parquet(sf_dir, replicas=replicas, dur_scale=dur_scale)
+    factory = clips_factory(path)
+    profile = build_baseline_profile(
+        clips_factory(ensure_clips_parquet(baseline_sf_dir, replicas=replicas,
+                                           dur_scale=dur_scale))
+        if baseline_sf_dir else factory)
+    ctx = default_ctx(transcript_index=transcript_index_df(sf_dir, replicas),
+                      baseline_profile=profile)
+    return run_suite(factory,
+                     full_checks(with_decode=with_decode),
+                     ctx=ctx,
+                     keyed=keyed_checks(with_content_dedup=with_content_dedup),
+                     batch_size=batch_size,
+                     concurrency=concurrency)

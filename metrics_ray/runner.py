@@ -1,0 +1,284 @@
+"""Suite runner — builds the Ray Data pipelines, merges partials, assembles
+per-partition verdicts, and handles checkpoint/resume.
+
+Execution shape (SURVEY.md §7.3):
+  1. ONE streaming map_batches pass over the clip table runs every row-local
+     check (stateless predicates + decode actor work + sketch partials +
+     broadcast-join referential) — the input is scanned once, violations and
+     tiny tagged partial rows are the only output that materializes.
+  2. Keyed checks (exact uniqueness, content dedup) run as separate
+     column-pruned pipelines — each shuffles only key columns.
+  3. Driver-side reduce: counters sum per (check, partition); sketch blobs
+     merge associatively; finalize produces metric rows + verdicts.
+
+The tagged-row trick: a map_batches stage has one output stream, so
+violations ('v') and per-batch partials ('p') share one schema and are
+split after collection; the collected stream is O(violations + batches),
+never O(input).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .checks.base import BatchCheck, CheckContext
+from .schema import METRIC_SCHEMA, VIOLATION_SCHEMA
+
+TAGGED_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),  # 'v' violation | 'p' partial
+        ("check_id", pa.string()),
+        ("partition", pa.int32()),
+        ("clip_id", pa.string()),
+        ("code", pa.string()),
+        ("actual", pa.string()),
+        ("expected", pa.string()),
+        ("detail", pa.string()),
+        ("scanned", pa.int64()),
+        ("violating", pa.int64()),
+        ("payload", pa.binary()),
+    ]
+)
+
+_EMPTY_TAGGED = TAGGED_SCHEMA.empty_table()
+
+
+class SuiteExecutor:
+    """Callable class → Ray Data actor pool. Check graph built + setup() run
+    ONCE per actor (__init__), per-batch work in __call__ (SURVEY.md §2.1:
+    Check.setup() ≈ ComplexQualityMetric.before())."""
+
+    def __init__(self, checks: list[BatchCheck], ctx: CheckContext):
+        self.checks = checks
+        for c in self.checks:
+            c.setup(ctx)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        for check in self.checks:
+            o = check.evaluate(batch)
+            n_v = o.violations.num_rows if o.violations is not None else 0
+            if n_v:
+                v = o.violations
+                out.append(pa.table({
+                    "kind": pa.array(["v"] * n_v),
+                    "check_id": pa.array([check.check_id] * n_v),
+                    "partition": v.column("partition"),
+                    "clip_id": v.column("clip_id"),
+                    "code": v.column("code"),
+                    "actual": v.column("actual"),
+                    "expected": v.column("expected"),
+                    "detail": v.column("detail"),
+                    "scanned": pa.array([0] * n_v, pa.int64()),
+                    "violating": pa.array([0] * n_v, pa.int64()),
+                    "payload": pa.array([None] * n_v, pa.binary()),
+                }))
+            parts = list(o.counters.keys())
+            n_p = len(parts)
+            if n_p or o.partial is not None:
+                payloads: list[bytes | None] = [None] * n_p
+                if o.partial is not None:
+                    if n_p == 0:
+                        parts, payloads = [-1], [None]
+                        n_p = 1
+                    payloads[0] = o.partial  # one sketch blob per batch
+                out.append(pa.table({
+                    "kind": pa.array(["p"] * n_p),
+                    "check_id": pa.array([check.check_id] * n_p),
+                    "partition": pa.array(np.asarray(parts, np.int32)),
+                    "clip_id": pa.array([None] * n_p, pa.string()),
+                    "code": pa.array([None] * n_p, pa.string()),
+                    "actual": pa.array([None] * n_p, pa.string()),
+                    "expected": pa.array([None] * n_p, pa.string()),
+                    "detail": pa.array([None] * n_p, pa.string()),
+                    "scanned": pa.array(
+                        [o.counters[p][0] for p in parts], pa.int64()),
+                    "violating": pa.array(
+                        [o.counters[p][1] for p in parts], pa.int64()),
+                    "payload": pa.array(payloads, pa.binary()),
+                }))
+        if not out:
+            return _EMPTY_TAGGED
+        return pa.concat_tables(out).cast(TAGGED_SCHEMA)
+
+
+@dataclass
+class SuiteReport:
+    metrics: pa.Table
+    violations: pa.Table
+    verdicts: pa.Table
+    manifest: dict[str, Any] = field(default_factory=dict)
+
+    def metric(self, check_id: str, partition: int = -1) -> dict | None:
+        df = self.metrics.to_pandas()
+        m = df[(df.check_id == check_id) & (df.partition == partition)]
+        return None if m.empty else m.iloc[0].to_dict()
+
+
+def run_batch_checks(ds, checks: list[BatchCheck],
+                     ctx: CheckContext | None = None,
+                     batch_size: int = 4096,
+                     concurrency: int | tuple[int, int] | None = None,
+                     num_cpus: float = 1.0):
+    """Single streaming pass → (violations, counters_df, partials dict)."""
+    ctx = ctx or CheckContext()
+    if concurrency is None:
+        import ray
+
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    tagged = ds.map_batches(
+        SuiteExecutor,
+        fn_constructor_args=(checks, ctx),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+    # the tagged stream is small (violations + O(batches) partial rows):
+    # stream it to the driver without materializing the input
+    batches = list(tagged.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    all_rows = (pa.concat_tables([pa.table(b) for b in batches]).cast(TAGGED_SCHEMA)
+                if batches else _EMPTY_TAGGED)
+    kinds = all_rows.column("kind").to_numpy(zero_copy_only=False)
+    viol = (all_rows.filter(pa.array(kinds == "v"))
+            .select(VIOLATION_SCHEMA.names).cast(VIOLATION_SCHEMA)
+            if (kinds == "v").any() else None)
+    part_rows = all_rows.filter(pa.array(kinds == "p"))
+    pdf = part_rows.select(["check_id", "partition", "scanned", "violating"]).to_pandas()
+    counters = (pdf.groupby(["check_id", "partition"], sort=True)
+                .sum().reset_index())
+    partials: dict[str, list[bytes]] = {}
+    pay = part_rows.to_pandas()
+    for cid, blob in zip(pay["check_id"], pay["payload"]):
+        if blob is not None:
+            partials.setdefault(cid, []).append(blob)
+    if viol is None:
+        viol = VIOLATION_SCHEMA.empty_table()
+    return viol, counters, partials
+
+
+def assemble_metrics(checks: list[BatchCheck], counters: pd.DataFrame,
+                     partials: dict[str, list[bytes]]) -> pa.Table:
+    """Counters + merged sketches → METRIC_SCHEMA rows: per-partition rows
+    for exact checks, a global (partition = -1) row for every check."""
+    rows = []
+    for check in checks:
+        sub = counters[counters.check_id == check.check_id]
+        merged = check.merge(partials.get(check.check_id, []))
+        g_scanned = int(sub["scanned"].sum())
+        g_viol = int(sub["violating"].sum())
+        if merged is None:  # exact check → per-partition verdict rows
+            for _, r in sub.iterrows():
+                v, ok, _ = check.finalize_value(int(r.scanned), int(r.violating), None)
+                rows.append((check.check_id, int(r.partition), v,
+                             int(r.scanned), int(r.violating),
+                             check.is_estimate, ok))
+        value, passed, detail = check.finalize_value(g_scanned, g_viol, merged)
+        rows.append((check.check_id, -1, value, g_scanned, g_viol,
+                     check.is_estimate, passed))
+    return _metric_rows(rows)
+
+
+def _metric_rows(rows) -> pa.Table:
+    cols = list(zip(*rows)) if rows else [[] for _ in range(7)]
+    return pa.table({f.name: pa.array(list(c), f.type)
+                     for f, c in zip(METRIC_SCHEMA, cols)})
+
+
+def assemble_verdicts(metrics: pa.Table, violations: pa.Table) -> pa.Table:
+    """Per-partition verdict: pass iff every per-partition check passed and
+    the partition produced no violation rows from global/keyed checks."""
+    mdf = metrics.to_pandas()
+    vdf = violations.to_pandas()
+    parts = sorted(set(mdf[mdf.partition >= 0].partition) |
+                   set(vdf[vdf.partition >= 0].partition))
+    rows = []
+    for p in parts:
+        msub = mdf[mdf.partition == p]
+        nviol = int((vdf.partition == p).sum())
+        ok = bool(msub.passed.all()) and nviol == 0
+        rows.append((int(p), int(msub.rows_scanned.max()) if len(msub) else 0,
+                     nviol, ok))
+    return pa.table({
+        "partition": pa.array([r[0] for r in rows], pa.int32()),
+        "rows_scanned": pa.array([r[1] for r in rows], pa.int64()),
+        "n_violations": pa.array([r[2] for r in rows], pa.int64()),
+        "passed": pa.array([r[3] for r in rows], pa.bool_()),
+    })
+
+
+def run_suite(ds_factory: Callable[[list[str] | None], Any],
+              checks: list[BatchCheck],
+              ctx: CheckContext | None = None,
+              keyed: dict[str, Callable[[Any], Any]] | None = None,
+              batch_size: int = 4096,
+              concurrency=None) -> SuiteReport:
+    """Full suite: batch checks (one pass) + keyed shuffle checks.
+
+    ``ds_factory(columns)`` returns the clip Dataset with optional projection
+    pruning — each keyed pipeline re-reads only the columns it shuffles.
+    ``keyed`` maps check_id → fn(ds) returning a violations Dataset.
+    """
+    t0 = time.time()
+    cols = set()
+    for c in checks:
+        cols.update(c.columns)
+    ds = ds_factory(sorted(cols) if cols else None)
+    viol, counters, partials = run_batch_checks(
+        ds, checks, ctx, batch_size=batch_size, concurrency=concurrency)
+    metrics = assemble_metrics(checks, counters, partials)
+
+    total_rows = int(counters[counters.check_id == checks[0].check_id]["scanned"].sum()) if checks else 0
+    extra_metric_rows = []
+    keyed_viols = []
+    for kid, fn in (keyed or {}).items():
+        kv = fn(ds_factory).to_arrow_refs()
+        import ray
+
+        keyed_schema = pa.schema([f for f in VIOLATION_SCHEMA
+                                  if f.name != "check_id"])
+        tables = [t.cast(keyed_schema) for t in ray.get(kv) if t.num_rows]
+        kvt = (pa.concat_tables(tables) if tables else
+               keyed_schema.empty_table())
+        n_v = kvt.num_rows
+        kvt = kvt.add_column(0, "check_id",
+                             pa.array([kid] * n_v, pa.string())).cast(VIOLATION_SCHEMA)
+        keyed_viols.append(kvt)
+        value = 1.0 if total_rows == 0 else 1.0 - n_v / total_rows
+        extra_metric_rows.append((kid, -1, value, total_rows, n_v, False, n_v == 0))
+        # per-partition rows for keyed checks from violation partitions
+        if n_v:
+            vp = kvt.column("partition").to_numpy(zero_copy_only=False)
+            uniq, cnt = np.unique(vp, return_counts=True)
+            bad = dict(zip(uniq.tolist(), cnt.tolist()))
+        else:
+            bad = {}
+        for p in sorted(set(counters["partition"])):
+            nv = int(bad.get(p, 0))
+            sc = int(counters[(counters.check_id == checks[0].check_id) &
+                              (counters.partition == p)]["scanned"].sum()) if checks else 0
+            val = 1.0 if sc == 0 else 1.0 - nv / sc
+            extra_metric_rows.append((kid, int(p), val, sc, nv, False, nv == 0))
+    if extra_metric_rows:
+        metrics = pa.concat_tables([metrics, _metric_rows(extra_metric_rows)])
+    if keyed_viols:
+        viol = pa.concat_tables([viol, *keyed_viols])
+
+    verdicts = assemble_verdicts(metrics, viol)
+    manifest = {
+        "rows_scanned": total_rows,
+        "n_violations": int(viol.num_rows),
+        "n_checks": len(checks) + len(keyed or {}),
+        "estimation": {c.check_id: c.is_estimate for c in checks},
+        "wall_s": round(time.time() - t0, 3),
+    }
+    return SuiteReport(metrics=metrics, violations=viol, verdicts=verdicts,
+                       manifest=manifest)

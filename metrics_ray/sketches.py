@@ -22,10 +22,9 @@ import pandas as pd
 
 
 def hash64(values: np.ndarray) -> np.ndarray:
-    """Vectorized stable 64-bit hash of a numpy array (any dtype)."""
-    if values.dtype == object:
-        values = values.astype(str).astype(object)
-    return pd.util.hash_array(values, categorize=False)
+    """Vectorized stable 64-bit hash of a numpy array. Object arrays of
+    str / bytes / None hash directly (pandas siphash with a fixed key)."""
+    return pd.util.hash_array(np.asarray(values), categorize=False)
 
 
 # ------------------------------------------------------------------- HLL

@@ -1,0 +1,127 @@
+"""CheckSuite assembly — the declarative config that plays the role of the
+reference's metric registry + VocabularyLoader config (SURVEY.md §2.9: a
+suite is assembled from config, not hard-coded into the engine).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from .checks.base import BatchCheck, CheckContext
+from .checks.decode import DecodeCheck
+from .checks.keyed import content_duplicates, exact_duplicate_keys
+from .checks.referential import ReferentialCheck
+from .checks.sketch_checks import DistinctHLLCheck, DriftCheck, QuantileProfileCheck
+from .checks.stateless import EnumCheck, NonNullCheck, RangeCheck, RegexCheck, SchemaCheck
+from .schema import (
+    CLIP_ID_RE,
+    CLIP_SCHEMA,
+    DEPRECATED_CODECS,
+    MAX_DUR_MS,
+    MIN_DUR_MS,
+    VALID_CODECS,
+    VALID_SR_HZ,
+    Codes,
+)
+
+
+def metadata_checks() -> list[BatchCheck]:
+    """The stateless MB family (SURVEY.md §2.3 mappings)."""
+    return [
+        SchemaCheck("schema_conformance", CLIP_SCHEMA),
+        EnumCheck("sr_enum", "sr_hz", VALID_SR_HZ, code=Codes.OUT_OF_RANGE),
+        RangeCheck("dur_range", "dur_ms", MIN_DUR_MS, MAX_DUR_MS),
+        EnumCheck("codec_enum", "codec", VALID_CODECS),
+        EnumCheck("codec_deprecated", "codec", DEPRECATED_CODECS,
+                  code=Codes.DEPRECATED_VALUE, invert=True),
+        NonNullCheck("transcript_nonnull", "transcript"),
+        RegexCheck("clipid_format", "clip_id", CLIP_ID_RE),
+    ]
+
+
+def sketch_checks() -> list[BatchCheck]:
+    return [
+        DistinctHLLCheck("clipid_unique_hll", "clip_id"),
+        QuantileProfileCheck("dur_profile", "dur_ms"),
+        DriftCheck("dur_drift_psi", "dur_ms"),
+    ]
+
+
+def full_checks(with_decode: bool = True,
+                with_referential: bool = True) -> list[BatchCheck]:
+    checks = metadata_checks() + sketch_checks()
+    if with_referential:
+        checks.append(ReferentialCheck())
+    if with_decode:
+        checks.append(DecodeCheck())
+    return checks
+
+
+def keyed_checks(with_content_dedup: bool = True) -> dict:
+    """check_id → fn(ds_factory) -> violations Dataset."""
+    out = {
+        "clipid_unique_exact": lambda f: exact_duplicate_keys(
+            f(["clip_id", "partition"])),
+    }
+    if with_content_dedup:
+        out["content_dedup"] = lambda f: content_duplicates(
+            f(["bytes", "transcript", "clip_id", "partition"]))
+    return out
+
+
+def build_baseline_profile(ds_factory, column: str = "dur_ms",
+                           n_bins: int = 20) -> dict[str, Any]:
+    """Build the baseline distribution profile from a (clean) reference table
+    — the ComplexQualityMetric.before() gold-standard load, but computed
+    distributedly: t-digest pass for robust edges, histogram pass for counts.
+    Runs over the single pruned column."""
+    import ray.data  # noqa: F401
+    from .sketches import FixedHistogram, TDigest, loads_any
+
+    ds = ds_factory([column, "partition"])
+
+    def td_partial(b: pa.Table) -> pa.Table:
+        td = TDigest()
+        td.add(b.column(column).to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"payload": pa.array([td.dumps()], pa.binary())})
+
+    blobs = [r["payload"] for r in
+             ds.map_batches(td_partial, batch_format="pyarrow").take_all()]
+    td = loads_any(blobs[0])
+    for b in blobs[1:]:
+        td = td.merge(loads_any(b))
+    lo, hi = td.quantile(0.01), td.quantile(0.99)
+    if not np.isfinite(lo) or lo == hi:
+        lo, hi = 0.0, max(hi, 1.0)
+    edges = np.linspace(lo, hi, n_bins + 1)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        h = FixedHistogram(edges)
+        h.add(b.column(column).to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"payload": pa.array([h.dumps()], pa.binary())})
+
+    blobs = [r["payload"] for r in
+             ds.map_batches(hist_partial, batch_format="pyarrow").take_all()]
+    h = loads_any(blobs[0])
+    for b in blobs[1:]:
+        h = h.merge(loads_any(b))
+    return {column: {"edges": edges.tolist(), "counts": h.counts.tolist()}}
+
+
+def default_ctx(transcript_index=None, baseline_profile=None,
+                broadcast: bool = True) -> CheckContext:
+    """Assemble the broadcast side-input context. With ``broadcast`` the
+    index goes through ray.put once (read by every actor's setup) instead of
+    being re-serialized into each actor constructor."""
+    params: dict[str, Any] = {}
+    if transcript_index is not None:
+        if broadcast:
+            import ray
+
+            params["transcript_index"] = ray.put(transcript_index)
+        else:
+            params["transcript_index"] = transcript_index
+    return CheckContext(baseline_profile=baseline_profile or {}, params=params)

@@ -1,0 +1,137 @@
+"""Golden-value end-to-end suite tests (the reference's test strategy,
+SURVEY.md §5: stream a fixture with a known corruption count, assert the
+metric value against a hand-computed constant — here the constants are
+computed analytically from the corruption matrix in synth.py).
+
+Base keys k = 0..499 (sf0.001 documents), plus content-dup extra rows for
+k % 139 == 41 & k > 0 → 504 rows total.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+N = 500
+KS = np.arange(N)
+N_DUP_ROWS = int(((KS % 139 == 41) & (KS > 0)).sum())  # 4
+TOTAL = N + N_DUP_ROWS  # 504
+
+
+@pytest.fixture(scope="module")
+def report(sf_unit):
+    from metrics_ray.pipelines.clips import validate_sf
+
+    return validate_sf(sf_unit, concurrency=2)
+
+
+def _counts(report, check_id=None, code=None):
+    df = report.violations.to_pandas()
+    if check_id:
+        df = df[df.check_id == check_id]
+    if code:
+        df = df[df.code == code]
+    return len(df)
+
+
+def test_total_rows(report):
+    assert report.manifest["rows_scanned"] == TOTAL
+
+
+def test_sr_enum_golden(report):
+    n_bad = int(((KS % 97 == 13) | (KS % 97 == 50)).sum())  # 11
+    assert _counts(report, "sr_enum") == n_bad
+    m = report.metric("sr_enum")
+    assert m["metric_value"] == pytest.approx(1 - n_bad / TOTAL, abs=1e-9)
+    assert not m["passed"]
+
+
+def test_dur_range_golden(report):
+    n_bad = int(((KS % 103 == 11) | (KS % 103 == 60)).sum())  # 10
+    assert _counts(report, "dur_range") == n_bad
+
+
+def test_codec_golden(report):
+    bad_enum = ((KS % 107 == 3) | (KS % 107 == 71) | (KS % 107 == 40))
+    gsm = (KS % 109 == 9) & ~bad_enum
+    assert _counts(report, "codec_enum") == int((bad_enum | gsm).sum())
+    assert _counts(report, "codec_deprecated") == int(gsm.sum())
+
+
+def test_transcript_nonnull_golden(report):
+    n_bad = int(((KS % 89 == 5) | (KS % 89 == 44)).sum())  # 12
+    assert _counts(report, "transcript_nonnull") == n_bad
+
+
+def test_clipid_format_passes(report):
+    assert _counts(report, "clipid_format") == 0
+    assert report.metric("clipid_format")["passed"]
+
+
+def test_exact_uniqueness_golden(report):
+    """ValidIFPUsage Bag semantics: ALL colliding members are violations."""
+    n_pairs = int(((KS % 101 == 7) & (KS > 0)).sum())  # 5
+    assert _counts(report, "clipid_unique_exact") == 2 * n_pairs
+    df = report.violations.to_pandas()
+    dup_ids = sorted(df[df.check_id == "clipid_unique_exact"].clip_id.unique())
+    expected = sorted(f"clip-{k-1:08d}" for k in KS[(KS % 101 == 7) & (KS > 0)])
+    assert dup_ids == expected
+
+
+def test_hll_uniqueness_estimate(report):
+    m = report.metric("clipid_unique_hll")
+    exact_distinct = TOTAL - int(((KS % 101 == 7) & (KS > 0)).sum())
+    est_ratio = m["metric_value"]
+    assert abs(est_ratio - exact_distinct / TOTAL) < 0.02  # HLL tol
+    assert m["is_estimate"]
+
+
+def test_referential_golden(report):
+    missing = int((KS % 113 == 29).sum())  # 5
+    assert _counts(report, "referential_transcript", "MissingReference") == missing
+    # mismatches: seeded (%137==31) + null/empty (%89) + dup-id rows whose id
+    # points at k-1's reference text
+    seeded = int((KS % 137 == 31).sum())
+    nullish = int(((KS % 89 == 5) | (KS % 89 == 44)).sum())
+    dup_id = int(((KS % 101 == 7) & (KS > 0)).sum())
+    assert _counts(report, "referential_transcript", "TranscriptMismatch") == \
+        seeded + nullish + dup_id
+
+
+def test_content_dedup_golden(report):
+    assert _counts(report, "content_dedup") == N_DUP_ROWS
+    m = report.metric("content_dedup")
+    assert m["metric_value"] == pytest.approx(1 - N_DUP_ROWS / TOTAL, abs=1e-9)
+
+
+def test_decode_golden(report):
+    assert _counts(report, "decode_invariants", "DecodeError") == \
+        int((KS % 127 == 17).sum())
+    assert _counts(report, "decode_invariants", "CodecMismatch") == \
+        int((KS % 111 == 21).sum())
+    # noisy rows + the content-dup rows (payload keyed to the base clip_id)
+    assert _counts(report, "decode_invariants", "LowSNR") == \
+        int((KS % 131 == 23).sum()) + N_DUP_ROWS
+    # every corrupted sr/dur row is also metadata-inconsistent with its bytes
+    assert _counts(report, "decode_invariants", "DurationMismatch") == \
+        int(((KS % 97 == 13) | (KS % 97 == 50) |
+             (KS % 103 == 11) | (KS % 103 == 60)).sum())
+
+
+def test_drift_self_is_zero(report):
+    m = report.metric("dur_drift_psi")
+    assert m["metric_value"] == pytest.approx(0.0, abs=1e-9)
+    assert m["passed"]
+
+
+def test_verdicts_all_partitions_fail_on_corrupt_table(report):
+    v = report.verdicts.to_pandas()
+    assert len(v) == 8
+    assert not v.passed.any()  # corruption hits every partition at this scale
+    assert v.rows_scanned.sum() == TOTAL
+
+
+def test_quantile_profile_sane(report):
+    m = report.metric("dur_profile")
+    # base_dur uniform in [200, 1999] → p50 ≈ 1100 (t-digest tolerance)
+    assert 1000 < m["metric_value"] < 1200

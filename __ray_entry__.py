@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing in
+here (or in metrics_ray) calls ray.init() / ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship validation suite over the sf0.001 clip table;
+``queries()`` exposes each implemented operator (SURVEY.md §2 inventory) as a
+callable(sf_dir); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+operator whose semantics are SQL-expressible (the clips table is a
+deterministic derivation of the ``documents`` view — synth.CLIPS_SQL — so
+the oracle recomputes the identical table; audio-bytes checks are Ray-only
+and get rows-only verification).
 """
 
 from __future__ import annotations
@@ -20,25 +19,26 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full validation suite (stateless + sketch + decode
+    + referential + keyed checks) on /root/testdata/sf0.001; returns the
+    metric table (one row per check per partition + global roll-ups)."""
+    from metrics_ray.pipelines.clips import validate_sf
+
+    report = validate_sf("/root/testdata/sf0.001")
+    return report.metrics.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from metrics_ray.pipelines.queries import VALIDATION_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    for name, (fn, _sql) in VALIDATION_QUERIES.items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from metrics_ray.pipelines.queries import VALIDATION_QUERIES
+
+    return {name: sql for name, (fn, sql) in VALIDATION_QUERIES.items()
+            if sql is not None}

@@ -1,0 +1,324 @@
+"""Driver-facing query registry: each validation operator exposed as a
+callable(sf_dir) → pyarrow.Table, with (where expressible) a matching ANSI-SQL
+oracle over the documents view via synth.CLIPS_SQL.
+
+Every callable runs the REAL engine path (Ray Data pipelines through the
+check framework), never DuckDB — the SQL strings exist only for the driver's
+independent cross-check. Column names match the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import pyarrow as pa
+
+from .. import synth
+from ..checks.base import CheckContext
+from ..checks.keyed import content_duplicates, exact_duplicate_keys
+from ..checks.referential import ReferentialCheck
+from ..checks.stateless import EnumCheck, NonNullCheck, RangeCheck, RegexCheck
+from ..runner import run_batch_checks
+from ..schema import (
+    CLIP_ID_RE,
+    DEPRECATED_CODECS,
+    MAX_DUR_MS,
+    MIN_DUR_MS,
+    VALID_CODECS,
+    VALID_SR_HZ,
+    Codes,
+)
+from ..suite import default_ctx, metadata_checks
+from .clips import clips_dataset, ensure_clips_parquet, clips_factory, transcript_index_df
+
+_SORT = [("clip_id", "ascending"), ("code", "ascending")]
+
+
+def _meta_ds(sf_dir: str):
+    return clips_dataset(sf_dir, with_audio=False)
+
+
+def _single_check_violations(sf_dir: str, check, code: str | None = None,
+                             ctx: CheckContext | None = None) -> pa.Table:
+    viol, _, _ = run_batch_checks(_meta_ds(sf_dir), [check], ctx=ctx,
+                                  concurrency=2)
+    t = viol
+    if code is not None and t.num_rows:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t.column("code"), code))
+    return (t.select(["clip_id", "actual"])
+            .sort_by([("clip_id", "ascending"), ("actual", "ascending")]))
+
+
+# ---------------------------------------------------------- metadata checks
+
+def q_sr_enum(sf_dir: str) -> pa.Table:
+    return _single_check_violations(
+        sf_dir, EnumCheck("sr_enum", "sr_hz", VALID_SR_HZ, code=Codes.OUT_OF_RANGE))
+
+
+SQL_SR_ENUM = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id, CAST(sr_hz AS VARCHAR) AS actual
+FROM clips WHERE sr_hz NOT IN (8000, 16000, 22050, 44100, 48000)
+ORDER BY clip_id, actual"""
+
+
+def q_dur_range(sf_dir: str) -> pa.Table:
+    return _single_check_violations(
+        sf_dir, RangeCheck("dur_range", "dur_ms", MIN_DUR_MS, MAX_DUR_MS))
+
+
+SQL_DUR_RANGE = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id, CAST(dur_ms AS VARCHAR) AS actual
+FROM clips WHERE dur_ms < {MIN_DUR_MS} OR dur_ms > {MAX_DUR_MS}
+ORDER BY clip_id, actual"""
+
+
+def q_codec_enum(sf_dir: str) -> pa.Table:
+    return _single_check_violations(
+        sf_dir, EnumCheck("codec_enum", "codec", VALID_CODECS))
+
+
+SQL_CODEC_ENUM = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id, codec AS actual
+FROM clips WHERE codec NOT IN ('pcm_s16le', 'flac', 'mp3', 'opus')
+ORDER BY clip_id, actual"""
+
+
+def q_codec_deprecated(sf_dir: str) -> pa.Table:
+    return _single_check_violations(
+        sf_dir, EnumCheck("codec_deprecated", "codec", DEPRECATED_CODECS,
+                          code=Codes.DEPRECATED_VALUE, invert=True))
+
+
+SQL_CODEC_DEPRECATED = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id, codec AS actual
+FROM clips WHERE codec IN ('gsm', 'amr', 'g722')
+ORDER BY clip_id, actual"""
+
+
+def q_transcript_nonnull(sf_dir: str) -> pa.Table:
+    t = _single_check_violations(
+        sf_dir, NonNullCheck("transcript_nonnull", "transcript"))
+    return t.select(["clip_id"]).sort_by("clip_id")
+
+
+SQL_TRANSCRIPT_NONNULL = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id FROM clips
+WHERE transcript IS NULL OR transcript = ''
+ORDER BY clip_id"""
+
+
+def q_clipid_format(sf_dir: str) -> pa.Table:
+    t = _single_check_violations(
+        sf_dir, RegexCheck("clipid_format", "clip_id", CLIP_ID_RE))
+    return t.select(["clip_id"]).sort_by("clip_id")
+
+
+SQL_CLIPID_FORMAT = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id FROM clips
+WHERE NOT regexp_matches(clip_id, '^clip-[0-9]{{8}}$')
+ORDER BY clip_id"""
+
+
+# --------------------------------------------------------- keyed operators
+
+def q_clipid_dups(sf_dir: str) -> pa.Table:
+    """Exact duplicate keys via the hash-shuffle pipeline; output one row per
+    duplicated id with its occurrence count."""
+    viol = exact_duplicate_keys(_meta_ds(sf_dir))
+    import ray
+
+    tables = [t for t in ray.get(viol.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "n_rows": pa.array([], pa.int64())})
+    df = pa.concat_tables(tables).to_pandas()
+    g = (df.groupby("clip_id").size().reset_index(name="n_rows")
+         .sort_values("clip_id"))
+    return pa.table({"clip_id": pa.array(g["clip_id"].tolist(), pa.string()),
+                     "n_rows": pa.array(g["n_rows"].tolist(), pa.int64())})
+
+
+SQL_CLIPID_DUPS = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id, COUNT(*) AS n_rows
+FROM clips GROUP BY clip_id HAVING COUNT(*) > 1
+ORDER BY clip_id"""
+
+
+def q_missing_refs(sf_dir: str) -> pa.Table:
+    ctx = default_ctx(transcript_index=transcript_index_df(sf_dir),
+                      broadcast=False)
+    check = ReferentialCheck(check_equality=False)
+    t = _single_check_violations(sf_dir, check, code=Codes.MISSING_REFERENCE,
+                                 ctx=ctx)
+    return t.select(["clip_id"]).sort_by("clip_id")
+
+
+SQL_MISSING_REFS = f"""WITH {synth.CLIPS_SQL}
+SELECT c.clip_id FROM clips c
+WHERE c.clip_id NOT IN (SELECT clip_id FROM transcript_index)
+ORDER BY c.clip_id"""
+
+
+def q_transcript_mismatch(sf_dir: str) -> pa.Table:
+    ctx = default_ctx(transcript_index=transcript_index_df(sf_dir),
+                      broadcast=False)
+    check = ReferentialCheck()
+    t = _single_check_violations(sf_dir, check, code=Codes.TRANSCRIPT_MISMATCH,
+                                 ctx=ctx)
+    return t.select(["clip_id"]).sort_by("clip_id")
+
+
+SQL_TRANSCRIPT_MISMATCH = f"""WITH {synth.CLIPS_SQL}
+SELECT c.clip_id FROM clips c
+JOIN transcript_index t ON c.clip_id = t.clip_id
+WHERE c.transcript IS DISTINCT FROM t.ref_transcript
+ORDER BY c.clip_id"""
+
+
+def q_partition_stats(sf_dir: str) -> pa.Table:
+    """Per-partition aggregate profile (groupby exercise; the per-partition
+    observation-activity counters)."""
+    import pyarrow.compute as pc
+
+    ds = _meta_ds(sf_dir)
+
+    def agg(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        import numpy as np
+
+        df = pd.DataFrame({
+            "partition": b.column("partition").to_numpy(zero_copy_only=False),
+            "null_t": pa.compute.or_(
+                b.column("transcript").is_null(),
+                pc.equal(pc.fill_null(b.column("transcript"), "x"), "")
+            ).to_numpy(zero_copy_only=False).astype(bool),
+            "bad_codec": (~pc.is_in(
+                b.column("codec"),
+                value_set=pa.array(list(VALID_CODECS))).to_numpy(
+                    zero_copy_only=False).astype(bool)),
+        })
+        g = df.groupby("partition").agg(
+            n_rows=("partition", "size"),
+            n_null_transcript=("null_t", "sum"),
+            n_bad_codec=("bad_codec", "sum")).reset_index()
+        return pa.table({
+            "partition": pa.array(g["partition"].astype("int32")),
+            "n_rows": pa.array(g["n_rows"].astype("int64")),
+            "n_null_transcript": pa.array(g["n_null_transcript"].astype("int64")),
+            "n_bad_codec": pa.array(g["n_bad_codec"].astype("int64")),
+        })
+
+    pre = ds.map_batches(agg, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = pre.groupby("partition").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_null_transcript", alias_name="n_null_transcript"),
+        Sum("n_bad_codec", alias_name="n_bad_codec"),
+    )
+    return pa.Table.from_pandas(
+        out.to_pandas().sort_values("partition").reset_index(drop=True),
+        preserve_index=False).cast(pa.schema([
+            ("partition", pa.int32()), ("n_rows", pa.int64()),
+            ("n_null_transcript", pa.int64()), ("n_bad_codec", pa.int64())]))
+
+
+SQL_PARTITION_STATS = f"""WITH {synth.CLIPS_SQL}
+SELECT partition,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN transcript IS NULL OR transcript = '' THEN 1 ELSE 0 END) AS n_null_transcript,
+       SUM(CASE WHEN codec NOT IN ('pcm_s16le','flac','mp3','opus') THEN 1 ELSE 0 END) AS n_bad_codec
+FROM clips GROUP BY partition ORDER BY partition"""
+
+
+def q_check_summary(sf_dir: str) -> pa.Table:
+    """Metric summary over the metadata check family: the metricValue()
+    readout (check_id, rows_scanned, rows_violating, metric_value)."""
+    checks = [c for c in metadata_checks() if c.check_id != "schema_conformance"]
+    _, counters, _ = run_batch_checks(_meta_ds(sf_dir), checks, concurrency=2)
+    rows = []
+    for c in checks:
+        sub = counters[counters.check_id == c.check_id]
+        s, v = int(sub["scanned"].sum()), int(sub["violating"].sum())
+        value = 1.0 if s == 0 else 1.0 - v / s
+        rows.append((c.check_id, s, v, value))
+    rows.sort()
+    return pa.table({
+        "check_id": pa.array([r[0] for r in rows], pa.string()),
+        "rows_scanned": pa.array([r[1] for r in rows], pa.int64()),
+        "rows_violating": pa.array([r[2] for r in rows], pa.int64()),
+        "metric_value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+SQL_CHECK_SUMMARY = f"""WITH {synth.CLIPS_SQL},
+counts AS (
+  SELECT 'clipid_format' AS check_id, COUNT(*) AS rows_scanned,
+         SUM(CASE WHEN NOT regexp_matches(clip_id, '^clip-[0-9]{{8}}$') THEN 1 ELSE 0 END) AS rows_violating FROM clips
+  UNION ALL
+  SELECT 'codec_deprecated', COUNT(*),
+         SUM(CASE WHEN codec IN ('gsm','amr','g722') THEN 1 ELSE 0 END) FROM clips
+  UNION ALL
+  SELECT 'codec_enum', COUNT(*),
+         SUM(CASE WHEN codec NOT IN ('pcm_s16le','flac','mp3','opus') THEN 1 ELSE 0 END) FROM clips
+  UNION ALL
+  SELECT 'dur_range', COUNT(*),
+         SUM(CASE WHEN dur_ms < {MIN_DUR_MS} OR dur_ms > {MAX_DUR_MS} THEN 1 ELSE 0 END) FROM clips
+  UNION ALL
+  SELECT 'sr_enum', COUNT(*),
+         SUM(CASE WHEN sr_hz NOT IN (8000,16000,22050,44100,48000) THEN 1 ELSE 0 END) FROM clips
+  UNION ALL
+  SELECT 'transcript_nonnull', COUNT(*),
+         SUM(CASE WHEN transcript IS NULL OR transcript = '' THEN 1 ELSE 0 END) FROM clips
+)
+SELECT check_id, rows_scanned, rows_violating,
+       1.0 - rows_violating * 1.0 / rows_scanned AS metric_value
+FROM counts ORDER BY check_id"""
+
+
+# ------------------------------------------------- audio (rows-only checks)
+
+def q_decode_violations(sf_dir: str) -> pa.Table:
+    """Decode/SNR invariant violations — not SQL-expressible (audio bytes
+    exist only on the Ray side); the driver records a rows-only check."""
+    from ..checks.decode import DecodeCheck
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(list(DecodeCheck.columns))
+    viol, _, _ = run_batch_checks(ds, [DecodeCheck()], concurrency=2,
+                                  batch_size=256)
+    return (viol.select(["clip_id", "code"])
+            .sort_by([("clip_id", "ascending"), ("code", "ascending")]))
+
+
+def q_content_dedup(sf_dir: str) -> pa.Table:
+    """Exact content duplicates ((bytes, transcript) identity) — rows-only."""
+    import ray
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["bytes", "transcript", "clip_id", "partition"])
+    viol = content_duplicates(ds)
+    tables = [t for t in ray.get(viol.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"clip_id": pa.array([], pa.string())})
+    return (pa.concat_tables(tables).select(["clip_id"]).sort_by("clip_id"))
+
+
+VALIDATION_QUERIES = {
+    "val_sr_enum": (q_sr_enum, SQL_SR_ENUM),
+    "val_dur_range": (q_dur_range, SQL_DUR_RANGE),
+    "val_codec_enum": (q_codec_enum, SQL_CODEC_ENUM),
+    "val_codec_deprecated": (q_codec_deprecated, SQL_CODEC_DEPRECATED),
+    "val_transcript_nonnull": (q_transcript_nonnull, SQL_TRANSCRIPT_NONNULL),
+    "val_clipid_format": (q_clipid_format, SQL_CLIPID_FORMAT),
+    "val_clipid_dups": (q_clipid_dups, SQL_CLIPID_DUPS),
+    "val_missing_refs": (q_missing_refs, SQL_MISSING_REFS),
+    "val_transcript_mismatch": (q_transcript_mismatch, SQL_TRANSCRIPT_MISMATCH),
+    "val_partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
+    "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
+    "val_decode_violations": (q_decode_violations, None),
+    "val_content_dedup": (q_content_dedup, None),
+}

@@ -79,6 +79,45 @@ def ensure_clips_parquet(sf_dir: str, replicas: int = 1,
     return out
 
 
+def ensure_clips_hive(sf_dir: str, replicas: int = 1,
+                      dur_scale: float = 1.0) -> str:
+    """Materialize the derived clips as a HIVE-partitioned parquet cache
+    (``partition=N/`` dirs) — the resumable layout: one directory per
+    partition so checkpoint/resume can skip completed partitions and a
+    partition-scoped read touches only its own files."""
+    tag = (f"clips_hive_{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_r{replicas}_d{dur_scale}")
+    out = os.path.join(CACHE_ROOT, tag)
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    ds = clips_dataset(sf_dir, replicas=replicas, dur_scale=dur_scale)
+    ds.write_parquet(out, partition_cols=["partition"])
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def validate_checkpointed(sf_dir: str, checkpoint_dir: str,
+                          replicas: int = 1, wave_size: int = 4,
+                          with_decode: bool = True,
+                          fail_after_waves: int | None = None,
+                          batch_size: int = 1024, concurrency=None):
+    """Resumable flagship run: hive cache → wave-checkpointed suite
+    (metrics_ray.state.checkpoint). Re-entrant: call again with the same
+    checkpoint_dir after a crash to resume from completed partitions."""
+    from ..state.checkpoint import checkpointed_validate
+
+    path = ensure_clips_hive(sf_dir, replicas=replicas)
+    ctx = default_ctx(transcript_index=transcript_index_df(sf_dir, replicas))
+    return checkpointed_validate(
+        path, full_checks(with_decode=with_decode), ctx=ctx,
+        checkpoint_dir=checkpoint_dir, keyed=keyed_checks(),
+        wave_size=wave_size, batch_size=batch_size, concurrency=concurrency,
+        fail_after_waves=fail_after_waves)
+
+
 def clips_factory(parquet_dir: str):
     """→ ds_factory(columns) reading the cached clips with projection
     pruning (prune-at-the-read: a keyed check over clip_id never touches

@@ -155,24 +155,28 @@ def run_batch_checks(ds, checks: list[BatchCheck],
     pdf = part_rows.select(["check_id", "partition", "scanned", "violating"]).to_pandas()
     counters = (pdf.groupby(["check_id", "partition"], sort=True)
                 .sum().reset_index())
-    partials: dict[str, list[bytes]] = {}
+    # partials carry the partition of the batch that produced them — when the
+    # input layout is partition-pure (hive dirs), this attributes every
+    # sketch blob to its partition for checkpointing; merges stay global.
+    partials: dict[str, list[tuple[int, bytes]]] = {}
     pay = part_rows.to_pandas()
-    for cid, blob in zip(pay["check_id"], pay["payload"]):
+    for cid, part_val, blob in zip(pay["check_id"], pay["partition"],
+                                   pay["payload"]):
         if blob is not None:
-            partials.setdefault(cid, []).append(blob)
+            partials.setdefault(cid, []).append((int(part_val), blob))
     if viol is None:
         viol = VIOLATION_SCHEMA.empty_table()
     return viol, counters, partials
 
 
 def assemble_metrics(checks: list[BatchCheck], counters: pd.DataFrame,
-                     partials: dict[str, list[bytes]]) -> pa.Table:
+                     partials: dict[str, list[tuple[int, bytes]]]) -> pa.Table:
     """Counters + merged sketches → METRIC_SCHEMA rows: per-partition rows
     for exact checks, a global (partition = -1) row for every check."""
     rows = []
     for check in checks:
         sub = counters[counters.check_id == check.check_id]
-        merged = check.merge(partials.get(check.check_id, []))
+        merged = check.merge([b for _, b in partials.get(check.check_id, [])])
         g_scanned = int(sub["scanned"].sum())
         g_viol = int(sub["violating"].sum())
         if merged is None:  # exact check → per-partition verdict rows

@@ -1,0 +1,103 @@
+"""Checkpoint / resume tests (north_rule: resumable from checkpoint with
+per-partition lineage + metrics; FIXTURES.md fx_resume: resumed run produces
+identical verdicts + violations as a single-shot run)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def single_shot(sf_unit, tmp_path_factory):
+    from metrics_ray.pipelines.clips import validate_checkpointed
+
+    d = str(tmp_path_factory.mktemp("ckpt_single"))
+    report = validate_checkpointed(sf_unit, d, wave_size=2, concurrency=2)
+    return report
+
+
+def _sorted_df(table, keys):
+    return (table.to_pandas().sort_values(keys).reset_index(drop=True))
+
+
+def test_single_shot_matches_unchunked(single_shot, sf_unit):
+    """The wave-checkpointed run must agree with the plain streaming run."""
+    from metrics_ray.pipelines.clips import validate_sf
+
+    plain = validate_sf(sf_unit, concurrency=2)
+    a = _sorted_df(single_shot.violations, ["check_id", "clip_id", "code"])
+    b = _sorted_df(plain.violations, ["check_id", "clip_id", "code"])
+    assert len(a) == len(b)
+    assert (a[["check_id", "clip_id", "code"]].values
+            == b[["check_id", "clip_id", "code"]].values).all()
+
+    ma = _sorted_df(single_shot.metrics, ["check_id", "partition"])
+    mb = _sorted_df(plain.metrics, ["check_id", "partition"])
+    exact_a = ma[~ma.is_estimate].reset_index(drop=True)
+    exact_b = mb[~mb.is_estimate].reset_index(drop=True)
+    assert (exact_a.metric_value.values
+            == pytest.approx(exact_b.metric_value.values, abs=1e-12))
+
+
+def test_resume_after_crash(sf_unit, single_shot, tmp_path_factory):
+    from metrics_ray.pipelines.clips import validate_checkpointed
+
+    d = str(tmp_path_factory.mktemp("ckpt_resume"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        validate_checkpointed(sf_unit, d, wave_size=2, concurrency=2,
+                              fail_after_waves=2)
+
+    manifest = json.load(open(os.path.join(d, "MANIFEST.json")))
+    assert len(manifest["completed"]) == 4  # 2 waves × 2 partitions
+
+    resumed = validate_checkpointed(sf_unit, d, wave_size=2, concurrency=2)
+    assert sorted(resumed.manifest["resumed_from"]) == sorted(
+        manifest["completed"])
+
+    # identical violations + exact metrics + verdicts vs the single-shot run
+    a = _sorted_df(resumed.violations, ["check_id", "clip_id", "code"])
+    b = _sorted_df(single_shot.violations, ["check_id", "clip_id", "code"])
+    assert (a[["check_id", "clip_id", "code"]].values
+            == b[["check_id", "clip_id", "code"]].values).all()
+
+    ma = _sorted_df(resumed.metrics, ["check_id", "partition"])
+    mb = _sorted_df(single_shot.metrics, ["check_id", "partition"])
+    assert (ma.check_id.values == mb.check_id.values).all()
+    exact = ~ma.is_estimate.values
+    assert (ma.metric_value.values[exact]
+            == pytest.approx(mb.metric_value.values[exact], abs=1e-12))
+    # estimate checks (t-digest merge order) agree within sketch tolerance
+    assert (ma.metric_value.values[~exact]
+            == pytest.approx(mb.metric_value.values[~exact], rel=0.05))
+
+    va = _sorted_df(resumed.verdicts, ["partition"])
+    vb = _sorted_df(single_shot.verdicts, ["partition"])
+    assert (va.passed.values == vb.passed.values).all()
+    assert (va.n_violations.values == vb.n_violations.values).all()
+
+
+def test_lineage_recorded(single_shot):
+    lin = single_shot.manifest["partitions"]
+    assert len(lin) == 8
+    for p, files in lin.items():
+        assert files, f"partition {p} has no lineage"
+        assert all(f"partition={p}" in f for f in files)
+
+
+def test_fingerprint_guard(sf_unit, tmp_path_factory):
+    """A checkpoint dir belonging to a different suite must be rejected."""
+    from metrics_ray.checks.stateless import NonNullCheck
+    from metrics_ray.pipelines.clips import ensure_clips_hive
+    from metrics_ray.state.checkpoint import checkpointed_validate
+
+    d = str(tmp_path_factory.mktemp("ckpt_fp"))
+    path = ensure_clips_hive(sf_unit)
+    checkpointed_validate(path, [NonNullCheck("t", "transcript")],
+                          checkpoint_dir=d, concurrency=2)
+    with pytest.raises(ValueError, match="different run"):
+        checkpointed_validate(path, [NonNullCheck("other", "transcript")],
+                              checkpoint_dir=d, concurrency=2)

@@ -1,0 +1,200 @@
+"""Text-analysis primitives for large-scale training-data pipelines:
+tokenization, shingling, MinHash, SimHash, quality features, language ID,
+content fingerprints.
+
+All functions are deterministic pure functions of their inputs (no RNG at
+call time — permutation constants are fixed at module load from a seeded
+generator) so every operator built on them is reproducible across workers
+and sessions, and the SQL-expressible ones (token counts, quality features,
+md5 fingerprints, n-gram Jaccard) can be recomputed exactly by DuckDB as
+correctness oracles.
+
+The reference analogs: ShortURIs' format predicates (SURVEY.md §2.3),
+CorrectLanguageTag's model-based scorer (`intrinsic/.../syntacticvalidity/
+CorrectLanguageTag.java:49-115` — language detection over literals with
+confidence thresholds), ExtensionalConciseness's content dedup
+(`intrinsic/.../conciseness/ExtensionalConciseness.java:92-134`), and
+EstimatedExtensionalConciseness's bloom-filter near-dedup
+(`EstimatedExtensionalConciseness.java:40-45`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+from ..sketches import hash64
+
+# ----------------------------------------------------------------- tokenize
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols
+BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+# SQL mirror (DuckDB regexp_extract_all) — keep in sync with BPE_RE
+BPE_SQL_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+
+def ws_tokens(text: str) -> list[str]:
+    """Whitespace tokenization (SQL mirror: string_split_regex '\\s+')."""
+    return text.split()
+
+
+def bpe_token_count(text: str) -> int:
+    return len(BPE_RE.findall(text))
+
+
+# ------------------------------------------------------------------ shingles
+
+def word_shingles(text: str, w: int = 3) -> set[str]:
+    """Distinct word w-grams (SQL mirror: list_transform over string_split)."""
+    words = text.split()
+    if len(words) < w:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i:i + w]) for i in range(len(words) - w + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+# ------------------------------------------------------------------- minhash
+
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+N_PERM = 128
+_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
+
+
+def minhash_signature(shingles: set[str]) -> np.ndarray:
+    """128-permutation MinHash signature (uint64). Universal hashing
+    (a*h + b) mod p over stable 64-bit shingle hashes."""
+    if not shingles:
+        return np.full(N_PERM, np.uint64(_MERSENNE), dtype=np.uint64)
+    h = hash64(np.array(sorted(shingles), dtype=object)).astype(np.uint64)
+    # (N_PERM, n) — modular arithmetic in python ints is exact; stay in
+    # uint64 with Mersenne-prime folding: (x & p) + (x >> 61) ≡ x mod p
+    x = (_A[:, None] * (h[None, :] & np.uint64(_MERSENNE))) + _B[:, None]
+    x = (x & np.uint64(_MERSENNE)) + (x >> np.uint64(61))
+    x = np.where(x >= _MERSENNE, x - np.uint64(_MERSENNE), x)
+    return x.min(axis=1)
+
+
+def lsh_band_keys(sig: np.ndarray, n_bands: int = 32) -> list[str]:
+    """Band the signature (r = N_PERM // n_bands rows per band) and hash each
+    band to a bucket key. Near-identical sets share >=1 band key with
+    overwhelming probability at J >= 0.8 (b=32, r=4: p = 1-(1-J^4)^32)."""
+    r = len(sig) // n_bands
+    keys = []
+    for b in range(n_bands):
+        band = sig[b * r:(b + 1) * r]
+        d = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
+        keys.append(f"{b}:{d}")
+    return keys
+
+
+# ------------------------------------------------------------------- simhash
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token features (unweighted)."""
+    if not tokens:
+        return 0
+    h = hash64(np.array(tokens, dtype=object)).astype(np.uint64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_chunk_keys(sh: int, n_chunks: int = 4) -> list[str]:
+    """Pigeonhole banding: hamming distance <= n_chunks-1 guarantees at
+    least one identical 16-bit chunk (for n_chunks=4)."""
+    return [f"{c}:{(sh >> (16 * c)) & 0xFFFF:04x}" for c in range(n_chunks)]
+
+
+# ------------------------------------------------------- quality / lang / fp
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+
+def quality_features(text: str) -> dict:
+    """Deterministic, SQL-mirrorable quality features."""
+    n_chars = len(text)
+    words = text.split()
+    n_words = len(words)
+    n_punct = sum(1 for ch in text if not ch.isalnum() and not ch.isspace())
+    n_stop = sum(1 for wrd in words if wrd.lower() in STOPWORDS)
+    mean_word_len = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_punct": n_punct,
+        "n_stop": n_stop,
+        "mean_word_len": round(mean_word_len, 6),
+    }
+
+
+# Tiny public-knowledge function-word profiles; the scorer is the real
+# plumbing (CorrectLanguageTag analog), the profiles are deliberately small.
+LANG_PROFILES: dict[str, frozenset] = {
+    "en": frozenset("the and of to in is that it was for on are as with".split()),
+    "de": frozenset("der die das und ist nicht ein eine zu den von mit".split()),
+    "fr": frozenset("le la les et de un une est pas que pour dans".split()),
+    "es": frozenset("el la los las y de un una es no que por con".split()),
+}
+LANG_CONF_HIGH = 0.30  # CorrectLanguageTag.java:58-59 thresholds 0.90/0.70,
+LANG_CONF_LOW = 0.10   # scaled to function-word hit-rates
+
+
+def lang_id(text: str) -> tuple[str, float]:
+    """Function-word-profile language ID → (lang, confidence). 'und'
+    (undetermined) below the low-confidence threshold."""
+    words = [w.lower() for w in text.split()]
+    if not words:
+        return "und", 0.0
+    best_lang, best_hits = "und", 0
+    for lang, prof in LANG_PROFILES.items():
+        hits = sum(1 for w in words if w in prof)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    conf = best_hits / len(words)
+    if conf < LANG_CONF_LOW:
+        return "und", round(conf, 6)
+    return best_lang, round(conf, 6)
+
+
+def md5_fingerprint(text: str) -> str:
+    """Content fingerprint (SQL mirror: md5(text)); dedup key."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def rolling_fingerprint(text: str, w: int = 8, mod: int = 1 << 31) -> int:
+    """Rabin-Karp min-fingerprint: minimum of the rolling polynomial hash
+    over all w-byte windows (winnowing-style document fingerprint)."""
+    data = text.encode("utf-8")
+    if len(data) < w:
+        data = data + b"\x00" * (w - len(data))
+    base = 257
+    h = 0
+    for ch in data[:w]:
+        h = (h * base + ch) % mod
+    best = h
+    pw = pow(base, w - 1, mod)
+    for i in range(w, len(data)):
+        h = ((h - data[i - w] * pw) * base + data[i]) % mod
+        if h < best:
+            best = h
+    return best

@@ -1,0 +1,438 @@
+"""Training-data text operators over the ``documents`` table: token counts,
+quality features, fingerprints, language ID, exact dedup, MinHash-LSH and
+SimHash near-dedup, and fixed-pair n-gram Jaccard.
+
+Dedup operators run over a derived CORPUS = documents plus two seeded
+duplicate families, mirrored exactly in SQL (CORPUS_SQL) so DuckDB is the
+oracle — same pattern as synth.py's clips derivation:
+
+    doc_id % 13 == 5 → extra row (doc_id + 10_000_000) with IDENTICAL text
+    doc_id % 17 == 2 → extra row (doc_id + 20_000_000) with one appended
+                       word (' qzx') — a near-duplicate with word-trigram
+                       Jaccard ≈ (m-2)/(m-1) for an m-word doc
+
+Scale notes: every dedup shuffle moves only (key, doc_id) pairs — band keys
+(16 B), md5 hex (32 B) — never the text; candidate verification re-reads
+only candidate texts. At 10^12 rows the broadcast-text verify step becomes a
+bucketed join on doc_id (checks/keyed.py pattern); the LSH banding and
+group-by plumbing are unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import text as T
+
+NEAR_DUP_TAU = 0.8
+SIMHASH_MAX_HD = 3
+
+# ---------------------------------------------------------------- corpus
+
+EXACT_OFF = 10_000_000
+NEAR_OFF = 20_000_000
+
+
+def derive_corpus_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → corpus batch (row-pure: each input row expands to
+    1-3 output rows independently)."""
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    txt = batch.column("text").to_pylist()
+    lang = batch.column("lang").to_pylist()
+    src = batch.column("source").to_pylist()
+
+    ids, texts, langs, srcs = list(doc_id), list(txt), list(lang), list(src)
+    for i, k in enumerate(doc_id):
+        if k % 13 == 5:
+            ids.append(int(k) + EXACT_OFF)
+            texts.append(txt[i]); langs.append(lang[i]); srcs.append(src[i])
+        if k % 17 == 2:
+            ids.append(int(k) + NEAR_OFF)
+            texts.append(txt[i] + " qzx"); langs.append(lang[i]); srcs.append(src[i])
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    })
+
+
+CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id, text, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000, text, lang, source
+    FROM documents WHERE doc_id % 13 = 5
+    UNION ALL
+    SELECT doc_id + 20000000, text || ' qzx', lang, source
+    FROM documents WHERE doc_id % 17 = 2
+)
+"""
+
+
+def documents_ds(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
+
+
+def corpus_ds(sf_dir: str):
+    return documents_ds(
+        sf_dir, ["doc_id", "text", "lang", "source"]).map_batches(
+            derive_corpus_batch, batch_format="pyarrow")
+
+
+def _collect(ds, sort_keys) -> pa.Table:
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return None
+    return pa.concat_tables(tables).sort_by(
+        [(k, "ascending") for k in sort_keys])
+
+
+# ----------------------------------------------------- token counts / quality
+
+def _token_count_batch(b: pa.Table) -> pa.Table:
+    texts = b.column("text").to_pylist()
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "n_ws_tokens": pa.array([len(t.split()) for t in texts], pa.int64()),
+        "n_bpe_tokens": pa.array([T.bpe_token_count(t) for t in texts],
+                                 pa.int64()),
+    })
+
+
+def q_doc_token_counts(sf_dir: str) -> pa.Table:
+    ds = documents_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _token_count_batch, batch_format="pyarrow")
+    return _collect(ds, ["doc_id"])
+
+
+SQL_DOC_TOKEN_COUNTS = f"""SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{T.BPE_SQL_RE}')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id"""
+
+
+def _quality_batch(b: pa.Table) -> pa.Table:
+    texts = b.column("text").to_pylist()
+    feats = [T.quality_features(t) for t in texts]
+    return pa.table({
+        "doc_id": b.column("doc_id"),
+        "n_chars": pa.array([f["n_chars"] for f in feats], pa.int64()),
+        "n_words": pa.array([f["n_words"] for f in feats], pa.int64()),
+        "n_punct": pa.array([f["n_punct"] for f in feats], pa.int64()),
+        "n_stop": pa.array([f["n_stop"] for f in feats], pa.int64()),
+        "mean_word_len": pa.array([f["mean_word_len"] for f in feats],
+                                  pa.float64()),
+    })
+
+
+def q_doc_quality(sf_dir: str) -> pa.Table:
+    ds = documents_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        _quality_batch, batch_format="pyarrow")
+    return _collect(ds, ["doc_id"])
+
+
+_STOP_SQL = ",".join(f"'{w}'" for w in T.STOPWORDS)
+
+SQL_DOC_QUALITY = f"""SELECT doc_id,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '\\S+')) AS n_words,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                       w -> w IN ({_STOP_SQL}))) AS n_stop,
+       CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN 0.0
+            ELSE round(length(regexp_replace(text, '\\s+', '', 'g'))
+                       * 1.0 / len(regexp_extract_all(text, '\\S+')), 6)
+       END AS mean_word_len
+FROM documents ORDER BY doc_id"""
+
+
+# ------------------------------------------------------------- fingerprints
+
+def q_doc_fingerprints(sf_dir: str) -> pa.Table:
+    def fp(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "fp_md5": pa.array([T.md5_fingerprint(t) for t in texts],
+                               pa.string()),
+        })
+
+    return _collect(documents_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"), ["doc_id"])
+
+
+SQL_DOC_FINGERPRINTS = """SELECT doc_id, md5(text) AS fp_md5
+FROM documents ORDER BY doc_id"""
+
+
+def q_doc_rolling_fp(sf_dir: str) -> pa.Table:
+    """Rabin-Karp winnowing min-fingerprint — Ray-only (rows-only check)."""
+    def fp(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "fp_rolling": pa.array([T.rolling_fingerprint(t) for t in texts],
+                                   pa.int64()),
+        })
+
+    return _collect(documents_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"), ["doc_id"])
+
+
+# -------------------------------------------------------------- exact dedup
+
+def q_doc_exact_dups(sf_dir: str) -> pa.Table:
+    """Exact content dedup over the corpus: hash-partition on md5(text),
+    emit every member of a >1 group with the group size."""
+    def key_batch(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        return pa.table({
+            "key": pa.array([T.md5_fingerprint(t) for t in texts], pa.string()),
+            "doc_id": b.column("doc_id"),
+        })
+
+    def group_rows(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) <= 1:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "group_size": pd.Series(dtype="int64")})
+        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
+                             "group_size": np.int64(len(g))})
+
+    ds = corpus_ds(sf_dir).map_batches(key_batch, batch_format="pyarrow")
+    out = ds.groupby("key").map_groups(group_rows, batch_format="pandas")
+    return _collect(out, ["doc_id"])
+
+
+SQL_DOC_EXACT_DUPS = f"""WITH {CORPUS_SQL}
+SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+FROM corpus
+QUALIFY COUNT(*) OVER (PARTITION BY md5(text)) > 1
+ORDER BY doc_id"""
+
+
+# ------------------------------------------------------- MinHash-LSH neardup
+
+def _pair_frame(a, b, **extra) -> pd.DataFrame:
+    cols = {"doc_a": pd.Series(a, dtype="int64"),
+            "doc_b": pd.Series(b, dtype="int64")}
+    cols.update({k: pd.Series(v) for k, v in extra.items()})
+    return pd.DataFrame(cols)
+
+
+def q_doc_neardup_minhash(sf_dir: str) -> pa.Table:
+    """Near-duplicate pairs via MinHash banding: shingle → 128-perm
+    signature → 32 band keys → groupby(band) candidates → exact-Jaccard
+    verify ≥ {tau}. Verification recall ≈ 1 at τ=0.8 (p_miss < 1e-7), so
+    the result set equals the exact O(n²) oracle."""
+    import ray
+
+    def band_batch(b: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for doc_id, txt in zip(b.column("doc_id").to_pylist(),
+                               b.column("text").to_pylist()):
+            sig = T.minhash_signature(T.word_shingles(txt))
+            for k in T.lsh_band_keys(sig):
+                ids.append(doc_id); keys.append(k)
+        return pa.table({"band": pa.array(keys, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) <= 1 or len(ids) > 1000:  # skew guard: give up on a
+            return _pair_frame([], [])        # degenerate mega-bucket
+        a, b = np.triu_indices(len(ids), k=1)
+        return _pair_frame(ids[a], ids[b])
+
+    corpus = corpus_ds(sf_dir)
+    cand = (corpus.map_batches(band_batch, batch_format="pyarrow")
+            .groupby("band").map_groups(bucket_pairs, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+
+    # verify: broadcast the candidate docs' texts (small side), exact Jaccard
+    texts = {r["doc_id"]: r["text"]
+             for t in ray.get(corpus.to_arrow_refs())
+             for r in t.select(["doc_id", "text"]).to_pylist()}
+    texts_ref = ray.put(texts)
+
+    def verify(b: pa.Table) -> pa.Table:
+        tx = ray.get(texts_ref)
+        rows = []
+        for a, bb in zip(b.column("doc_a").to_pylist(),
+                         b.column("doc_b").to_pylist()):
+            j = T.jaccard(T.word_shingles(tx[a]), T.word_shingles(tx[bb]))
+            if j >= NEAR_DUP_TAU:
+                rows.append((a, bb, round(j, 6)))
+        return pa.table({
+            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jacc": pa.array([r[2] for r in rows], pa.float64()),
+        })
+
+    out = cand.map_batches(verify, batch_format="pyarrow")
+    res = _collect(out, ["doc_a", "doc_b"])
+    if res is None:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jacc": pa.array([], pa.float64())})
+    return res
+
+
+_SHINGLES_SQL = """
+words AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM corpus
+),
+shingles AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 3 THEN list_distinct([array_to_string(w, ' ')])
+                ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           END AS s
+    FROM words
+)
+"""
+
+SQL_DOC_NEARDUP_MINHASH = f"""WITH {CORPUS_SQL},
+{_SHINGLES_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0 /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jacc
+FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {NEAR_DUP_TAU}
+ORDER BY doc_a, doc_b"""
+
+
+# ----------------------------------------------------------- SimHash neardup
+
+def q_doc_neardup_simhash(sf_dir: str) -> pa.Table:
+    """SimHash near-dup: 64-bit signature, pigeonhole banding on 4×16-bit
+    chunks (guaranteed candidate for hamming ≤ 3), verify hd ≤ 3.
+    Ray-only (signature depends on the engine's hash function)."""
+    def sig_batch(b: pa.Table) -> pa.Table:
+        ids, keys, sigs = [], [], []
+        for doc_id, txt in zip(b.column("doc_id").to_pylist(),
+                               b.column("text").to_pylist()):
+            sh = T.simhash64(txt.split())
+            for k in T.simhash_chunk_keys(sh):
+                ids.append(doc_id); keys.append(k); sigs.append(sh)
+        return pa.table({"chunk": pa.array(keys, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "sig": pa.array(np.array(sigs, dtype=np.uint64))})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sigs = g["sig"].to_numpy()
+        if len(ids) <= 1 or len(ids) > 1000:
+            return _pair_frame([], [], hd=pd.Series(dtype="int64"))
+        a, b = np.triu_indices(len(ids), k=1)
+        hd = np.array([T.hamming64(int(sigs[i]), int(sigs[j]))
+                       for i, j in zip(a, b)])
+        keep = hd <= SIMHASH_MAX_HD
+        return _pair_frame(ids[a][keep], ids[b][keep],
+                           hd=pd.Series(hd[keep], dtype="int64"))
+
+    out = (corpus_ds(sf_dir).map_batches(sig_batch, batch_format="pyarrow")
+           .groupby("chunk").map_groups(bucket_pairs, batch_format="pandas")
+           .groupby(["doc_a", "doc_b"])
+           .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    res = _collect(out, ["doc_a", "doc_b"])
+    if res is None:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "hd": pa.array([], pa.int64())})
+    return res
+
+
+# ------------------------------------------------------ fixed-pair Jaccard
+
+def q_doc_ngram_jaccard(sf_dir: str) -> pa.Table:
+    """Word-trigram Jaccard for the fixed pair set (2i, 2i+1) — the
+    SQL-checkable exact-similarity kernel."""
+    import ray
+
+    ds = documents_ds(sf_dir, ["doc_id", "text"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "pair": pa.array((ids // 2).astype(np.int64)),
+            "doc_id": b.column("doc_id"),
+            "text": b.column("text"),
+        })
+
+    def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "jacc": pd.Series(dtype="float64")})
+        g = g.sort_values("doc_id")
+        j = T.jaccard(T.word_shingles(g["text"].iloc[0]),
+                      T.word_shingles(g["text"].iloc[1]))
+        return pd.DataFrame({"doc_a": [g["doc_id"].iloc[0]],
+                             "doc_b": [g["doc_id"].iloc[1]],
+                             "jacc": [round(j, 6)]})
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("pair").map_groups(pair_rows, batch_format="pandas"))
+    return _collect(out, ["doc_a", "doc_b"])
+
+
+SQL_DOC_NGRAM_JACCARD = f"""WITH corpus AS (
+    SELECT doc_id, text FROM documents
+),
+{_SHINGLES_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0 /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jacc
+FROM shingles a JOIN shingles b
+  ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+ORDER BY doc_a, doc_b"""
+
+
+# ------------------------------------------------------------- language ID
+
+def q_doc_lang_id(sf_dir: str) -> pa.Table:
+    """Heuristic function-word language ID vs the declared lang column
+    (CorrectLanguageTag analog) — Ray-only (model-based)."""
+    def lid(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        langs = b.column("lang").to_pylist()
+        pred, conf = zip(*(T.lang_id(t) for t in texts)) if texts else ((), ())
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "declared": b.column("lang"),
+            "predicted": pa.array(list(pred), pa.string()),
+            "confidence": pa.array(list(conf), pa.float64()),
+            "agree": pa.array([p == l for p, l in zip(pred, langs)],
+                              pa.bool_()),
+        })
+
+    return _collect(documents_ds(sf_dir, ["doc_id", "text", "lang"])
+                    .map_batches(lid, batch_format="pyarrow"), ["doc_id"])
+
+
+DOC_QUERIES = {
+    "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    "doc_rolling_fp": (q_doc_rolling_fp, None),
+    "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT_DUPS),
+    "doc_neardup_minhash": (q_doc_neardup_minhash, SQL_DOC_NEARDUP_MINHASH),
+    "doc_neardup_simhash": (q_doc_neardup_simhash, None),
+    "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
+    "doc_lang_id": (q_doc_lang_id, None),
+}

@@ -307,6 +307,8 @@ def q_content_dedup(sf_dir: str) -> pa.Table:
     return (pa.concat_tables(tables).select(["clip_id"]).sort_by("clip_id"))
 
 
+from .docs import DOC_QUERIES  # noqa: E402  (registered below)
+
 VALIDATION_QUERIES = {
     "val_sr_enum": (q_sr_enum, SQL_SR_ENUM),
     "val_dur_range": (q_dur_range, SQL_DUR_RANGE),
@@ -321,4 +323,5 @@ VALIDATION_QUERIES = {
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, None),
     "val_content_dedup": (q_content_dedup, None),
+    **DOC_QUERIES,
 }

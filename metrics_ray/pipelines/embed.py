@@ -1,0 +1,341 @@
+"""Embedding-column operators over the ``embeddings`` table: vector-schema
+validation, brute-force cosine top-k (ANN baseline), exact near-duplicate
+detection, and an LSH-bucketed approximate variant (the scale path).
+
+Near-dup runs over a derived VCORPUS = embeddings plus seeded near-identical
+copies (vec_id % 11 == 3 → vec_id + 1_000_000 with +0.5 added to the first
+component), mirrored exactly in SQL so DuckDB's ``list_cosine_similarity``
+is the oracle. All similarity math is float64 on both sides; cosines are
+rounded to 6 decimals before thresholding/ranking so engine and oracle order
+identically.
+
+Scale notes: the query matrix / normalized reference matrix is broadcast
+once via ``ray.put`` and read inside each batch task (never re-shipped per
+batch); per-batch work is one numpy matmul. Exact all-pairs is O(N·B) per
+batch — the LSH variant bounds candidate generation by bucket, which is the
+10^12-row path (bucket groupby = hash shuffle of (bucket, vec_id), never
+the vectors)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+NEAR_TAU = 0.98
+KNN_K = 5
+N_QUERIES = 10
+NEAR_OFF = 1_000_000
+_LSH_BITS = 8     # bits per table
+_LSH_TABLES = 8   # candidate = same bucket in ANY table
+_HYPER = np.random.RandomState(7).standard_normal(
+    (_LSH_TABLES * _LSH_BITS, 64))
+
+
+def embeddings_ds(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=columns)
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    """Arrow list<float> column → (n, d) float64 matrix."""
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    if len(set(widths.tolist())) == 1:
+        return flat.reshape(len(widths), int(widths[0]))
+    # ragged fallback (dim violations): pad with NaN
+    d = int(widths.max())
+    out = np.full((len(widths), d), np.nan)
+    for i, (s, e) in enumerate(zip(offs[:-1], offs[1:])):
+        out[i, : e - s] = flat[s:e]
+    return out
+
+
+def derive_vcorpus_batch(batch: pa.Table) -> pa.Table:
+    vec_id = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _emb_matrix(batch)
+    sel = vec_id % 11 == 3
+    pert = m[sel].copy()
+    pert[:, 0] += 0.1
+    ids = np.concatenate([vec_id, vec_id[sel] + NEAR_OFF])
+    mats = np.concatenate([m, pert], axis=0)
+    return pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(mats), pa.list_(pa.float64())),
+    })
+
+
+VCORPUS_SQL = """
+vcorpus AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_prepend(CAST(embedding[1] AS DOUBLE) + 0.1,
+                        list_transform(embedding[2:], x -> CAST(x AS DOUBLE)))
+    FROM embeddings WHERE vec_id % 11 = 3
+)
+"""
+
+
+def _collect(ds, sort_keys) -> pa.Table | None:
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return None
+    return pa.concat_tables(tables).sort_by(
+        [(k, "ascending") for k in sort_keys])
+
+
+# ---------------------------------------------------------- schema validation
+
+def q_emb_norm_check(sf_dir: str) -> pa.Table:
+    """Vector-column conformance: dimensionality, NaN presence, zero-norm
+    (the embedding-side analog of the clip table's schema/range checks)."""
+    def check(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        dims = np.diff(offs).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        nan_flags = np.isnan(flat)
+        sq = flat * flat
+        n_nan = np.add.reduceat(nan_flags.astype(np.int64), offs[:-1]) \
+            if len(dims) else np.array([], np.int64)
+        sumsq = np.add.reduceat(np.where(nan_flags, 0.0, sq), offs[:-1]) \
+            if len(dims) else np.array([])
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "dim": pa.array(dims),
+            "n_nan": pa.array(n_nan),
+            "is_zero": pa.array(sumsq == 0.0),
+        })
+
+    return _collect(embeddings_ds(sf_dir, ["vec_id", "embedding"])
+                    .map_batches(check, batch_format="pyarrow"), ["vec_id"])
+
+
+SQL_EMB_NORM_CHECK = """SELECT vec_id,
+       len(embedding) AS dim,
+       len(list_filter(embedding, x -> isnan(x))) AS n_nan,
+       list_sum(list_transform(embedding,
+                x -> CASE WHEN isnan(x) THEN 0.0
+                          ELSE CAST(x AS DOUBLE) * CAST(x AS DOUBLE) END)) = 0.0
+           AS is_zero
+FROM embeddings ORDER BY vec_id"""
+
+
+# -------------------------------------------------------------- cosine top-k
+
+def q_emb_knn(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-k: the first N_QUERIES vectors are the query
+    set; each batch computes its local similarities against the broadcast
+    query matrix and emits its top-k candidates; the driver merges the tiny
+    per-batch partials. Rank order: (rounded cos DESC, neighbor_id ASC)."""
+    import ray
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    qsel = qt.filter(pa.compute.less(qt.column("vec_id"), N_QUERIES))
+    Q = _emb_matrix(qsel)
+    qids = qsel.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((qids, Qn))
+
+    def topk(b: pa.Table) -> pa.Table:
+        q_ids, Qm = ray.get(q_ref)
+        M = _emb_matrix(b)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = np.round(Mn @ Qm.T, 6)  # (n, nq)
+        rows_q, rows_n, rows_c = [], [], []
+        for j, qid in enumerate(q_ids):
+            col = sims[:, j]
+            mask = ids != qid
+            cand_ids, cand = ids[mask], col[mask]
+            k = min(KNN_K, len(cand))
+            # partial top-k with deterministic (cos desc, id asc) order
+            order = np.lexsort((cand_ids, -cand))[:k]
+            rows_q.extend([qid] * k)
+            rows_n.extend(cand_ids[order].tolist())
+            rows_c.extend(cand[order].tolist())
+        return pa.table({
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "cos": pa.array(rows_c, pa.float64()),
+        })
+
+    partial = _collect(embeddings_ds(sf_dir, ["vec_id", "embedding"])
+                       .map_batches(topk, batch_format="pyarrow"),
+                       ["query_id", "neighbor_id"])
+    df = partial.to_pandas()
+    df = df.sort_values(["query_id", "cos", "neighbor_id"],
+                        ascending=[True, False, True], kind="stable")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= KNN_K].reset_index(drop=True)
+    return pa.table({
+        "query_id": pa.array(df["query_id"], pa.int64()),
+        "rank": pa.array(df["rank"], pa.int64()),
+        "neighbor_id": pa.array(df["neighbor_id"], pa.int64()),
+        "cos": pa.array(df["cos"], pa.float64()),
+    })
+
+
+SQL_EMB_KNN = f"""WITH q AS (
+    SELECT vec_id AS qid, embedding AS qe FROM embeddings
+    WHERE vec_id < {N_QUERIES}
+),
+sims AS (
+    SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(
+               list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+    FROM q, embeddings e WHERE e.vec_id != q.qid
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM sims
+)
+SELECT query_id, rank, neighbor_id, cos FROM ranked
+WHERE rank <= {KNN_K} ORDER BY query_id, rank"""
+
+
+# ------------------------------------------------------------ exact near-dup
+
+def q_emb_neardup(sf_dir: str) -> pa.Table:
+    """Exact cosine near-duplicate pairs over the vcorpus (cos >= tau,
+    vec_a < vec_b): per-batch matmul against the broadcast normalized
+    corpus matrix."""
+    import ray
+
+    corpus = corpus_matrix(sf_dir)
+    ids_all, Mn_all = corpus
+    ref = ray.put(corpus)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        c_ids, Cn = ray.get(ref)
+        M = _emb_matrix(b)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = np.round(Mn @ Cn.T, 6)
+        ai, bj = np.nonzero(sims >= NEAR_TAU)
+        a_ids, b_ids = ids[ai], c_ids[bj]
+        keep = a_ids < b_ids
+        return pa.table({
+            "vec_a": pa.array(a_ids[keep], pa.int64()),
+            "vec_b": pa.array(b_ids[keep], pa.int64()),
+            "cos": pa.array(sims[ai, bj][keep], pa.float64()),
+        })
+
+    ds = vcorpus_ds(sf_dir).map_batches(pairs, batch_format="pyarrow")
+    out = _collect(ds, ["vec_a", "vec_b"])
+    if out is None:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    return out
+
+
+SQL_EMB_NEARDUP = f"""WITH {VCORPUS_SQL}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+FROM vcorpus a JOIN vcorpus b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {NEAR_TAU}
+ORDER BY vec_a, vec_b"""
+
+
+def vcorpus_ds(sf_dir: str):
+    return embeddings_ds(sf_dir, ["vec_id", "embedding"]).map_batches(
+        derive_vcorpus_batch, batch_format="pyarrow")
+
+
+def corpus_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the (small) normalized vcorpus matrix for broadcast.
+    At 10^12 rows this becomes an IVF index built per bucket; the broadcast
+    slot is the same (ray.put once, read per actor)."""
+    import ray
+
+    tables = [t for t in ray.get(vcorpus_ds(sf_dir).to_arrow_refs())
+              if t.num_rows]
+    t = pa.concat_tables(tables)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    M = _emb_matrix(t)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
+
+
+# -------------------------------------------------------------- LSH near-dup
+
+def q_emb_neardup_lsh(sf_dir: str) -> pa.Table:
+    """Approximate near-dup via multi-table random-hyperplane LSH:
+    8 tables × 8 sign bits; a pair is a candidate if it shares a bucket in
+    ANY table (miss prob = (1-(1-p)^8)^8 for per-bit flip prob p) → bucket
+    groupby → exact verify within bucket → pair dedupe across tables.
+    The scale path: candidate generation is bucket-local; only
+    (bucket, vec_id) rows shuffle. Ray-only: recall < 1 by construction
+    (asserted >= 0.9 on the seeded pairs in tests)."""
+    def tag(b: pa.Table) -> pa.Table:
+        M = _emb_matrix(b)
+        signs = (M @ _HYPER.T) > 0  # (n, T*B)
+        ids = b.column("vec_id")
+        tables = []
+        weights = 1 << np.arange(_LSH_BITS)
+        for t in range(_LSH_TABLES):
+            chunk = signs[:, t * _LSH_BITS:(t + 1) * _LSH_BITS]
+            bucket = (chunk.dot(weights).astype(np.int64)
+                      + (t << np.int64(_LSH_BITS)))
+            tables.append(pa.table({
+                "bucket": pa.array(bucket),
+                "vec_id": ids,
+                "embedding": b.column("embedding"),
+            }))
+        return pa.concat_tables(tables)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) <= 1 or len(g) > 2000:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        M = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in g["embedding"]])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = np.round(Mn @ Mn.T, 6)
+        ai, bj = np.nonzero(np.triu(sims >= NEAR_TAU, k=1))
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj],
+                             "cos": sims[ai, bj]})
+
+    out = (vcorpus_ds(sf_dir).map_batches(tag, batch_format="pyarrow")
+           .groupby("bucket").map_groups(verify, batch_format="pandas")
+           .groupby(["vec_a", "vec_b"])  # dedupe pairs found in >1 table
+           .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    res = _collect(out, ["vec_a", "vec_b"])
+    if res is None:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    return res
+
+
+EMB_QUERIES = {
+    "emb_norm_check": (q_emb_norm_check, SQL_EMB_NORM_CHECK),
+    "emb_knn": (q_emb_knn, SQL_EMB_KNN),
+    "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
+    "emb_neardup_lsh": (q_emb_neardup_lsh, None),
+}

@@ -1,0 +1,66 @@
+"""Embedding-operator tests: brute-force kNN correctness vs numpy, exact
+near-dup seeded-pair goldens, and LSH recall vs the exact result."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _matrix(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    E = np.stack([np.asarray(x, dtype=np.float64)
+                  for x in t.column("embedding").to_pylist()])
+    order = np.argsort(ids)
+    return ids[order], E[order]
+
+
+def test_knn_matches_numpy(sf_unit):
+    from metrics_ray.pipelines.embed import KNN_K, N_QUERIES, q_emb_knn
+
+    ids, E = _matrix(sf_unit)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    got = q_emb_knn(sf_unit).to_pandas()
+    assert len(got) == N_QUERIES * KNN_K
+
+    for qid in range(N_QUERIES):
+        sims = np.round(En @ En[ids == qid].ravel(), 6)
+        mask = ids != qid
+        cand_ids, cand = ids[mask], sims[mask]
+        order = np.lexsort((cand_ids, -cand))[:KNN_K]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert sub.neighbor_id.tolist() == cand_ids[order].tolist()
+        assert sub.cos.to_numpy() == pytest.approx(cand[order], abs=1e-9)
+
+
+def test_neardup_seeded_pairs(sf_unit):
+    from metrics_ray.pipelines.embed import NEAR_OFF, q_emb_neardup
+
+    ids, _ = _matrix(sf_unit)
+    seeded = {(int(i), int(i) + NEAR_OFF) for i in ids if i % 11 == 3}
+    got = q_emb_neardup(sf_unit).to_pandas()
+    pairs = set(zip(got.vec_a, got.vec_b))
+    assert seeded <= pairs            # every seeded pair found
+    assert (got.cos >= 0.98).all()
+
+
+def test_lsh_recall(sf_unit):
+    from metrics_ray.pipelines.embed import q_emb_neardup, q_emb_neardup_lsh
+
+    exact = q_emb_neardup(sf_unit).to_pandas()
+    lsh = q_emb_neardup_lsh(sf_unit).to_pandas()
+    e = set(zip(exact.vec_a, exact.vec_b))
+    l = set(zip(lsh.vec_a, lsh.vec_b))
+    assert l <= e                     # verify step keeps precision exact
+    assert len(e & l) / len(e) >= 0.9
+
+
+def test_norm_check_clean(sf_unit):
+    from metrics_ray.pipelines.embed import q_emb_norm_check
+
+    t = q_emb_norm_check(sf_unit).to_pandas()
+    assert (t.dim == 64).all()
+    assert (t.n_nan == 0).all()
+    assert (~t.is_zero).all()

@@ -123,19 +123,24 @@ def content_duplicates(ds, cols: tuple[str, ...] = ("bytes", "transcript"),
 
 
 def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
-                       n_buckets: int = 32):
+                       right_key: str | None = None, n_buckets: int = 32):
     """Hash-partitioned anti-join for a non-broadcastable right side
     (DataCubePopulationCompleteness's gold-standard MINUS observed at scale).
     Both sides gain bucket = hash(key) % B, are co-grouped per bucket, and
     the per-bucket reducer emits left keys absent from right.
 
+    ``right_key`` names the join column on the right side when it differs
+    (e.g. customer.c_custkey vs orders.o_custkey).
+
     Skew note: bucket on the hashed key (uniform) — hot raw keys cannot
     concentrate because identical keys MUST co-locate for correctness; the
     B knob caps per-task memory instead."""
+    right_key = right_key or key
 
-    def tag(side: str):
+    def tag(side: str, col: str):
         def f(b: pa.Table) -> pa.Table:
-            keys = b.column(key).to_pylist()
+            keys = [None if k is None else str(k)
+                    for k in b.column(col).to_pylist()]
             h = hash64(np.array(keys, dtype=object))
             return pa.table({
                 "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
@@ -146,10 +151,12 @@ def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
             })
         return f
 
-    tagged = left_ds.select_columns([key, "partition"]).map_batches(
-        tag("l"), batch_format="pyarrow").union(
-        right_ds.select_columns([key]).map_batches(tag("r"),
-                                                   batch_format="pyarrow"))
+    left_cols = [key] + (["partition"]
+                         if "partition" in left_ds.schema().names else [])
+    tagged = left_ds.select_columns(left_cols).map_batches(
+        tag("l", key), batch_format="pyarrow").union(
+        right_ds.select_columns([right_key]).map_batches(
+            tag("r", right_key), batch_format="pyarrow"))
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
         right_keys = set(g.loc[g["side"] == "r", "key"])

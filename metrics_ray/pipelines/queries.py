@@ -309,6 +309,7 @@ def q_content_dedup(sf_dir: str) -> pa.Table:
 
 from .docs import DOC_QUERIES  # noqa: E402  (registered below)
 from .embed import EMB_QUERIES  # noqa: E402
+from .rel import REL_QUERIES  # noqa: E402
 
 VALIDATION_QUERIES = {
     "val_sr_enum": (q_sr_enum, SQL_SR_ENUM),
@@ -326,4 +327,5 @@ VALIDATION_QUERIES = {
     "val_content_dedup": (q_content_dedup, None),
     **DOC_QUERIES,
     **EMB_QUERIES,
+    **REL_QUERIES,
 }

@@ -294,6 +294,29 @@ def q_decode_violations(sf_dir: str) -> pa.Table:
             .sort_by([("clip_id", "ascending"), ("code", "ascending")]))
 
 
+def q_audio_features(sf_dir: str) -> pa.Table:
+    """Acoustic feature extraction (actor-pool stage) — rows-only (audio
+    bytes exist only on the Ray side). Floats rounded for stability."""
+    import pyarrow.compute as pc
+
+    from ..stages.features import extract_audio_features
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes", "sr_hz"])
+    feats = extract_audio_features(ds, batch_size=256, concurrency=2)
+    import ray
+
+    tables = [t for t in ray.get(feats.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tables)
+    return pa.table({
+        "clip_id": t.column("clip_id"),
+        "decode_ok": t.column("decode_ok"),
+        "rms": pc.round(t.column("rms"), ndigits=6),
+        "zcr": pc.round(t.column("zcr"), ndigits=6),
+        "centroid_hz": pc.round(t.column("centroid_hz"), ndigits=3),
+    }).sort_by("clip_id")
+
+
 def q_content_dedup(sf_dir: str) -> pa.Table:
     """Exact content duplicates ((bytes, transcript) identity) — rows-only."""
     import ray
@@ -325,6 +348,7 @@ VALIDATION_QUERIES = {
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, None),
     "val_content_dedup": (q_content_dedup, None),
+    "val_audio_features": (q_audio_features, None),
     **DOC_QUERIES,
     **EMB_QUERIES,
     **REL_QUERIES,

@@ -1,0 +1,101 @@
+"""Actor-pool stage tests: audio feature extraction correctness on known
+signals, end-to-end plumbing over the clips table, and the image-decode
+stub contract (real plumbing, gated decode)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from metrics_ray import audio
+from metrics_ray.stages.features import N_FRAMES, AudioFeatureExtractor
+from metrics_ray.stages.image import THUMB_H, THUMB_W, ImageDecodeStub
+
+
+def _clip_batch(pcms, codecs, srs):
+    return pa.table({
+        "clip_id": pa.array([f"c{i}" for i in range(len(pcms))]),
+        "bytes": pa.array([audio.encode(p, c) if p is not None else None
+                           for p, c in zip(pcms, codecs)], pa.binary()),
+        "sr_hz": pa.array(np.asarray(srs, np.int32)),
+    })
+
+
+def test_audio_features_known_signal():
+    sr = 16000
+    n = sr  # 1 s
+    i = np.arange(n)
+    # 1 kHz sine, amplitude 0.5 → rms = 0.5/sqrt(2), zcr ≈ 2*f/sr
+    pcm = (0.5 * np.sin(2 * np.pi * 1000 * i / sr)).astype(np.float32)
+    out = AudioFeatureExtractor()(_clip_batch([pcm], ["pcm_s16le"], [sr]))
+    r = out.to_pylist()[0]
+    assert r["decode_ok"]
+    assert r["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    assert r["zcr"] == pytest.approx(2 * 1000 / sr, rel=1e-2)
+    assert r["centroid_hz"] == pytest.approx(1000, rel=0.05)
+    assert r["peak"] == pytest.approx(0.5, rel=1e-2)
+    assert len(r["frame_rms"]) == N_FRAMES
+    # stationary signal → all frames carry the same energy
+    assert np.allclose(r["frame_rms"], r["rms"], rtol=1e-2)
+
+
+def test_audio_features_bad_payload():
+    pcm = audio.synth_pcm(7, 1000)
+    batch = _clip_batch([pcm, None], ["flac", "flac"], [8000, 8000])
+    # corrupt the first payload body
+    raw = batch.column("bytes").to_pylist()
+    raw[0] = raw[0][:6]
+    batch = batch.set_column(1, "bytes", pa.array(raw, pa.binary()))
+    out = AudioFeatureExtractor()(batch).to_pylist()
+    assert [r["decode_ok"] for r in out] == [False, False]
+    assert all(np.isnan(r["rms"]) for r in out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audio_features_pipeline(sf_unit):
+    from metrics_ray.pipelines.queries import q_audio_features
+
+    t = q_audio_features(sf_unit).to_pandas()
+    assert len(t) == 504
+    # decode failures are exactly the truncated-payload rows (k % 127 == 17)
+    ks = np.arange(500)
+    n_bad = int((ks % 127 == 17).sum())
+    assert (~t.decode_ok).sum() == n_bad
+    ok = t[t.decode_ok]
+    assert (ok.rms > 0).all() and (ok.centroid_hz > 0).all()
+
+
+def test_image_stub_fake_path():
+    batch = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "bytes": pa.array([b"imgdata1", b"imgdata2", None], pa.binary()),
+    })
+    out = ImageDecodeStub(deterministic_fake=True)(batch)
+    df = out.to_pylist()
+    assert [r["decode_ok"] for r in df] == [True, True, False]
+    assert all(len(r["thumbnail"]) == THUMB_H * THUMB_W * 3 for r in df)
+    # deterministic: same payload → same thumbnail
+    out2 = ImageDecodeStub(deterministic_fake=True)(batch)
+    assert out.equals(out2)
+
+
+def test_image_stub_gate():
+    batch = pa.table({
+        "id": pa.array([1], pa.int64()),
+        "bytes": pa.array([b"imgdata"], pa.binary()),
+    })
+    with pytest.raises(NotImplementedError, match="image codec"):
+        ImageDecodeStub(deterministic_fake=False)(batch)
+
+
+def test_lance_source_gating(tmp_path):
+    import pyarrow.parquet as pq
+
+    from metrics_ray.sources import lance_available, read_clips
+
+    assert lance_available() in (True, False)
+    if not lance_available():
+        with pytest.raises(RuntimeError, match="lance"):
+            read_clips("/tmp/nonexistent.lance")
+    pq.write_table(pa.table({"a": [1, 2]}), tmp_path / "x.parquet")
+    ds = read_clips(str(tmp_path))
+    assert ds.count() == 2

@@ -23,6 +23,55 @@ from ..sketches import hash64
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
+def shuffle_blocks(n: int | None = None) -> int:
+    """Shuffle parallelism for the keyed exchanges. groupby/map_groups
+    inherits the upstream block count, so a small pre-aggregated stream
+    sliced into hundreds of near-empty blocks pays per-task overhead for
+    nothing; coalescing to ~2×CPU blocks keeps every core busy without the
+    long tail. (On a multi-node cluster total_cpus scales with the cluster,
+    so this grows with the hardware, not the data.)"""
+    if n is not None:
+        return n
+    import ray
+
+    return max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+
+
+def grouped_apply(ds, key, fn, n_buckets: int | None = None,
+                  batch_format: str = "pandas"):
+    """Co-group rows by ``key`` into B coarse hash buckets and apply
+    ``fn(bucket_df)`` once per bucket.
+
+    The per-KEY ``groupby(key).map_groups(fn)`` shape pays a python call +
+    DataFrame construction per group — ruinous for high-cardinality keys
+    (one group per clip_id/band). Identical keys only need to be
+    CO-LOCATED, not individually dispatched: hash-bucket the key, shuffle
+    B buckets, and let ``fn`` do vectorized pandas group-ops inside each
+    bucket. B = shuffle_blocks() keeps every core busy; per-bucket memory
+    = rows/B, tunable for skew."""
+    B = np.uint64(n_buckets or shuffle_blocks())
+
+    def tag(b: pa.Table) -> pa.Table:
+        if isinstance(key, str):
+            vals = b.column(key).to_pylist()
+            h = hash64(np.array(vals, dtype=object))
+        else:  # composite key: combine column hashes
+            h = np.zeros(len(b), dtype=np.uint64)
+            for k in key:
+                vals = b.column(k).to_pylist()
+                h = h * _GOLD + hash64(np.array(vals, dtype=object)).astype(np.uint64)
+        return b.append_column("__bucket",
+                               pa.array((h % B).astype(np.int64)))
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .repartition(shuffle_blocks())
+            .groupby("__bucket")
+            .map_groups(apply, batch_format=batch_format))
+
+
 def _preagg_key_counts(batch: pa.Table, col: str) -> pa.Table:
     """Per-batch (key, partition, cnt) partial counts (combiner before the
     groupby shuffle, 'Aggregation at scale' pattern)."""
@@ -38,12 +87,14 @@ def _preagg_key_counts(batch: pa.Table, col: str) -> pa.Table:
     })
 
 
-def _dup_groups_to_rows(group: pd.DataFrame, code: str, expected: str) -> pd.DataFrame:
-    """Per-key reducer: key appears with total count > 1 → one violation row
-    per member occurrence (Bag-of-violating-subjects semantics,
-    ValidIFPUsage.java:82-104: ALL colliding subjects are reported)."""
-    total = int(group["cnt"].sum())
-    if total <= 1:
+def _dup_bucket_rows(df: pd.DataFrame, code: str,
+                     expected: str) -> pd.DataFrame:
+    """Vectorized per-bucket reducer over (key, partition, cnt) partials:
+    keys with total count > 1 → one violation row per member occurrence
+    (Bag-of-violating-subjects semantics, ValidIFPUsage.java:82-104)."""
+    totals = df.groupby("key")["cnt"].transform("sum")
+    dup = df[totals > 1]
+    if dup.empty:
         return pd.DataFrame({
             "partition": pd.Series(dtype="int32"),
             "clip_id": pd.Series(dtype="object"),
@@ -52,13 +103,14 @@ def _dup_groups_to_rows(group: pd.DataFrame, code: str, expected: str) -> pd.Dat
             "expected": pd.Series(dtype="object"),
             "detail": pd.Series(dtype="object"),
         })
-    g = group.sort_values(["partition", "key"], kind="stable")
-    rows = g.loc[g.index.repeat(g["cnt"])]
+    dup = dup.assign(total=totals[totals > 1]).sort_values(
+        ["key", "partition"], kind="stable")
+    rep = dup.loc[dup.index.repeat(dup["cnt"])]
     return pd.DataFrame({
-        "partition": rows["partition"].astype("int32"),
-        "clip_id": rows["key"].astype(str),
+        "partition": rep["partition"].astype("int32"),
+        "clip_id": rep["key"].astype(str),
         "code": code,
-        "actual": f"{total} occurrences",
+        "actual": rep["total"].astype(str) + " occurrences",
         "expected": expected,
         "detail": "",
     })
@@ -68,17 +120,17 @@ def exact_duplicate_keys(ds, column: str = "clip_id",
                          check_id: str = "clipid_unique_exact"):
     """Exact key-uniqueness via hash shuffle (ValidIFPUsage.java:42-148:
     key (P,O) must map to exactly one subject; violations accumulate every
-    colliding member). Returns (violations Dataset, stats dict).
+    colliding member).
 
-    Dataflow: project(key, partition) → per-batch pre-agg → groupby(key)
-    → per-group reduce. Shuffle payload = distinct keys per batch only."""
+    Dataflow: project(key, partition) → per-batch pre-agg → bucketed
+    co-group → vectorized per-bucket reduce. Shuffle payload = distinct
+    keys per batch only."""
     pre = ds.select_columns([column, "partition"]).map_batches(
         lambda b: _preagg_key_counts(b, column), batch_format="pyarrow")
-    viol = pre.groupby("key").map_groups(
-        lambda g: _dup_groups_to_rows(g, Codes.DUPLICATE_KEY,
-                                      "unique " + column),
-        batch_format="pandas")
-    return viol
+    return grouped_apply(
+        pre, "key",
+        lambda g: _dup_bucket_rows(g, Codes.DUPLICATE_KEY,
+                                   "unique " + column))
 
 
 def content_hash_batch(batch: pa.Table,
@@ -97,29 +149,41 @@ def content_hash_batch(batch: pa.Table,
     })
 
 
-def _content_group_rows(group: pd.DataFrame) -> pd.DataFrame:
-    """Members beyond the first (by clip_id order) of an identical-content
-    group are DUPLICATE_CONTENT violations."""
-    g = group.sort_values("clip_id", kind="stable")
-    dup = g.iloc[1:]
+def _content_bucket_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-bucket reducer: members beyond the first (by clip_id
+    order) of an identical-content group are DUPLICATE_CONTENT violations."""
+    df = df.sort_values(["key", "clip_id"], kind="stable")
+    g = df.groupby("key")["clip_id"]
+    size = g.transform("size")
+    first = g.transform("first")
+    rank = df.groupby("key").cumcount()
+    dup = df[(size > 1) & (rank > 0)]
+    if dup.empty:
+        return pd.DataFrame({
+            "partition": pd.Series(dtype="int32"),
+            "clip_id": pd.Series(dtype="object"),
+            "code": pd.Series(dtype="object"),
+            "actual": pd.Series(dtype="object"),
+            "expected": pd.Series(dtype="object"),
+            "detail": pd.Series(dtype="object"),
+        })
     return pd.DataFrame({
         "partition": dup["partition"].astype("int32"),
         "clip_id": dup["clip_id"].astype(str),
         "code": Codes.DUPLICATE_CONTENT,
-        "actual": f"group of {len(g)}",
+        "actual": "group of " + size[dup.index].astype(str),
         "expected": "unique (bytes, transcript) content",
-        "detail": "first=" + str(g["clip_id"].iloc[0]),
+        "detail": "first=" + first[dup.index].astype(str),
     })
 
 
 def content_duplicates(ds, cols: tuple[str, ...] = ("bytes", "transcript"),
                        check_id: str = "content_dedup"):
-    """Exact content dedup: hash(content) → groupby → per-group first wins.
+    """Exact content dedup: hash(content) → bucketed co-group → first wins.
     Shuffles 16-byte hex keys, never the payload."""
     hashed = ds.select_columns([*cols, "clip_id", "partition"]).map_batches(
         lambda b: content_hash_batch(b, cols), batch_format="pyarrow")
-    return hashed.groupby("key").map_groups(_content_group_rows,
-                                            batch_format="pandas")
+    return grouped_apply(hashed, "key", _content_bucket_rows)
 
 
 def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
@@ -171,5 +235,5 @@ def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
             "detail": "bucketed",
         })
 
-    return tagged.groupby("bucket").map_groups(reduce_bucket,
-                                               batch_format="pandas")
+    return (tagged.repartition(shuffle_blocks()).groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas"))

@@ -30,10 +30,16 @@ def clips_dataset(sf_dir: str, replicas: int = 1, with_audio: bool = True,
                   dur_scale: float = 1.0, override_num_blocks: int | None = None):
     """Lazily derive the clips Dataset from documents.parquet — synthesis
     runs inside map_batches, so generation itself is distributed."""
+    import ray
     import ray.data as rd
 
     n_docs = documents_count(sf_dir)
     path = os.path.join(sf_dir, "documents.parquet")
+    if override_num_blocks is None:
+        # documents.parquet is one file → one read block → single-task
+        # synthesis; split so PCM synth + encode parallelizes
+        override_num_blocks = max(16, 2 * int(
+            ray.cluster_resources().get("CPU", 8)))
     parts = []
     for r in range(replicas):
         ds = rd.read_parquet(path, columns=["doc_id", "text"],
@@ -118,6 +124,28 @@ def validate_checkpointed(sf_dir: str, checkpoint_dir: str,
         fail_after_waves=fail_after_waves)
 
 
+def time_core_pass(factory, sf_dir: str, replicas: int = 1,
+                   batch_size: int = 256) -> float:
+    """Time the core streaming validation pass alone (no concurrent keyed
+    pipelines): the per-row component that dominates wall time at
+    production row counts. Used by the scaling bench to report the
+    engine's streaming scaling separately from the fixed-latency shuffle
+    and driver-reduce tail."""
+    import time
+
+    from ..runner import run_batch_checks
+
+    ctx = default_ctx(transcript_index=transcript_index_df(sf_dir, replicas))
+    checks = full_checks()
+    cols = set()
+    for c in checks:
+        cols.update(c.columns)
+    t0 = time.time()
+    run_batch_checks(factory(sorted(cols)), checks, ctx,
+                     batch_size=batch_size)
+    return time.time() - t0
+
+
 def clips_factory(parquet_dir: str):
     """→ ds_factory(columns) reading the cached clips with projection
     pruning (prune-at-the-read: a keyed check over clip_id never touches
@@ -135,18 +163,61 @@ def clips_factory(parquet_dir: str):
 
 def validate_sf(sf_dir: str, replicas: int = 1, with_decode: bool = True,
                 with_content_dedup: bool = True, dur_scale: float = 1.0,
-                batch_size: int = 1024, concurrency=None,
-                baseline_sf_dir: str | None = None) -> SuiteReport:
+                batch_size: int = 256, concurrency=None,
+                baseline_sf_dir: str | None = None,
+                stage_in_memory: bool = False) -> SuiteReport:
     """The flagship pipeline: derive/cache clips → full check suite.
 
     ``baseline_sf_dir`` supplies the clean reference generation for the
-    drift check's baseline profile (defaults to self-profile)."""
+    drift check's baseline profile (defaults to self-profile).
+
+    ``stage_in_memory`` materializes the clip table into the Ray object
+    store before validation, so the suite reads from distributed memory
+    instead of local disk. Used by the scaling bench: this sandbox has ONE
+    local disk, so a disk-streaming run is bandwidth-bound at every CPU
+    count — on a real cluster, storage bandwidth scales with nodes. The
+    staged run isolates what the north_rule measures: how the ENGINE
+    scales from N to 4N workers on identical input."""
     path = ensure_clips_parquet(sf_dir, replicas=replicas, dur_scale=dur_scale)
     factory = clips_factory(path)
-    profile = build_baseline_profile(
-        clips_factory(ensure_clips_parquet(baseline_sf_dir, replicas=replicas,
-                                           dur_scale=dur_scale))
-        if baseline_sf_dir else factory)
+    if stage_in_memory:
+        factory = staged_factory(path)
+    return validate_with_factory(
+        factory, sf_dir, replicas=replicas, with_decode=with_decode,
+        with_content_dedup=with_content_dedup, batch_size=batch_size,
+        concurrency=concurrency,
+        baseline_factory=(clips_factory(ensure_clips_parquet(
+            baseline_sf_dir, replicas=replicas, dur_scale=dur_scale))
+            if baseline_sf_dir else None))
+
+
+def staged_factory(parquet_dir: str):
+    """Materialize the clip table into the Ray object store once and serve
+    column selections from it (the in-memory input for scaling runs).
+
+    The materialized blocks are re-wrapped via ``from_arrow_refs`` to BREAK
+    LINEAGE: transforms on a MaterializedDataset re-plan from the original
+    source (re-reading parquet), while a from_arrow_refs dataset always
+    starts from the in-store blocks."""
+    import ray
+    import ray.data as rd
+
+    refs = clips_factory(parquet_dir)(None).materialize().to_arrow_refs()
+
+    def factory(columns=None):
+        ds = rd.from_arrow_refs(refs)
+        return ds.select_columns(columns) if columns else ds
+
+    return factory
+
+
+def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
+                          with_decode: bool = True,
+                          with_content_dedup: bool = True,
+                          batch_size: int = 256, concurrency=None,
+                          baseline_factory=None) -> SuiteReport:
+    """Run the full check suite over an arbitrary clip ds_factory."""
+    profile = build_baseline_profile(baseline_factory or factory)
     ctx = default_ctx(transcript_index=transcript_index_df(sf_dir, replicas),
                       baseline_profile=profile)
     return run_suite(factory,

@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..checks.keyed import grouped_apply, shuffle_blocks
 from ..functions import text as T
 
 NEAR_DUP_TAU = 0.8
@@ -203,16 +204,16 @@ def q_doc_exact_dups(sf_dir: str) -> pa.Table:
             "doc_id": b.column("doc_id"),
         })
 
-    def group_rows(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "group_size": pd.Series(dtype="int64")})
-        return pd.DataFrame({"doc_id": g["doc_id"].astype("int64"),
-                             "group_size": np.int64(len(g))})
+    def bucket_rows(df: pd.DataFrame) -> pd.DataFrame:
+        size = df.groupby("key")["doc_id"].transform("size")
+        dup = df[size > 1]
+        return pd.DataFrame({
+            "doc_id": dup["doc_id"].astype("int64"),
+            "group_size": size[dup.index].astype("int64"),
+        })
 
     ds = corpus_ds(sf_dir).map_batches(key_batch, batch_format="pyarrow")
-    out = ds.groupby("key").map_groups(group_rows, batch_format="pandas")
-    return _collect(out, ["doc_id"])
+    return _collect(grouped_apply(ds, "key", bucket_rows), ["doc_id"])
 
 
 SQL_DOC_EXACT_DUPS = f"""WITH {CORPUS_SQL}
@@ -248,18 +249,26 @@ def q_doc_neardup_minhash(sf_dir: str) -> pa.Table:
         return pa.table({"band": pa.array(keys, pa.string()),
                          "doc_id": pa.array(ids, pa.int64())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) <= 1 or len(ids) > 1000:  # skew guard: give up on a
-            return _pair_frame([], [])        # degenerate mega-bucket
-        a, b = np.triu_indices(len(ids), k=1)
-        return _pair_frame(ids[a], ids[b])
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # only multi-member bands generate candidates; they are rare, so
+        # the python loop touches a handful of tiny groups per bucket
+        size = df.groupby("band")["doc_id"].transform("size")
+        multi = df[size > 1]
+        outs = [_pair_frame([], [])]
+        for _, g in multi.groupby("band"):
+            ids = np.sort(g["doc_id"].to_numpy())
+            if len(ids) > 1000:  # skew guard: degenerate mega-band
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            outs.append(_pair_frame(ids[a], ids[b]))
+        return pd.concat(outs, ignore_index=True)
 
     corpus = corpus_ds(sf_dir)
-    cand = (corpus.map_batches(band_batch, batch_format="pyarrow")
-            .groupby("band").map_groups(bucket_pairs, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    bands = corpus.map_batches(band_batch, batch_format="pyarrow")
+    cand = grouped_apply(
+        grouped_apply(bands, "band", bucket_pairs),
+        ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]))
 
     # verify: broadcast the candidate docs' texts (small side), exact Jaccard
     texts = {r["doc_id"]: r["text"]
@@ -332,23 +341,29 @@ def q_doc_neardup_simhash(sf_dir: str) -> pa.Table:
                          "doc_id": pa.array(ids, pa.int64()),
                          "sig": pa.array(np.array(sigs, dtype=np.uint64))})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy()
-        if len(ids) <= 1 or len(ids) > 1000:
-            return _pair_frame([], [], hd=pd.Series(dtype="int64"))
-        a, b = np.triu_indices(len(ids), k=1)
-        hd = np.array([T.hamming64(int(sigs[i]), int(sigs[j]))
-                       for i, j in zip(a, b)])
-        keep = hd <= SIMHASH_MAX_HD
-        return _pair_frame(ids[a][keep], ids[b][keep],
-                           hd=pd.Series(hd[keep], dtype="int64"))
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        size = df.groupby("chunk")["doc_id"].transform("size")
+        multi = df[size > 1]
+        outs = [_pair_frame([], [], hd=pd.Series(dtype="int64"))]
+        for _, g in multi.groupby("chunk"):
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            sigs = g["sig"].to_numpy()
+            if len(ids) > 1000:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            hd = np.array([T.hamming64(int(sigs[i]), int(sigs[j]))
+                           for i, j in zip(a, b)])
+            keep = hd <= SIMHASH_MAX_HD
+            outs.append(_pair_frame(ids[a][keep], ids[b][keep],
+                                    hd=pd.Series(hd[keep], dtype="int64")))
+        return pd.concat(outs, ignore_index=True)
 
-    out = (corpus_ds(sf_dir).map_batches(sig_batch, batch_format="pyarrow")
-           .groupby("chunk").map_groups(bucket_pairs, batch_format="pandas")
-           .groupby(["doc_a", "doc_b"])
-           .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    sigs_ds = corpus_ds(sf_dir).map_batches(sig_batch, batch_format="pyarrow")
+    out = grouped_apply(
+        grouped_apply(sigs_ds, "chunk", bucket_pairs),
+        ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]))
     res = _collect(out, ["doc_a", "doc_b"])
     if res is None:
         return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -374,20 +389,23 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pa.Table:
             "text": b.column("text"),
         })
 
-    def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64"),
-                                 "jacc": pd.Series(dtype="float64")})
-        g = g.sort_values("doc_id")
-        j = T.jaccard(T.word_shingles(g["text"].iloc[0]),
-                      T.word_shingles(g["text"].iloc[1]))
-        return pd.DataFrame({"doc_a": [g["doc_id"].iloc[0]],
-                             "doc_b": [g["doc_id"].iloc[1]],
-                             "jacc": [round(j, 6)]})
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["pair", "doc_id"], kind="stable")
+        rows_a, rows_b, rows_j = [], [], []
+        for _, g in df.groupby("pair"):
+            if len(g) != 2:
+                continue
+            j = T.jaccard(T.word_shingles(g["text"].iloc[0]),
+                          T.word_shingles(g["text"].iloc[1]))
+            rows_a.append(int(g["doc_id"].iloc[0]))
+            rows_b.append(int(g["doc_id"].iloc[1]))
+            rows_j.append(round(j, 6))
+        return pd.DataFrame({"doc_a": pd.Series(rows_a, dtype="int64"),
+                             "doc_b": pd.Series(rows_b, dtype="int64"),
+                             "jacc": pd.Series(rows_j, dtype="float64")})
 
-    out = (ds.map_batches(tag, batch_format="pyarrow")
-           .groupby("pair").map_groups(pair_rows, batch_format="pandas"))
+    out = grouped_apply(ds.map_batches(tag, batch_format="pyarrow"),
+                        "pair", pair_rows)
     return _collect(out, ["doc_a", "doc_b"])
 
 

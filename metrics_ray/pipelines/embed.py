@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..checks.keyed import grouped_apply, shuffle_blocks
+
 NEAR_TAU = 0.98
 KNN_K = 5
 N_QUERIES = 10
@@ -306,25 +308,29 @@ def q_emb_neardup_lsh(sf_dir: str) -> pa.Table:
             }))
         return pa.concat_tables(tables)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1 or len(g) > 2000:
-            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                                 "vec_b": pd.Series(dtype="int64"),
-                                 "cos": pd.Series(dtype="float64")})
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        M = np.stack([np.asarray(e, dtype=np.float64)
-                      for e in g["embedding"]])
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        sims = np.round(Mn @ Mn.T, 6)
-        ai, bj = np.nonzero(np.triu(sims >= NEAR_TAU, k=1))
-        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj],
-                             "cos": sims[ai, bj]})
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        size = df.groupby("bucket")["vec_id"].transform("size")
+        multi = df[(size > 1) & (size <= 2000)]  # skew guard on mega-buckets
+        outs = [pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                              "vec_b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})]
+        for _, g in multi.groupby("bucket"):
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy()
+            M = np.stack([np.asarray(e, dtype=np.float64)
+                          for e in g["embedding"]])
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = np.round(Mn @ Mn.T, 6)
+            ai, bj = np.nonzero(np.triu(sims >= NEAR_TAU, k=1))
+            outs.append(pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj],
+                                      "cos": sims[ai, bj]}))
+        return pd.concat(outs, ignore_index=True)
 
-    out = (vcorpus_ds(sf_dir).map_batches(tag, batch_format="pyarrow")
-           .groupby("bucket").map_groups(verify, batch_format="pandas")
-           .groupby(["vec_a", "vec_b"])  # dedupe pairs found in >1 table
-           .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    tagged = vcorpus_ds(sf_dir).map_batches(tag, batch_format="pyarrow")
+    out = grouped_apply(
+        grouped_apply(tagged, "bucket", verify_bucket),
+        ["vec_a", "vec_b"],  # dedupe pairs found in >1 table
+        lambda df: df.drop_duplicates(["vec_a", "vec_b"]))
     res = _collect(out, ["vec_a", "vec_b"])
     if res is None:
         return pa.table({"vec_a": pa.array([], pa.int64()),

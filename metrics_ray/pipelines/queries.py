@@ -40,8 +40,7 @@ def _meta_ds(sf_dir: str):
 
 def _single_check_violations(sf_dir: str, check, code: str | None = None,
                              ctx: CheckContext | None = None) -> pa.Table:
-    viol, _, _ = run_batch_checks(_meta_ds(sf_dir), [check], ctx=ctx,
-                                  concurrency=2)
+    viol, _, _ = run_batch_checks(_meta_ds(sf_dir), [check], ctx=ctx)
     t = viol
     if code is not None and t.num_rows:
         import pyarrow.compute as pc
@@ -288,8 +287,7 @@ def q_decode_violations(sf_dir: str) -> pa.Table:
 
     path = ensure_clips_parquet(sf_dir)
     ds = clips_factory(path)(list(DecodeCheck.columns))
-    viol, _, _ = run_batch_checks(ds, [DecodeCheck()], concurrency=2,
-                                  batch_size=256)
+    viol, _, _ = run_batch_checks(ds, [DecodeCheck()], batch_size=128)
     return (viol.select(["clip_id", "code"])
             .sort_by([("clip_id", "ascending"), ("code", "ascending")]))
 
@@ -303,7 +301,7 @@ def q_audio_features(sf_dir: str) -> pa.Table:
 
     path = ensure_clips_parquet(sf_dir)
     ds = clips_factory(path)(["clip_id", "bytes", "sr_hz"])
-    feats = extract_audio_features(ds, batch_size=256, concurrency=2)
+    feats = extract_audio_features(ds, batch_size=128)
     import ray
 
     tables = [t for t in ray.get(feats.to_arrow_refs()) if t.num_rows]

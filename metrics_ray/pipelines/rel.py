@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..checks.keyed import bucketed_anti_join
+from ..checks.keyed import bucketed_anti_join, shuffle_blocks
 
 SESSION_GAP_S = 1800
 
@@ -100,7 +100,7 @@ def q_ev_type_stats(sf_dir: str) -> pa.Table:
 
     pre = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
         partial, batch_format="pyarrow")
-    out = pre.groupby("event_type").aggregate(
+    out = pre.repartition(shuffle_blocks()).groupby("event_type").aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("total_value", alias_name="total_value"))
     df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
@@ -135,7 +135,7 @@ def q_ev_daily_counts(sf_dir: str) -> pa.Table:
 
     pre = _read(sf_dir, "events", ["ts"]).map_batches(
         partial, batch_format="pyarrow")
-    out = pre.groupby("day").aggregate(Sum("n_events", alias_name="n_events"))
+    out = pre.repartition(shuffle_blocks()).groupby("day").aggregate(Sum("n_events", alias_name="n_events"))
     df = out.to_pandas().sort_values("day").reset_index(drop=True)
     return pa.table({
         "day": pa.array(df["day"], pa.string()),
@@ -164,7 +164,7 @@ def q_ev_sessions(sf_dir: str) -> pa.Table:
         })
 
     out = (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
-           .groupby("user_id").map_groups(sessions, batch_format="pandas"))
+           .repartition(shuffle_blocks()).groupby("user_id").map_groups(sessions, batch_format="pandas"))
     return _collect(out, ["user_id"])
 
 

@@ -92,17 +92,33 @@ class AudioFeatureExtractor:
 
 
 def extract_audio_features(ds, batch_size: int = 256,
-                           concurrency=None, num_cpus: float = 1.0):
-    """clips Dataset → feature Dataset via the actor pool. Small batches:
-    payload rows are wide (bytes dominates block size, SURVEY.md §7.4)."""
-    if concurrency is None:
-        import ray
+                           concurrency=None, num_cpus: float = 1.0,
+                           use_actors: bool = False):
+    """clips Dataset → feature Dataset. Small batches: payload rows are
+    wide (bytes dominates block size, SURVEY.md §7.4).
 
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    Default is the TASK path — a callable instance runs in reused worker
+    processes with no actor-process startup; its state (feature config) is
+    constructed once on the driver and shipped with the task spec. Use
+    ``use_actors=True`` for extractors whose __init__ is genuinely heavy
+    (real codec contexts, model weights)."""
+    if use_actors:
+        if concurrency is None:
+            import ray
+
+            concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+        return ds.map_batches(
+            AudioFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=num_cpus,
+        )
+    kwargs = {} if concurrency is None else {"concurrency": concurrency}
     return ds.map_batches(
-        AudioFeatureExtractor,
+        AudioFeatureExtractor(),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=num_cpus,
+        **kwargs,
     )

@@ -73,30 +73,26 @@ def keyed_checks(with_content_dedup: bool = True) -> dict:
 
 
 def build_baseline_profile(ds_factory, column: str = "dur_ms",
-                           n_bins: int = 20) -> dict[str, Any]:
-    """Build the baseline distribution profile from a (clean) reference table
-    — the ComplexQualityMetric.before() gold-standard load, but computed
-    distributedly: t-digest pass for robust edges, histogram pass for counts.
-    Runs over the single pruned column."""
+                           n_bins: int = 30,
+                           domain: tuple[float, float] | None = None) -> dict[str, Any]:
+    """Build the baseline distribution profile from a (clean) reference
+    table — the ComplexQualityMetric.before() gold-standard load, computed
+    distributedly in ONE pruned-column pass.
+
+    Histogram edges come from the column's DECLARED domain (the schema's
+    range constraint), not a data-dependent quantile pass: the profile of a
+    clean run and the observed histogram of a later run are then always on
+    identical edges, mergeable and comparable across runs — and the build
+    costs one pass instead of two."""
     import ray.data  # noqa: F401
-    from .sketches import FixedHistogram, TDigest, loads_any
+    from .schema import MAX_DUR_MS, MIN_DUR_MS
+    from .sketches import FixedHistogram, loads_any
 
+    if domain is None:
+        domain = {"dur_ms": (float(MIN_DUR_MS), float(MAX_DUR_MS)),
+                  "sr_hz": (0.0, 192_000.0)}.get(column, (0.0, 1.0))
+    edges = np.linspace(domain[0], domain[1], n_bins + 1)
     ds = ds_factory([column, "partition"])
-
-    def td_partial(b: pa.Table) -> pa.Table:
-        td = TDigest()
-        td.add(b.column(column).to_numpy(zero_copy_only=False).astype(np.float64))
-        return pa.table({"payload": pa.array([td.dumps()], pa.binary())})
-
-    blobs = [r["payload"] for r in
-             ds.map_batches(td_partial, batch_format="pyarrow").take_all()]
-    td = loads_any(blobs[0])
-    for b in blobs[1:]:
-        td = td.merge(loads_any(b))
-    lo, hi = td.quantile(0.01), td.quantile(0.99)
-    if not np.isfinite(lo) or lo == hi:
-        lo, hi = 0.0, max(hi, 1.0)
-    edges = np.linspace(lo, hi, n_bins + 1)
 
     def hist_partial(b: pa.Table) -> pa.Table:
         h = FixedHistogram(edges)

@@ -292,6 +292,22 @@ def q_decode_violations(sf_dir: str) -> pa.Table:
             .sort_by([("clip_id", "ascending"), ("code", "ascending")]))
 
 
+def q_top_durations(sf_dir: str) -> pa.Table:
+    """Global top-20 clips by (dur_ms DESC, clip_id) — the distributed
+    sort + limit path (``Dataset.sort``), deterministic tiebreak."""
+    ds = _meta_ds(sf_dir).select_columns(["clip_id", "dur_ms"])
+    top = ds.sort(key=["dur_ms", "clip_id"],
+                  descending=[True, False]).limit(20)
+    t = pa.concat_tables(
+        [t for t in __import__("ray").get(top.to_arrow_refs()) if t.num_rows])
+    return t.select(["clip_id", "dur_ms"])
+
+
+SQL_TOP_DURATIONS = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id, dur_ms FROM clips
+ORDER BY dur_ms DESC, clip_id LIMIT 20"""
+
+
 def q_audio_features(sf_dir: str) -> pa.Table:
     """Acoustic feature extraction (actor-pool stage) — rows-only (audio
     bytes exist only on the Ray side). Floats rounded for stability."""
@@ -343,6 +359,7 @@ VALIDATION_QUERIES = {
     "val_missing_refs": (q_missing_refs, SQL_MISSING_REFS),
     "val_transcript_mismatch": (q_transcript_mismatch, SQL_TRANSCRIPT_MISMATCH),
     "val_partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
+    "val_top_durations": (q_top_durations, SQL_TOP_DURATIONS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, None),
     "val_content_dedup": (q_content_dedup, None),

@@ -210,9 +210,17 @@ def run_batch_checks(ds, checks: list[BatchCheck],
 
 
 def assemble_metrics(checks: list[BatchCheck], counters: pd.DataFrame,
-                     partials: dict[str, list[tuple[int, bytes]]]) -> pa.Table:
+                     partials: dict[str, list[tuple[int, bytes]]],
+                     ctx: CheckContext | None = None) -> pa.Table:
     """Counters + merged sketches → METRIC_SCHEMA rows: per-partition rows
-    for exact checks, a global (partition = -1) row for every check."""
+    for exact checks, a global (partition = -1) row for every check.
+
+    ``finalize_value`` runs on these driver-side check objects, so their
+    setup() (baseline profiles, thresholds) must run here too — worker-side
+    setup happened on pickled COPIES inside the executor."""
+    if ctx is not None:
+        for c in checks:
+            c.setup(ctx)
     rows = []
     for check in checks:
         sub = counters[counters.check_id == check.check_id]
@@ -276,6 +284,7 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
     import ray
 
     t0 = time.time()
+    ctx = ctx or CheckContext()
     cols = set()
     for c in checks:
         cols.update(c.columns)
@@ -314,7 +323,7 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
         (viol, counters, partials), pass_wall_s = fut_batch.result()
         keyed_results = [(kid, f.result()) for kid, f in fut_keyed]
 
-    metrics = assemble_metrics(checks, counters, partials)
+    metrics = assemble_metrics(checks, counters, partials, ctx=ctx)
 
     total_rows = int(counters[counters.check_id == checks[0].check_id]["scanned"].sum()) if checks else 0
     extra_metric_rows = []

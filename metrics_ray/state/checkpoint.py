@@ -223,7 +223,7 @@ def checkpointed_validate(
                 .sum().reset_index())
     viol = (pa.concat_tables(all_viol).cast(VIOLATION_SCHEMA)
             if all_viol else VIOLATION_SCHEMA.empty_table())
-    metrics = assemble_metrics(checks, counters, all_partials)
+    metrics = assemble_metrics(checks, counters, all_partials, ctx=ctx)
 
     # ---- keyed global checks (run once, checkpointed wholesale) ---------
     total_rows = int(counters[counters.check_id == checks[0].check_id]

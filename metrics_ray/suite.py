@@ -90,8 +90,13 @@ def build_baseline_profile(ds_factory, column: str = "dur_ms",
 
     if domain is None:
         domain = {"dur_ms": (float(MIN_DUR_MS), float(MAX_DUR_MS)),
-                  "sr_hz": (0.0, 192_000.0)}.get(column, (0.0, 1.0))
-    edges = np.linspace(domain[0], domain[1], n_bins + 1)
+                  "sr_hz": (1.0, 192_000.0)}.get(column, (0.0, 1.0))
+    # log-spaced edges: duration/rate-style columns span orders of
+    # magnitude; linear bins would lump realistic values into one bin and
+    # blind the PSI comparison
+    edges = (np.geomspace(domain[0], domain[1], n_bins + 1)
+             if domain[0] > 0 else np.linspace(domain[0], domain[1],
+                                               n_bins + 1))
     ds = ds_factory([column, "partition"])
 
     def hist_partial(b: pa.Table) -> pa.Table:

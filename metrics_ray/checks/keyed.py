@@ -17,8 +17,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..schema import Codes
+from ..schema import VIOLATION_SCHEMA, Codes
 from ..sketches import hash64
+
+# keyed violations carry every VIOLATION_SCHEMA field except check_id
+KEYED_VIOLATION_SCHEMA = pa.schema(
+    [f for f in VIOLATION_SCHEMA if f.name != "check_id"])
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -38,7 +42,8 @@ def shuffle_blocks(n: int | None = None) -> int:
 
 
 def grouped_apply(ds, key, fn, n_buckets: int | None = None,
-                  batch_format: str = "pandas"):
+                  batch_format: str = "pandas",
+                  out_schema: pa.Schema | None = None):
     """Co-group rows by ``key`` into B coarse hash buckets and apply
     ``fn(bucket_df)`` once per bucket.
 
@@ -63,8 +68,14 @@ def grouped_apply(ds, key, fn, n_buckets: int | None = None,
         return b.append_column("__bucket",
                                pa.array((h % B).astype(np.int64)))
 
-    def apply(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns="__bucket"))
+    def apply(g: pd.DataFrame):
+        out = fn(g.drop(columns="__bucket"))
+        if out_schema is not None and isinstance(out, pd.DataFrame):
+            # emit typed Arrow so every bucket (incl. empty) agrees on
+            # schema — avoids object-dtype inference noise downstream
+            return pa.Table.from_pandas(
+                out, schema=out_schema, preserve_index=False)
+        return out
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .repartition(shuffle_blocks())
@@ -130,7 +141,8 @@ def exact_duplicate_keys(ds, column: str = "clip_id",
     return grouped_apply(
         pre, "key",
         lambda g: _dup_bucket_rows(g, Codes.DUPLICATE_KEY,
-                                   "unique " + column))
+                                   "unique " + column),
+        out_schema=KEYED_VIOLATION_SCHEMA)
 
 
 def content_hash_batch(batch: pa.Table,
@@ -183,7 +195,8 @@ def content_duplicates(ds, cols: tuple[str, ...] = ("bytes", "transcript"),
     Shuffles 16-byte hex keys, never the payload."""
     hashed = ds.select_columns([*cols, "clip_id", "partition"]).map_batches(
         lambda b: content_hash_batch(b, cols), batch_format="pyarrow")
-    return grouped_apply(hashed, "key", _content_bucket_rows)
+    return grouped_apply(hashed, "key", _content_bucket_rows,
+                         out_schema=KEYED_VIOLATION_SCHEMA)
 
 
 def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",

@@ -32,6 +32,13 @@ from ..checks.keyed import grouped_apply, shuffle_blocks
 from ..functions import text as T
 
 NEAR_DUP_TAU = 0.8
+
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+_PAIR_HD_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                             ("hd", pa.int64())])
+_PAIR_J_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                            ("jacc", pa.float64())])
+_DUP_SCHEMA = pa.schema([("doc_id", pa.int64()), ("group_size", pa.int64())])
 SIMHASH_MAX_HD = 3
 
 # ---------------------------------------------------------------- corpus
@@ -213,7 +220,8 @@ def q_doc_exact_dups(sf_dir: str) -> pa.Table:
         })
 
     ds = corpus_ds(sf_dir).map_batches(key_batch, batch_format="pyarrow")
-    return _collect(grouped_apply(ds, "key", bucket_rows), ["doc_id"])
+    return _collect(grouped_apply(ds, "key", bucket_rows,
+                                  out_schema=_DUP_SCHEMA), ["doc_id"])
 
 
 SQL_DOC_EXACT_DUPS = f"""WITH {CORPUS_SQL}
@@ -266,9 +274,10 @@ def q_doc_neardup_minhash(sf_dir: str) -> pa.Table:
     corpus = corpus_ds(sf_dir)
     bands = corpus.map_batches(band_batch, batch_format="pyarrow")
     cand = grouped_apply(
-        grouped_apply(bands, "band", bucket_pairs),
+        grouped_apply(bands, "band", bucket_pairs, out_schema=_PAIR_SCHEMA),
         ["doc_a", "doc_b"],
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]))
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        out_schema=_PAIR_SCHEMA)
 
     # verify: broadcast the candidate docs' texts (small side), exact Jaccard
     texts = {r["doc_id"]: r["text"]
@@ -361,9 +370,11 @@ def q_doc_neardup_simhash(sf_dir: str) -> pa.Table:
 
     sigs_ds = corpus_ds(sf_dir).map_batches(sig_batch, batch_format="pyarrow")
     out = grouped_apply(
-        grouped_apply(sigs_ds, "chunk", bucket_pairs),
+        grouped_apply(sigs_ds, "chunk", bucket_pairs,
+                      out_schema=_PAIR_HD_SCHEMA),
         ["doc_a", "doc_b"],
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]))
+        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
+        out_schema=_PAIR_HD_SCHEMA)
     res = _collect(out, ["doc_a", "doc_b"])
     if res is None:
         return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -405,7 +416,7 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pa.Table:
                              "jacc": pd.Series(rows_j, dtype="float64")})
 
     out = grouped_apply(ds.map_batches(tag, batch_format="pyarrow"),
-                        "pair", pair_rows)
+                        "pair", pair_rows, out_schema=_PAIR_J_SCHEMA)
     return _collect(out, ["doc_a", "doc_b"])
 
 

@@ -327,10 +327,14 @@ def q_emb_neardup_lsh(sf_dir: str) -> pa.Table:
         return pd.concat(outs, ignore_index=True)
 
     tagged = vcorpus_ds(sf_dir).map_batches(tag, batch_format="pyarrow")
+    vpair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
+                              ("cos", pa.float64())])
     out = grouped_apply(
-        grouped_apply(tagged, "bucket", verify_bucket),
+        grouped_apply(tagged, "bucket", verify_bucket,
+                      out_schema=vpair_schema),
         ["vec_a", "vec_b"],  # dedupe pairs found in >1 table
-        lambda df: df.drop_duplicates(["vec_a", "vec_b"]))
+        lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
+        out_schema=vpair_schema)
     res = _collect(out, ["vec_a", "vec_b"])
     if res is None:
         return pa.table({"vec_a": pa.array([], pa.int64()),

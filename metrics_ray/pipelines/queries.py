@@ -292,6 +292,18 @@ def q_decode_violations(sf_dir: str) -> pa.Table:
             .sort_by([("clip_id", "ascending"), ("code", "ascending")]))
 
 
+def q_distinct_codecs(sf_dir: str) -> pa.Table:
+    """Distinct observed codec values (``Dataset.unique`` — the
+    VocabularyUsageIndication distinct-set path, SURVEY.md §2.4)."""
+    vals = sorted(v for v in _meta_ds(sf_dir).unique("codec")
+                  if v is not None)
+    return pa.table({"codec": pa.array(vals, pa.string())})
+
+
+SQL_DISTINCT_CODECS = f"""WITH {synth.CLIPS_SQL}
+SELECT DISTINCT codec FROM clips WHERE codec IS NOT NULL ORDER BY codec"""
+
+
 def q_top_durations(sf_dir: str) -> pa.Table:
     """Global top-20 clips by (dur_ms DESC, clip_id) — the distributed
     sort + limit path (``Dataset.sort``), deterministic tiebreak."""
@@ -360,6 +372,7 @@ VALIDATION_QUERIES = {
     "val_transcript_mismatch": (q_transcript_mismatch, SQL_TRANSCRIPT_MISMATCH),
     "val_partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
     "val_top_durations": (q_top_durations, SQL_TOP_DURATIONS),
+    "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, None),
     "val_content_dedup": (q_content_dedup, None),

@@ -122,6 +122,29 @@ class SuiteReport:
         m = df[(df.check_id == check_id) & (df.partition == partition)]
         return None if m.empty else m.iloc[0].to_dict()
 
+    def write(self, out_dir: str) -> str:
+        """Persist the report as partitioned parquet + manifest JSON — the
+        ProblemCollection serializer analog (TestLoader.java:133-150), laid
+        out resumably: violations under partition=N/ dirs so a consumer can
+        read or re-process any partition independently."""
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(self.metrics, os.path.join(out_dir, "metrics.parquet"))
+        pq.write_table(self.verdicts, os.path.join(out_dir, "verdicts.parquet"))
+        vdir = os.path.join(out_dir, "violations")
+        vdf = self.violations.to_pandas()
+        for p, sub in vdf.groupby("partition"):
+            pdir = os.path.join(vdir, f"partition={int(p)}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(sub.drop(columns="partition"),
+                                     preserve_index=False),
+                os.path.join(pdir, "violations.parquet"))
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump(self.manifest, f, indent=1, default=str)
+        return out_dir
+
 
 # Per-worker-process executor cache for the task-based path: Ray tasks run
 # in REUSED worker processes, so the check graph (setup(): regex compile,

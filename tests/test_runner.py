@@ -135,3 +135,24 @@ def test_quantile_profile_sane(report):
     m = report.metric("dur_profile")
     # base_dur uniform in [200, 1999] → p50 ≈ 1100 (t-digest tolerance)
     assert 1000 < m["metric_value"] < 1200
+
+
+def test_report_write(report, tmp_path):
+    """ProblemCollection-serializer analog: partitioned parquet + manifest."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = report.write(str(tmp_path / "report"))
+    assert pq.read_table(os.path.join(out, "metrics.parquet")).num_rows \
+        == report.metrics.num_rows
+    assert pq.read_table(os.path.join(out, "verdicts.parquet")).num_rows == 8
+    vdirs = sorted(os.listdir(os.path.join(out, "violations")))
+    assert all(d.startswith("partition=") for d in vdirs)
+    n = sum(pq.read_table(os.path.join(out, "violations", d,
+                                       "violations.parquet")).num_rows
+            for d in vdirs)
+    assert n == report.violations.num_rows
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["rows_scanned"] == report.manifest["rows_scanned"]

@@ -42,7 +42,12 @@ class BatchOutcome:
     # per-partition counters: partition -> (rows_scanned, rows_violating)
     counters: dict[int, tuple[int, int]] = field(default_factory=dict)
     # serialized mergeable sketch partial for this batch, or None
+    # (attributed to the batch's first partition — only exact when the
+    # input layout is partition-pure; prefer ``partials``)
     partial: bytes | None = None
+    # per-partition sketch partials: partition -> blob (correct attribution
+    # regardless of layout; enables per-partition sketch metrics + resume)
+    partials: dict[int, bytes] | None = None
 
 
 def violations_table(partition: np.ndarray, clip_id: np.ndarray | list,

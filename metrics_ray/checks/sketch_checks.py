@@ -34,12 +34,16 @@ class DistinctHLLCheck(BatchCheck):
 
     def evaluate(self, batch: pa.Table) -> BatchOutcome:
         vals = batch.column(self.column).to_numpy(zero_copy_only=False)
-        h = HLL()
-        h.add_hashes(hash64(vals))
+        hashes = hash64(vals)
         part = batch.column("partition").to_numpy(zero_copy_only=False)
+        partials: dict[int, bytes] = {}
+        for p in np.unique(part):
+            h = HLL()
+            h.add_hashes(hashes[part == p])
+            partials[int(p)] = h.dumps()
         return BatchOutcome(
             counters=per_partition_counts(part, np.zeros(len(batch), bool)),
-            partial=h.dumps(),
+            partials=partials,
         )
 
     def merge(self, partials: list[bytes]) -> bytes | None:
@@ -73,12 +77,15 @@ class QuantileProfileCheck(BatchCheck):
 
     def evaluate(self, batch: pa.Table) -> BatchOutcome:
         vals = batch.column(self.column).to_numpy(zero_copy_only=False).astype(np.float64)
-        td = TDigest()
-        td.add(vals)
         part = batch.column("partition").to_numpy(zero_copy_only=False)
+        partials: dict[int, bytes] = {}
+        for p in np.unique(part):
+            td = TDigest()
+            td.add(vals[part == p])
+            partials[int(p)] = td.dumps()
         return BatchOutcome(
             counters=per_partition_counts(part, np.zeros(len(batch), bool)),
-            partial=td.dumps(),
+            partials=partials,
         )
 
     def merge(self, partials):
@@ -106,6 +113,9 @@ class DriftCheck(BatchCheck):
     metric = PSI; fails when PSI > threshold."""
 
     is_estimate = True
+    # PSI against the GLOBAL baseline is ill-posed for one partition's small
+    # sample (bin noise alone can exceed the threshold): global row only
+    per_partition_sketch = False
 
     def __init__(self, check_id: str, column: str, psi_threshold: float = 0.2):
         self.check_id = check_id
@@ -127,9 +137,12 @@ class DriftCheck(BatchCheck):
         if self._edges is None:
             return BatchOutcome(counters=counters)
         vals = batch.column(self.column).to_numpy(zero_copy_only=False).astype(np.float64)
-        h = FixedHistogram(self._edges)
-        h.add(vals)
-        return BatchOutcome(counters=counters, partial=h.dumps())
+        partials: dict[int, bytes] = {}
+        for p in np.unique(part):
+            h = FixedHistogram(self._edges)
+            h.add(vals[part == p])
+            partials[int(p)] = h.dumps()
+        return BatchOutcome(counters=counters, partials=partials)
 
     def merge(self, partials):
         if not partials:

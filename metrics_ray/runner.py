@@ -83,9 +83,11 @@ class SuiteExecutor:
                 }))
             parts = list(o.counters.keys())
             n_p = len(parts)
-            if n_p or o.partial is not None:
+            if n_p or o.partial is not None or o.partials:
                 payloads: list[bytes | None] = [None] * n_p
-                if o.partial is not None:
+                if o.partials:
+                    payloads = [o.partials.get(p) for p in parts]
+                elif o.partial is not None:
                     if n_p == 0:
                         parts, payloads = [-1], [None]
                         n_p = 1
@@ -255,6 +257,24 @@ def assemble_metrics(checks: list[BatchCheck], counters: pd.DataFrame,
                 v, ok, _ = check.finalize_value(int(r.scanned), int(r.violating), None)
                 rows.append((check.check_id, int(r.partition), v,
                              int(r.scanned), int(r.violating),
+                             check.is_estimate, ok))
+        elif getattr(check, "per_partition_sketch", True):
+            # sketch check → per-partition rows from partition-attributed
+            # blobs (a batch never spans partitions in the hive layout; in
+            # the flat layout attribution is per source batch, still a
+            # faithful per-partition estimate)
+            by_part: dict[int, list[bytes]] = {}
+            for part_val, blob in partials.get(check.check_id, []):
+                by_part.setdefault(part_val, []).append(blob)
+            for part_val in sorted(by_part):
+                if part_val < 0:
+                    continue
+                pm = check.merge(by_part[part_val])
+                psub = sub[sub.partition == part_val]
+                ps = int(psub["scanned"].sum())
+                pv = int(psub["violating"].sum())
+                v, ok, _ = check.finalize_value(ps, pv, pm)
+                rows.append((check.check_id, int(part_val), v, ps, pv,
                              check.is_estimate, ok))
         value, passed, detail = check.finalize_value(g_scanned, g_viol, merged)
         rows.append((check.check_id, -1, value, g_scanned, g_viol,

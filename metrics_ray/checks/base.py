@@ -31,6 +31,10 @@ class CheckContext:
 
     baseline_profile: dict[str, Any] = field(default_factory=dict)
     params: dict[str, Any] = field(default_factory=dict)
+    # the reference's global problem-report switch (ShortURIs.java:49):
+    # computation and counters still happen, only violation ROWS are
+    # suppressed — for runs where the metric values are all that's needed
+    require_problem_report: bool = True
 
 
 @dataclass

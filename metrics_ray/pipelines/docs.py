@@ -271,8 +271,14 @@ def q_doc_neardup_minhash(sf_dir: str) -> pa.Table:
             outs.append(_pair_frame(ids[a], ids[b]))
         return pd.concat(outs, ignore_index=True)
 
-    corpus = corpus_ds(sf_dir)
-    bands = corpus.map_batches(band_batch, batch_format="pyarrow")
+    # derive the corpus ONCE; the banding pipeline and the verify broadcast
+    # both consume the materialized blocks (from_arrow_refs breaks lineage
+    # so neither consumer re-runs the derivation)
+    import ray.data as rd
+
+    corpus_refs = corpus_ds(sf_dir).materialize().to_arrow_refs()
+    bands = rd.from_arrow_refs(corpus_refs).map_batches(
+        band_batch, batch_format="pyarrow")
     cand = grouped_apply(
         grouped_apply(bands, "band", bucket_pairs, out_schema=_PAIR_SCHEMA),
         ["doc_a", "doc_b"],
@@ -281,7 +287,7 @@ def q_doc_neardup_minhash(sf_dir: str) -> pa.Table:
 
     # verify: broadcast the candidate docs' texts (small side), exact Jaccard
     texts = {r["doc_id"]: r["text"]
-             for t in ray.get(corpus.to_arrow_refs())
+             for t in ray.get(corpus_refs)
              for r in t.select(["doc_id", "text"]).to_pylist()}
     texts_ref = ray.put(texts)
 

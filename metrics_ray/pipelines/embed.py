@@ -291,7 +291,11 @@ def q_emb_neardup_lsh(sf_dir: str) -> pa.Table:
     The scale path: candidate generation is bucket-local; only
     (bucket, vec_id) rows shuffle. Ray-only: recall < 1 by construction
     (asserted >= 0.9 on the seeded pairs in tests)."""
+    import ray
+
     def tag(b: pa.Table) -> pa.Table:
+        # shuffle ONLY (bucket, vec_id) — the vectors stay put; candidate
+        # verification reads them from the broadcast matrix
         M = _emb_matrix(b)
         signs = (M @ _HYPER.T) > 0  # (n, T*B)
         ids = b.column("vec_id")
@@ -301,40 +305,46 @@ def q_emb_neardup_lsh(sf_dir: str) -> pa.Table:
             chunk = signs[:, t * _LSH_BITS:(t + 1) * _LSH_BITS]
             bucket = (chunk.dot(weights).astype(np.int64)
                       + (t << np.int64(_LSH_BITS)))
-            tables.append(pa.table({
-                "bucket": pa.array(bucket),
-                "vec_id": ids,
-                "embedding": b.column("embedding"),
-            }))
+            tables.append(pa.table({"bucket": pa.array(bucket),
+                                    "vec_id": ids}))
         return pa.concat_tables(tables)
 
-    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    pair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         size = df.groupby("bucket")["vec_id"].transform("size")
         multi = df[(size > 1) & (size <= 2000)]  # skew guard on mega-buckets
         outs = [pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                              "vec_b": pd.Series(dtype="int64"),
-                              "cos": pd.Series(dtype="float64")})]
+                              "vec_b": pd.Series(dtype="int64")})]
         for _, g in multi.groupby("bucket"):
-            g = g.sort_values("vec_id")
-            ids = g["vec_id"].to_numpy()
-            M = np.stack([np.asarray(e, dtype=np.float64)
-                          for e in g["embedding"]])
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-            sims = np.round(Mn @ Mn.T, 6)
-            ai, bj = np.nonzero(np.triu(sims >= NEAR_TAU, k=1))
-            outs.append(pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj],
-                                      "cos": sims[ai, bj]}))
+            ids = np.sort(g["vec_id"].to_numpy())
+            ai, bj = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bj]}))
         return pd.concat(outs, ignore_index=True)
 
+    ids_all, Mn_all = corpus_matrix(sf_dir)
+    ref = ray.put((ids_all, Mn_all))
+
+    def verify(b: pa.Table) -> pa.Table:
+        c_ids, Cn = ray.get(ref)
+        a = b.column("vec_a").to_numpy(zero_copy_only=False)
+        bb = b.column("vec_b").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(c_ids, a)
+        ib = np.searchsorted(c_ids, bb)
+        cos = np.round(np.einsum("ij,ij->i", Cn[ia], Cn[ib]), 6)
+        keep = cos >= NEAR_TAU
+        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
+                         "vec_b": pa.array(bb[keep], pa.int64()),
+                         "cos": pa.array(cos[keep], pa.float64())})
+
     tagged = vcorpus_ds(sf_dir).map_batches(tag, batch_format="pyarrow")
-    vpair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64()),
-                              ("cos", pa.float64())])
-    out = grouped_apply(
-        grouped_apply(tagged, "bucket", verify_bucket,
-                      out_schema=vpair_schema),
+    cand = grouped_apply(
+        grouped_apply(tagged, "bucket", bucket_pairs,
+                      out_schema=pair_schema),
         ["vec_a", "vec_b"],  # dedupe pairs found in >1 table
         lambda df: df.drop_duplicates(["vec_a", "vec_b"]),
-        out_schema=vpair_schema)
+        out_schema=pair_schema)
+    out = cand.map_batches(verify, batch_format="pyarrow")
     res = _collect(out, ["vec_a", "vec_b"])
     if res is None:
         return pa.table({"vec_a": pa.array([], pa.int64()),

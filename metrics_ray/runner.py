@@ -58,6 +58,7 @@ class SuiteExecutor:
 
     def __init__(self, checks: list[BatchCheck], ctx: CheckContext):
         self.checks = checks
+        self.report_problems = getattr(ctx, "require_problem_report", True)
         for c in self.checks:
             c.setup(ctx)
 
@@ -65,7 +66,9 @@ class SuiteExecutor:
         out: list[pa.Table] = []
         for check in self.checks:
             o = check.evaluate(batch)
-            n_v = o.violations.num_rows if o.violations is not None else 0
+            n_v = (o.violations.num_rows
+                   if o.violations is not None and self.report_problems
+                   else 0)
             if n_v:
                 v = o.violations
                 out.append(pa.table({

@@ -1,0 +1,91 @@
+"""Hardening: empty batches, all-null columns, and the reference's
+require-problem-report switch (ShortURIs.java:49 — metric computation
+continues, violation rows are suppressed)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from metrics_ray.checks.base import CheckContext
+from metrics_ray.checks.decode import DecodeCheck
+from metrics_ray.checks.referential import ReferentialCheck
+from metrics_ray.checks.sketch_checks import (
+    DistinctHLLCheck, DriftCheck, QuantileProfileCheck)
+from metrics_ray.runner import SuiteExecutor, TAGGED_SCHEMA
+from metrics_ray.schema import CLIP_SCHEMA
+from metrics_ray.suite import full_checks
+
+
+def _batch(n, null_all=False):
+    if null_all:
+        return pa.table({
+            "clip_id": pa.array([None] * n, pa.string()),
+            "bytes": pa.array([None] * n, pa.binary()),
+            "sr_hz": pa.array([None] * n, pa.int32()),
+            "dur_ms": pa.array([None] * n, pa.int32()),
+            "codec": pa.array([None] * n, pa.string()),
+            "transcript": pa.array([None] * n, pa.string()),
+            "partition": pa.array([0] * n, pa.int32()),
+        })
+    return CLIP_SCHEMA.empty_table()
+
+
+def test_empty_batch_all_checks():
+    ex = SuiteExecutor(full_checks(), CheckContext())
+    out = ex(_batch(0))
+    assert out.schema.equals(TAGGED_SCHEMA)
+    assert out.num_rows == 0
+
+
+def test_all_null_batch_all_checks():
+    """Every column null: checks must flag violations, never crash."""
+    ex = SuiteExecutor(full_checks(), CheckContext())
+    out = ex(_batch(5, null_all=True))
+    df = out.to_pandas()
+    v = df[df.kind == "v"]
+    # null sr/dur/codec/transcript/bytes are all violations of their checks
+    for cid in ("sr_enum", "dur_range", "codec_enum", "transcript_nonnull",
+                "clipid_format", "decode_invariants"):
+        assert (v.check_id == cid).sum() == 5, cid
+
+
+def test_require_problem_report_off():
+    """Violations suppressed, counters (and thus metric values) intact."""
+    ctx = CheckContext(require_problem_report=False)
+    ex = SuiteExecutor(full_checks(with_decode=False,
+                                   with_referential=False), ctx)
+    out = ex(_batch(5, null_all=True)).to_pandas()
+    assert (out.kind == "v").sum() == 0
+    partial = out[out.kind == "p"]
+    assert (partial[partial.check_id == "transcript_nonnull"]
+            .violating.sum()) == 5
+
+
+def test_sketches_on_degenerate_input():
+    part = pa.table({
+        "dur_ms": pa.array([None, None], pa.int32()),
+        "clip_id": pa.array([None, None], pa.string()),
+        "partition": pa.array([0, 1], pa.int32()),
+    })
+    for check in (DistinctHLLCheck("u", "clip_id"),
+                  QuantileProfileCheck("q", "dur_ms"),
+                  DriftCheck("d", "dur_ms")):
+        check.setup(CheckContext())
+        o = check.evaluate(part)
+        assert set(o.counters) == {0, 1}
+
+
+def test_decode_check_wrong_type_payload():
+    b = pa.table({
+        "clip_id": pa.array(["x"], pa.string()),
+        "bytes": pa.array([b"\x00\x01\x02"], pa.binary()),  # short garbage
+        "sr_hz": pa.array([8000], pa.int32()),
+        "dur_ms": pa.array([100], pa.int32()),
+        "codec": pa.array(["flac"], pa.string()),
+        "partition": pa.array([0], pa.int32()),
+    })
+    c = DecodeCheck()
+    c.setup(CheckContext())
+    o = c.evaluate(b)
+    assert o.violations.num_rows == 1
+    assert o.violations.column("code").to_pylist() == ["DecodeError"]

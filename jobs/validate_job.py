@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""``ray job submit``-able validation entrypoint (north_rule: "run via ray
+job submit on a fixed-size multi-node Ray cluster").
+
+    ray job submit --working-dir . -- \
+        python jobs/validate_job.py --sf-dir /data/sfX \
+            --checkpoint-dir /ckpt/run1 --output /out/run1
+
+In a Ray Job the cluster is already initialized (RAY_ADDRESS is set by the
+job server), so ray.init is guarded; standalone invocation starts a local
+session. The run is RESUMABLE: re-submitting with the same --checkpoint-dir
+skips completed partitions (metrics_ray.state.checkpoint). Prints one JSON
+summary line: per-partition pass/fail + latency stats, violation counts,
+wall time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--output", default=None,
+                   help="write the report (metrics/verdicts/violations) here")
+    p.add_argument("--replicas", type=int, default=1)
+    p.add_argument("--wave-size", type=int, default=4)
+    p.add_argument("--num-cpus", type=int, default=int(
+        os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
+    args = p.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():  # standalone; under `ray job submit` the
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),  # cluster
+                 num_cpus=args.num_cpus,                          # is up
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    try:
+        from metrics_ray.pipelines.clips import validate_checkpointed
+        from metrics_ray.state.checkpoint import CheckpointStore
+
+        t0 = time.time()
+        report = validate_checkpointed(
+            args.sf_dir, args.checkpoint_dir,
+            replicas=args.replicas, wave_size=args.wave_size)
+        wall = time.time() - t0
+
+        if args.output:
+            report.write(args.output)
+
+        # per-partition pass/fail latency (BASELINE.json metric)
+        store = CheckpointStore(args.checkpoint_dir)
+        lat = []
+        verdict_by_part = {int(r["partition"]): bool(r["passed"])
+                           for r in report.verdicts.to_pylist()}
+        for pid in sorted(verdict_by_part):
+            rec = store.load_partition(pid)[3]
+            lat.append({"partition": pid, "wall_s": rec["wall_s"],
+                        "rows": rec["rows_scanned"],
+                        "passed": verdict_by_part[pid]})
+        walls = [x["wall_s"] for x in lat] or [0.0]
+        print(json.dumps({
+            "metric": "validation_job",
+            "wall_s": round(wall, 3),
+            "rows": report.manifest["rows_scanned"],
+            "n_violations": report.manifest["n_violations"],
+            "partitions": lat,
+            "partition_latency_s": {
+                "mean": round(sum(walls) / len(walls), 3),
+                "max": round(max(walls), 3),
+            },
+            "resumed_from": report.manifest["resumed_from"],
+            "all_passed": all(verdict_by_part.values()),
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -101,3 +101,33 @@ def test_fingerprint_guard(sf_unit, tmp_path_factory):
     with pytest.raises(ValueError, match="different run"):
         checkpointed_validate(path, [NonNullCheck("other", "transcript")],
                               checkpoint_dir=d, concurrency=2)
+
+
+def test_job_entrypoint(tmp_path):
+    """The ray-job-submit entrypoint runs standalone, reports per-partition
+    latency + verdicts, and resumes from its checkpoint."""
+    import json
+    import subprocess
+    import sys
+
+    ckpt = str(tmp_path / "ckpt")
+    cmd = [sys.executable, "/root/repo/jobs/validate_job.py",
+           "--checkpoint-dir", ckpt, "--wave-size", "4"]
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    env.pop("RAY_ADDRESS", None)  # fresh local session inside the job
+
+    r1 = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                        timeout=540)
+    line = [l for l in r1.stdout.splitlines() if l.startswith("{")][-1]
+    d1 = json.loads(line)
+    assert d1["rows"] == 504 and len(d1["partitions"]) == 8
+    assert d1["partition_latency_s"]["max"] > 0
+    assert not d1["all_passed"]  # seeded corruptions
+    assert d1["resumed_from"] == []
+
+    r2 = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                        timeout=540)
+    d2 = json.loads([l for l in r2.stdout.splitlines()
+                     if l.startswith("{")][-1])
+    assert d2["resumed_from"] == list(range(8))
+    assert d2["n_violations"] == d1["n_violations"]

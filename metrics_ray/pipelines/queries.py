@@ -292,6 +292,23 @@ def q_decode_violations(sf_dir: str) -> pa.Table:
             .sort_by([("clip_id", "ascending"), ("code", "ascending")]))
 
 
+def q_partition_distinct(sf_dir: str) -> pa.Table:
+    """Per-partition approximate distinct clip_id counts, merged INSIDE
+    Ray's groupby-aggregate operator (custom mergeable AggregateFn over
+    HLL sketches — the north-star 'merged via groupby-aggregate' path).
+    Rows-only: estimates carry ~0.8% sketch error (asserted within
+    tolerance of exact counts in tests/test_sketches.py)."""
+    import pyarrow.compute as pc
+
+    from ..checks.agg import distinct_per_key
+
+    t = distinct_per_key(_meta_ds(sf_dir), "partition", "clip_id")
+    return pa.table({
+        "partition": t.column("partition"),
+        "est_distinct": pc.round(t.column("est_distinct"), ndigits=1),
+    })
+
+
 def q_distinct_codecs(sf_dir: str) -> pa.Table:
     """Distinct observed codec values (``Dataset.unique`` — the
     VocabularyUsageIndication distinct-set path, SURVEY.md §2.4)."""
@@ -377,6 +394,7 @@ VALIDATION_QUERIES = {
     "val_decode_violations": (q_decode_violations, None),
     "val_content_dedup": (q_content_dedup, None),
     "val_audio_features": (q_audio_features, None),
+    "val_partition_distinct": (q_partition_distinct, None),
     **DOC_QUERIES,
     **EMB_QUERIES,
     **REL_QUERIES,

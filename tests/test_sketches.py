@@ -6,6 +6,7 @@ determinism is exact (SURVEY.md §7.4 mergeable-state correctness).
 """
 
 import numpy as np
+import pytest
 
 from metrics_ray.sketches import HLL, FixedHistogram, TDigest, hash64, loads_any
 
@@ -90,3 +91,35 @@ def test_tdigest_deterministic():
     a.add(vals)
     b.add(vals)
     assert np.array_equal(a.means, b.means)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sketch_aggregate_fns(sf_unit):
+    """Sketches merged INSIDE Ray's groupby-aggregate: per-partition HLL
+    distinct counts within 2% of exact; t-digest medians within the
+    partition's value range."""
+    import duckdb
+
+    from metrics_ray.checks.agg import distinct_per_key, quantiles_per_key
+    from metrics_ray.pipelines.clips import clips_dataset
+
+    ds = clips_dataset(sf_unit, with_audio=False)
+    got = distinct_per_key(ds, "partition", "clip_id").to_pandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_unit}/documents.parquet'")
+    from metrics_ray import synth
+
+    exact = con.execute(
+        f"WITH {synth.CLIPS_SQL} SELECT partition, "
+        "COUNT(DISTINCT clip_id) AS n FROM clips GROUP BY partition "
+        "ORDER BY partition").fetchdf()
+    assert len(got) == len(exact) == 8
+    rel = abs(got.est_distinct.values - exact.n.values) / exact.n.values
+    assert (rel < 0.02).all()
+
+    qs = quantiles_per_key(clips_dataset(sf_unit, with_audio=False),
+                           "partition", "dur_ms").to_pandas()
+    assert len(qs) == 8
+    assert ((qs.p25 <= qs.p50) & (qs.p50 <= qs.p75)).all()

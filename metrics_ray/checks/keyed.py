@@ -235,18 +235,18 @@ def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
         right_ds.select_columns([right_key]).map_batches(
             tag("r", right_key), batch_format="pyarrow"))
 
-    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def reduce_bucket(g: pd.DataFrame) -> pa.Table:
         right_keys = set(g.loc[g["side"] == "r", "key"])
         left = g[g["side"] == "l"]
         miss = left[~left["key"].isin(right_keys)]
-        return pd.DataFrame({
+        return pa.Table.from_pandas(pd.DataFrame({
             "partition": miss["partition"].astype("int32"),
             "clip_id": miss["key"].astype(str),
             "code": Codes.MISSING_REFERENCE,
             "actual": miss["key"].astype(str),
             "expected": f"{key} present in reference index",
             "detail": "bucketed",
-        })
+        }), schema=KEYED_VIOLATION_SCHEMA, preserve_index=False)
 
     return (tagged.repartition(shuffle_blocks()).groupby("bucket")
             .map_groups(reduce_bucket, batch_format="pandas"))

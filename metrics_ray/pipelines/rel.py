@@ -148,19 +148,116 @@ SQL_EV_DAILY_COUNTS = """SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day,
 FROM events GROUP BY 1 ORDER BY 1"""
 
 
+# -------------------------------------------------------- broadcast join
+
+def q_segment_revenue(sf_dir: str) -> pa.Table:
+    """Revenue per customer market segment: BROADCAST join (the small
+    customer→segment map ships once via ray.put and is read inside each
+    batch task — no shuffle of the orders side), then pre-agg + tiny
+    groupby. The canonical small-side-join pattern at 10^12-row scale."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(zip(cust.column("c_custkey").to_pylist(),
+                       cust.column("c_mktsegment").to_pylist()))
+    seg_ref = ray.put(seg_map)
+
+    def enrich(b: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        keys = b.column("o_custkey").to_pylist()
+        price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "segment": [seg.get(k, "UNKNOWN") for k in keys],
+            "price": price,
+        })
+        g = df.groupby("segment", sort=False)["price"].agg(["size", "sum"])
+        g = g.reset_index()
+        return pa.table({
+            "segment": pa.array(g["segment"], pa.string()),
+            "n_orders": pa.array(g["size"].astype("int64")),
+            "revenue": pa.array(g["sum"].astype("float64")),
+        })
+
+    pre = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        enrich, batch_format="pyarrow")
+    out = pre.repartition(shuffle_blocks()).groupby("segment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue", alias_name="revenue"))
+    df = out.to_pandas().sort_values("segment").reset_index(drop=True)
+    return pa.table({
+        "segment": pa.array(df["segment"], pa.string()),
+        "n_orders": pa.array(df["n_orders"].astype("int64")),
+        "revenue": pa.array(df["revenue"].round(4)),
+    })
+
+
+SQL_SEGMENT_REVENUE = """SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       round(SUM(o.o_totalprice), 4) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1"""
+
+
+# ---------------------------------------------------------- sliding window
+
+def q_ev_sliding_counts(sf_dir: str) -> pa.Table:
+    """Sliding 2-day window (1-day step) event counts: each event expands
+    to the windows containing it inside map_batches, then pre-agg +
+    groupby — the flat-map windowing pattern."""
+    from ray.data.aggregate import Sum
+
+    def windows(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_pandas()
+        day0 = ts.dt.floor("D")
+        frames = []
+        for off in (0, 1):  # window starts: day and day-1
+            start = day0 - pd.Timedelta(days=off)
+            frames.append(start.dt.strftime("%Y-%m-%d"))
+        win = pd.concat(frames, ignore_index=True)
+        g = win.value_counts().sort_index()
+        return pa.table({
+            "window_start": pa.array(g.index.tolist(), pa.string()),
+            "n_events": pa.array(g.to_numpy().astype("int64")),
+        })
+
+    pre = _read(sf_dir, "events", ["ts"]).map_batches(
+        windows, batch_format="pyarrow")
+    out = pre.repartition(shuffle_blocks()).groupby("window_start").aggregate(
+        Sum("n_events", alias_name="n_events"))
+    df = out.to_pandas().sort_values("window_start").reset_index(drop=True)
+    return pa.table({
+        "window_start": pa.array(df["window_start"], pa.string()),
+        "n_events": pa.array(df["n_events"].astype("int64")),
+    })
+
+
+SQL_EV_SLIDING_COUNTS = """WITH expanded AS (
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+        AS window_start FROM events
+    UNION ALL
+    SELECT CAST(CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS DATE)
+        AS VARCHAR) FROM events
+)
+SELECT window_start, COUNT(*) AS n_events
+FROM expanded GROUP BY 1 ORDER BY 1"""
+
+
 # ------------------------------------------------------------ sessionization
 
 def q_ev_sessions(sf_dir: str) -> pa.Table:
     """Gap sessionization: hash-shuffle by user_id, per-group sort by
     (ts, event_id), new session when gap > 30 min."""
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+    def sessions(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["ts", "event_id"], kind="stable")
         gaps = g["ts"].diff().dt.total_seconds()
         n_sessions = int((gaps > SESSION_GAP_S).sum()) + 1
-        return pd.DataFrame({
-            "user_id": [int(g["user_id"].iloc[0])],
-            "n_events": [len(g)],
-            "n_sessions": [n_sessions],
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+            "n_events": pa.array([len(g)], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
         })
 
     out = (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
@@ -184,7 +281,9 @@ FROM gaps GROUP BY user_id ORDER BY user_id"""
 REL_QUERIES = {
     "rel_cust_no_premium_orders": (q_customers_without_orders,
                                    SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "rel_segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "ev_type_stats": (q_ev_type_stats, SQL_EV_TYPE_STATS),
+    "ev_sliding_counts": (q_ev_sliding_counts, SQL_EV_SLIDING_COUNTS),
     "ev_daily_counts": (q_ev_daily_counts, SQL_EV_DAILY_COUNTS),
     "ev_sessions": (q_ev_sessions, SQL_EV_SESSIONS),
 }

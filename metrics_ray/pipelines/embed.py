@@ -353,9 +353,102 @@ def q_emb_neardup_lsh(sf_dir: str) -> pa.Table:
     return res
 
 
+# ------------------------------------------------------------------ IVF ANN
+
+IVF_CELLS = 16
+# The synthetic embeddings are ~uniform on the sphere — IVF's worst case
+# (neighbors spread over many cells; measured recall at nprobe=4 is ~0.6).
+# nprobe=12 reaches ≥0.9 recall here; on clustered real-world embeddings
+# the standard nprobe ≈ cells/4 setting applies and the scan fraction
+# drops proportionally. The probing/assignment plumbing is identical.
+IVF_NPROBE = 12
+_KMEANS_ITERS = 10
+
+
+def _ivf_centroids(Mn: np.ndarray, k: int = IVF_CELLS,
+                   iters: int = _KMEANS_ITERS) -> np.ndarray:
+    """Deterministic Lloyd k-means on the normalized corpus (seeded init
+    from evenly spaced rows). At production scale this trains on a sample;
+    assignment and probing are unchanged."""
+    n = len(Mn)
+    C = Mn[np.linspace(0, n - 1, k).astype(np.int64)].copy()
+    for _ in range(iters):
+        assign = np.argmax(Mn @ C.T, axis=1)
+        for c in range(k):
+            sel = Mn[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    C[c] = v / nrm
+    return C
+
+
+def q_emb_knn_ivf(sf_dir: str) -> pa.Table:
+    """Approximate top-k via IVF: k-means cells over the corpus, queries
+    probe their IVF_NPROBE nearest cells only — each batch task scores its
+    rows against the queries whose probe set contains the row's cell
+    (broadcast centroids + query matrix; per-batch work is one masked
+    matmul). Ray-only; recall vs exact brute force asserted ≥ 0.9 in
+    tests/test_embed.py."""
+    import ray
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    qsel = qt.filter(pa.compute.less(qt.column("vec_id"), N_QUERIES))
+    Q = _emb_matrix(qsel)
+    qids = qsel.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    ids_all, Mn_all = corpus_matrix(sf_dir)
+    C = _ivf_centroids(Mn_all)
+    # per-query probe set: nearest IVF_NPROBE cells
+    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :IVF_NPROBE]
+    ref = ray.put((qids, Qn, C, probe))
+
+    def topk(b: pa.Table) -> pa.Table:
+        q_ids, Qm, cents, probes = ray.get(ref)
+        M = _emb_matrix(b)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = np.argmax(Mn @ cents.T, axis=1)
+        sims = np.round(Mn @ Qm.T, 6)
+        rows_q, rows_n, rows_c = [], [], []
+        for j, qid in enumerate(q_ids):
+            in_probe = np.isin(cell, probes[j]) & (ids != qid)
+            cand_ids, cand = ids[in_probe], sims[in_probe, j]
+            k = min(KNN_K, len(cand))
+            order = np.lexsort((cand_ids, -cand))[:k]
+            rows_q.extend([qid] * k)
+            rows_n.extend(cand_ids[order].tolist())
+            rows_c.extend(cand[order].tolist())
+        return pa.table({
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "cos": pa.array(rows_c, pa.float64()),
+        })
+
+    partial = _collect(embeddings_ds(sf_dir, ["vec_id", "embedding"])
+                       .map_batches(topk, batch_format="pyarrow"),
+                       ["query_id", "neighbor_id"])
+    df = partial.to_pandas()
+    df = df.sort_values(["query_id", "cos", "neighbor_id"],
+                        ascending=[True, False, True], kind="stable")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= KNN_K].reset_index(drop=True)
+    return pa.table({
+        "query_id": pa.array(df["query_id"], pa.int64()),
+        "rank": pa.array(df["rank"], pa.int64()),
+        "neighbor_id": pa.array(df["neighbor_id"], pa.int64()),
+        "cos": pa.array(df["cos"], pa.float64()),
+    })
+
+
 EMB_QUERIES = {
     "emb_norm_check": (q_emb_norm_check, SQL_EMB_NORM_CHECK),
     "emb_knn": (q_emb_knn, SQL_EMB_KNN),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
+    "emb_knn_ivf": (q_emb_knn_ivf, None),
 }

@@ -64,3 +64,20 @@ def test_norm_check_clean(sf_unit):
     assert (t.dim == 64).all()
     assert (t.n_nan == 0).all()
     assert (~t.is_zero).all()
+
+
+def test_ivf_knn_recall(sf_unit):
+    """IVF-probed top-k recall vs exact brute force ≥ 0.9 (4/16 cells
+    probed), with identical ordering rules."""
+    from metrics_ray.pipelines.embed import q_emb_knn, q_emb_knn_ivf
+
+    exact = q_emb_knn(sf_unit).to_pandas()
+    ivf = q_emb_knn_ivf(sf_unit).to_pandas()
+    assert set(ivf.query_id) == set(exact.query_id)
+    hits = total = 0
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(ivf[ivf.query_id == qid].neighbor_id)
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.9

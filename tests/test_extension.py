@@ -1,0 +1,68 @@
+"""User-extension surface (SURVEY.md §2.9): a new check is one BatchCheck
+subclass — setup/evaluate(/merge/finalize) — dropped into the suite list,
+exactly as a new Luzzu metric is one QualityMetric implementation. This
+test defines a custom check end-to-end through the engine: broadcast
+config via CheckContext, vectorized evaluate, violations + counters,
+per-partition metric rows and verdicts."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from metrics_ray.checks.base import (
+    BatchCheck, BatchOutcome, CheckContext, per_partition_counts,
+    violations_table)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_custom_check_through_engine(sf_unit):
+    # defined inside the test so cloudpickle ships it by value
+    class TranscriptLengthCheck(BatchCheck):
+        """Custom check: transcript must be at least ``min_chars`` long
+        (threshold arrives via broadcast context params)."""
+
+        check_id = "transcript_min_len"
+        columns = ("transcript", "clip_id", "partition")
+
+        def setup(self, ctx: CheckContext) -> None:
+            self.min_chars = int(ctx.params.get("transcript_min_chars", 10))
+
+        def evaluate(self, batch: pa.Table) -> BatchOutcome:
+            col = pc.fill_null(batch.column("transcript"), "")
+            short = pc.less(pc.utf8_length(col), self.min_chars)
+            mask = short.to_numpy(zero_copy_only=False).astype(bool)
+            part = batch.column("partition").to_numpy(zero_copy_only=False)
+            viol = None
+            if mask.any():
+                idx = np.nonzero(mask)[0]
+                viol = violations_table(
+                    part[idx],
+                    batch.column("clip_id").take(pa.array(idx)).to_pylist(),
+                    "TranscriptTooShort",
+                    [str(v) for v in pc.utf8_length(col).take(
+                        pa.array(idx)).to_pylist()],
+                    f">= {self.min_chars} chars")
+            return BatchOutcome(violations=viol,
+                                counters=per_partition_counts(part, mask))
+
+    from metrics_ray.pipelines.clips import clips_factory, ensure_clips_parquet
+    from metrics_ray.runner import run_suite
+    from metrics_ray.suite import metadata_checks
+
+    factory = clips_factory(ensure_clips_parquet(sf_unit))
+    ctx = CheckContext(params={"transcript_min_chars": 60})
+    checks = metadata_checks() + [TranscriptLengthCheck()]
+    report = run_suite(factory, checks, ctx=ctx, concurrency=2)
+
+    m = report.metric("transcript_min_len")
+    assert m is not None and m["rows_scanned"] == 504
+    v = report.violations.to_pandas()
+    mine = v[v.check_id == "transcript_min_len"]
+    assert len(mine) == m["rows_violating"] > 0
+    assert (mine.code == "TranscriptTooShort").all()
+    # per-partition rows exist for the custom check too
+    mdf = report.metrics.to_pandas()
+    assert len(mdf[(mdf.check_id == "transcript_min_len")
+                   & (mdf.partition >= 0)]) == 8

@@ -174,13 +174,21 @@ def run_batch_checks(ds, checks: list[BatchCheck],
                      batch_size: int = 4096,
                      concurrency: int | tuple[int, int] | None = None,
                      num_cpus: float = 1.0,
-                     use_actors: bool = False):
+                     use_actors: bool = False,
+                     violations_sink: str | None = None):
     """Single streaming pass → (violations, counters_df, partials dict).
 
     Default execution is TASK-based (reused worker processes + per-process
     executor cache); ``use_actors=True`` switches to an actor pool — worth
     it only when a check's setup() is genuinely expensive (model weights),
-    since actor pools pay fresh process startup per pipeline."""
+    since actor pools pay fresh process startup per pipeline.
+
+    ``violations_sink``: at production violation volumes (a 1% rate over
+    10^12 rows is 10^10 rows) the violation stream must NOT pass through
+    the driver — with a sink dir, violation rows are written straight to
+    partitioned parquet from the executing tasks and the returned
+    ``violations`` table is EMPTY (counters still carry per-partition
+    violation totals; the sink path is the report of record)."""
     import uuid
 
     ctx = ctx or CheckContext()
@@ -210,16 +218,34 @@ def run_batch_checks(ds, checks: list[BatchCheck],
             num_cpus=num_cpus,
             **kwargs,
         )
-    # the tagged stream is small (violations + O(batches) partial rows):
-    # stream it to the driver without materializing the input
-    batches = list(tagged.iter_batches(batch_size=65536, batch_format="pyarrow"))
-    all_rows = (pa.concat_tables([pa.table(b) for b in batches]).cast(TAGGED_SCHEMA)
-                if batches else _EMPTY_TAGGED)
-    kinds = all_rows.column("kind").to_numpy(zero_copy_only=False)
-    viol = (all_rows.filter(pa.array(kinds == "v"))
-            .select(VIOLATION_SCHEMA.names).cast(VIOLATION_SCHEMA)
-            if (kinds == "v").any() else None)
-    part_rows = all_rows.filter(pa.array(kinds == "p"))
+    if violations_sink is not None:
+        # keep violation rows off the driver: the tagged stream materializes
+        # in the object store (spillable), violations write to the sink as
+        # partitioned parquet, and only the tiny 'p' rows come back
+        tagged = tagged.materialize()
+        (tagged.filter(expr='kind == "v"')
+               .select_columns(VIOLATION_SCHEMA.names)
+               .write_parquet(violations_sink, partition_cols=["partition"]))
+        batches = list(
+            tagged.filter(expr='kind == "p"')
+            .iter_batches(batch_size=65536, batch_format="pyarrow"))
+        all_rows = (pa.concat_tables(
+            [pa.table(b) for b in batches]).cast(TAGGED_SCHEMA)
+            if batches else _EMPTY_TAGGED)
+        kinds = all_rows.column("kind").to_numpy(zero_copy_only=False)
+        viol = None
+        part_rows = all_rows
+    else:
+        # the tagged stream is small (violations + O(batches) partial rows):
+        # stream it to the driver without materializing the input
+        batches = list(tagged.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        all_rows = (pa.concat_tables([pa.table(b) for b in batches]).cast(TAGGED_SCHEMA)
+                    if batches else _EMPTY_TAGGED)
+        kinds = all_rows.column("kind").to_numpy(zero_copy_only=False)
+        viol = (all_rows.filter(pa.array(kinds == "v"))
+                .select(VIOLATION_SCHEMA.names).cast(VIOLATION_SCHEMA)
+                if (kinds == "v").any() else None)
+        part_rows = all_rows.filter(pa.array(kinds == "p"))
     pdf = part_rows.select(["check_id", "partition", "scanned", "violating"]).to_pandas()
     counters = (pdf.groupby(["check_id", "partition"], sort=True)
                 .sum().reset_index())

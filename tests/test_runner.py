@@ -142,6 +142,7 @@ def test_report_write(report, tmp_path):
     import json
     import os
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     out = report.write(str(tmp_path / "report"))
@@ -156,3 +157,45 @@ def test_report_write(report, tmp_path):
     assert n == report.violations.num_rows
     manifest = json.load(open(os.path.join(out, "manifest.json")))
     assert manifest["rows_scanned"] == report.manifest["rows_scanned"]
+
+
+def test_violations_sink_mode(sf_unit, tmp_path):
+    """With a sink, violation rows go straight to partitioned parquet from
+    the tasks; the driver sees none, but counters and the written rows
+    match the in-driver mode exactly."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metrics_ray.checks.stateless import NonNullCheck, RangeCheck
+    from metrics_ray.pipelines.clips import clips_factory, ensure_clips_parquet
+    from metrics_ray.runner import run_batch_checks
+
+    factory = clips_factory(ensure_clips_parquet(sf_unit))
+    checks = [RangeCheck("dur_range", "dur_ms", 1, 30000),
+              NonNullCheck("transcript_nonnull", "transcript")]
+    cols = ["dur_ms", "transcript", "clip_id", "partition"]
+
+    viol_a, counters_a, _ = run_batch_checks(factory(cols), checks,
+                                             concurrency=2)
+    sink = str(tmp_path / "sink")
+    viol_b, counters_b, _ = run_batch_checks(factory(cols), checks,
+                                             concurrency=2,
+                                             violations_sink=sink)
+    assert viol_b.num_rows == 0  # nothing through the driver
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(counters_a, counters_b)
+
+    files = glob.glob(os.path.join(sink, "**", "*.parquet"), recursive=True)
+    written = pa.concat_tables([pq.read_table(f, columns=[
+        "check_id", "clip_id", "code"]) for f in files])
+    a = viol_a.select(["check_id", "clip_id", "code"]).to_pandas() \
+        .sort_values(["check_id", "clip_id"]).reset_index(drop=True)
+    b = written.to_pandas().sort_values(["check_id", "clip_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # hive layout: one dir per partition
+    assert any("partition=" in f for f in files)

@@ -26,6 +26,7 @@ import re
 import numpy as np
 
 from ..sketches import hash64
+from .rounding import round_half_away
 
 # ----------------------------------------------------------------- tokenize
 
@@ -143,7 +144,7 @@ def quality_features(text: str) -> dict:
         "n_words": n_words,
         "n_punct": n_punct,
         "n_stop": n_stop,
-        "mean_word_len": round(mean_word_len, 6),
+        "mean_word_len": round_half_away(mean_word_len, 6),
     }
 
 

@@ -30,6 +30,7 @@ import pyarrow.parquet as pq
 
 from ..checks.keyed import grouped_apply, shuffle_blocks
 from ..functions import text as T
+from ..functions.rounding import round_half_away
 
 NEAR_DUP_TAU = 0.8
 
@@ -298,7 +299,7 @@ def q_doc_neardup_minhash(sf_dir: str) -> pa.Table:
                          b.column("doc_b").to_pylist()):
             j = T.jaccard(T.word_shingles(tx[a]), T.word_shingles(tx[bb]))
             if j >= NEAR_DUP_TAU:
-                rows.append((a, bb, round(j, 6)))
+                rows.append((a, bb, round_half_away(j, 6)))
         return pa.table({
             "doc_a": pa.array([r[0] for r in rows], pa.int64()),
             "doc_b": pa.array([r[1] for r in rows], pa.int64()),
@@ -416,7 +417,7 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pa.Table:
                           T.word_shingles(g["text"].iloc[1]))
             rows_a.append(int(g["doc_id"].iloc[0]))
             rows_b.append(int(g["doc_id"].iloc[1]))
-            rows_j.append(round(j, 6))
+            rows_j.append(round_half_away(j, 6))
         return pd.DataFrame({"doc_a": pd.Series(rows_a, dtype="int64"),
                              "doc_b": pd.Series(rows_b, dtype="int64"),
                              "jacc": pd.Series(rows_j, dtype="float64")})

@@ -25,6 +25,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..checks.keyed import grouped_apply, shuffle_blocks
+from ..functions.rounding import round_half_away
 
 NEAR_TAU = 0.98
 KNN_K = 5
@@ -161,7 +162,7 @@ def q_emb_knn(sf_dir: str) -> pa.Table:
         M = _emb_matrix(b)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = np.round(Mn @ Qm.T, 6)  # (n, nq)
+        sims = round_half_away(Mn @ Qm.T, 6)  # (n, nq)
         rows_q, rows_n, rows_c = [], [], []
         for j, qid in enumerate(q_ids):
             col = sims[:, j]
@@ -233,7 +234,7 @@ def q_emb_neardup(sf_dir: str) -> pa.Table:
         M = _emb_matrix(b)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = np.round(Mn @ Cn.T, 6)
+        sims = round_half_away(Mn @ Cn.T, 6)
         ai, bj = np.nonzero(sims >= NEAR_TAU)
         a_ids, b_ids = ids[ai], c_ids[bj]
         keep = a_ids < b_ids
@@ -331,7 +332,7 @@ def q_emb_neardup_lsh(sf_dir: str) -> pa.Table:
         bb = b.column("vec_b").to_numpy(zero_copy_only=False)
         ia = np.searchsorted(c_ids, a)
         ib = np.searchsorted(c_ids, bb)
-        cos = np.round(np.einsum("ij,ij->i", Cn[ia], Cn[ib]), 6)
+        cos = round_half_away(np.einsum("ij,ij->i", Cn[ia], Cn[ib]), 6)
         keep = cos >= NEAR_TAU
         return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
                          "vec_b": pa.array(bb[keep], pa.int64()),
@@ -413,7 +414,7 @@ def q_emb_knn_ivf(sf_dir: str) -> pa.Table:
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         cell = np.argmax(Mn @ cents.T, axis=1)
-        sims = np.round(Mn @ Qm.T, 6)
+        sims = round_half_away(Mn @ Qm.T, 6)
         rows_q, rows_n, rows_c = [], [], []
         for j, qid in enumerate(q_ids):
             in_probe = np.isin(cell, probes[j]) & (ids != qid)

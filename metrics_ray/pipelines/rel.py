@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..checks.keyed import bucketed_anti_join, shuffle_blocks
+from ..functions.rounding import round_half_away
 
 SESSION_GAP_S = 1800
 
@@ -107,7 +108,7 @@ def q_ev_type_stats(sf_dir: str) -> pa.Table:
     return pa.table({
         "event_type": pa.array(df["event_type"], pa.string()),
         "n_events": pa.array(df["n_events"].astype("int64")),
-        "total_value": pa.array(df["total_value"].round(6)),
+        "total_value": pa.array(round_half_away(df["total_value"].to_numpy(), 6)),
     })
 
 
@@ -190,7 +191,7 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
     return pa.table({
         "segment": pa.array(df["segment"], pa.string()),
         "n_orders": pa.array(df["n_orders"].astype("int64")),
-        "revenue": pa.array(df["revenue"].round(4)),
+        "revenue": pa.array(round_half_away(df["revenue"].to_numpy(), 4)),
     })
 
 

@@ -228,8 +228,8 @@ def q_partition_stats(sf_dir: str) -> pa.Table:
 SQL_PARTITION_STATS = f"""WITH {synth.CLIPS_SQL}
 SELECT partition,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN transcript IS NULL OR transcript = '' THEN 1 ELSE 0 END) AS n_null_transcript,
-       SUM(CASE WHEN codec NOT IN ('pcm_s16le','flac','mp3','opus') THEN 1 ELSE 0 END) AS n_bad_codec
+       CAST(SUM(CASE WHEN transcript IS NULL OR transcript = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_null_transcript,
+       CAST(SUM(CASE WHEN codec NOT IN ('pcm_s16le','flac','mp3','opus') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_codec
 FROM clips GROUP BY partition ORDER BY partition"""
 
 
@@ -273,7 +273,8 @@ counts AS (
   SELECT 'transcript_nonnull', COUNT(*),
          SUM(CASE WHEN transcript IS NULL OR transcript = '' THEN 1 ELSE 0 END) FROM clips
 )
-SELECT check_id, rows_scanned, rows_violating,
+SELECT check_id, CAST(rows_scanned AS BIGINT) AS rows_scanned,
+       CAST(rows_violating AS BIGINT) AS rows_violating,
        1.0 - rows_violating * 1.0 / rows_scanned AS metric_value
 FROM counts ORDER BY check_id"""
 

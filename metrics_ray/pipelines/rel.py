@@ -274,8 +274,8 @@ SQL_EV_SESSIONS = f"""WITH gaps AS (
 )
 SELECT user_id,
        COUNT(*) AS n_events,
-       1 + SUM(CASE WHEN gap_s > {SESSION_GAP_S} THEN 1 ELSE 0 END)
-           AS n_sessions
+       CAST(1 + SUM(CASE WHEN gap_s > {SESSION_GAP_S} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sessions
 FROM gaps GROUP BY user_id ORDER BY user_id"""
 
 

@@ -317,6 +317,35 @@ def _metric_rows(rows) -> pa.Table:
                      for f, c in zip(METRIC_SCHEMA, cols)})
 
 
+def compare_reports(current: SuiteReport, baseline: SuiteReport,
+                    tolerance: float = 0.01) -> pa.Table:
+    """Metric-level regression check between two runs of the same suite:
+    one row per (check_id, partition) present in either report, with both
+    values, the delta, and ``regressed`` = current metric dropped more than
+    ``tolerance`` below baseline. The run-over-run analog of DriftCheck
+    (which compares data distributions; this compares metric outcomes)."""
+    cur = current.metrics.to_pandas().set_index(["check_id", "partition"])
+    base = baseline.metrics.to_pandas().set_index(["check_id", "partition"])
+    idx = cur.index.union(base.index)
+    rows = []
+    for key in sorted(idx):
+        c = cur["metric_value"].get(key, float("nan"))
+        b = base["metric_value"].get(key, float("nan"))
+        delta = c - b
+        regressed = bool(pd.notna(c) and pd.notna(b)
+                         and delta < -tolerance)
+        rows.append((key[0], int(key[1]), float(b), float(c),
+                     float(delta), regressed))
+    return pa.table({
+        "check_id": pa.array([r[0] for r in rows], pa.string()),
+        "partition": pa.array([r[1] for r in rows], pa.int32()),
+        "baseline_value": pa.array([r[2] for r in rows], pa.float64()),
+        "current_value": pa.array([r[3] for r in rows], pa.float64()),
+        "delta": pa.array([r[4] for r in rows], pa.float64()),
+        "regressed": pa.array([r[5] for r in rows], pa.bool_()),
+    })
+
+
 def assemble_verdicts(metrics: pa.Table, violations: pa.Table) -> pa.Table:
     """Per-partition verdict: pass iff every per-partition check passed and
     the partition produced no violation rows from global/keyed checks."""

@@ -199,3 +199,33 @@ def test_violations_sink_mode(sf_unit, tmp_path):
     pd.testing.assert_frame_equal(a, b)
     # hive layout: one dir per partition
     assert any("partition=" in f for f in files)
+
+
+def test_compare_reports(report, sf_unit):
+    """Run-over-run metric regression detection: a corrupted-vs-clean
+    comparison flags exactly the checks whose metric dropped."""
+    from metrics_ray.checks.stateless import NonNullCheck, RangeCheck
+    from metrics_ray.pipelines.clips import clips_factory, ensure_clips_parquet
+    from metrics_ray.runner import compare_reports, run_suite
+
+    factory = clips_factory(ensure_clips_parquet(sf_unit))
+    checks = lambda: [RangeCheck("dur_range", "dur_ms", 1, 30000),  # noqa: E731
+                      NonNullCheck("transcript_nonnull", "transcript")]
+    a = run_suite(factory, checks(), concurrency=2)
+
+    # identical run → no regressions
+    b = run_suite(factory, checks(), concurrency=2)
+    cmp_same = compare_reports(b, a).to_pandas()
+    assert not cmp_same.regressed.any()
+    assert (cmp_same.delta.abs() < 1e-12).all()
+
+    # widened range ⇒ fewer violations ⇒ HIGHER metric: improvement not
+    # regression; narrowed range ⇒ regression flagged
+    worse = run_suite(factory, [RangeCheck("dur_range", "dur_ms", 500, 1000),
+                                NonNullCheck("transcript_nonnull",
+                                             "transcript")], concurrency=2)
+    cmp_worse = compare_reports(worse, a).to_pandas()
+    dur = cmp_worse[cmp_worse.check_id == "dur_range"]
+    assert dur.regressed.any()
+    non = cmp_worse[cmp_worse.check_id == "transcript_nonnull"]
+    assert not non.regressed.any()

@@ -3,13 +3,15 @@ per-partition verdicts, and handles checkpoint/resume.
 
 Execution shape (SURVEY.md §7.3):
   1. ONE streaming map_batches pass over the clip table runs every row-local
-     check (stateless predicates + decode actor work + sketch partials +
+     check (stateless predicates + decode work + sketch partials +
      broadcast-join referential) — the input is scanned once, violations and
      tiny tagged partial rows are the only output that materializes.
   2. Keyed checks (exact uniqueness, content dedup) run as separate
-     column-pruned pipelines — each shuffles only key columns.
+     column-pruned pipelines CONCURRENTLY with the batch pass — each
+     shuffles only key columns.
   3. Driver-side reduce: counters sum per (check, partition); sketch blobs
-     merge associatively; finalize produces metric rows + verdicts.
+     merge associatively; finalize produces metric rows + verdicts. (With
+     a violations_sink, violation rows bypass the driver entirely.)
 
 The tagged-row trick: a map_batches stage has one output stream, so
 violations ('v') and per-batch partials ('p') share one schema and are
@@ -52,9 +54,13 @@ _EMPTY_TAGGED = TAGGED_SCHEMA.empty_table()
 
 
 class SuiteExecutor:
-    """Callable class → Ray Data actor pool. Check graph built + setup() run
-    ONCE per actor (__init__), per-batch work in __call__ (SURVEY.md §2.1:
-    Check.setup() ≈ ComplexQualityMetric.before())."""
+    """The per-worker check-graph executor. Check graph built + setup() run
+    once per __init__ (SURVEY.md §2.1: Check.setup() ≈
+    ComplexQualityMetric.before()); per-batch work in __call__.
+
+    Instantiated once per (worker process, pipeline) via the task-path
+    executor cache below — the default — or once per actor when
+    ``run_batch_checks(use_actors=True)``."""
 
     def __init__(self, checks: list[BatchCheck], ctx: CheckContext):
         self.checks = checks
@@ -417,12 +423,20 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
         return out, time.time() - tb
 
     keyed_plans = [(kid, fn(ds_factory)) for kid, fn in (keyed or {}).items()]
-    with ThreadPoolExecutor(max_workers=1 + len(keyed_plans)) as pool:
-        fut_batch = pool.submit(timed_batch)
-        fut_keyed = [(kid, pool.submit(collect_keyed, kv_ds))
-                     for kid, kv_ds in keyed_plans]
-        (viol, counters, partials), pass_wall_s = fut_batch.result()
-        keyed_results = [(kid, f.result()) for kid, f in fut_keyed]
+    if os.environ.get("METRICS_RAY_SEQUENTIAL_PIPELINES"):
+        # deterministic sequencing knob: on few contended cores the
+        # interleaving of concurrent pipelines adds wall-time variance;
+        # sequential execution trades peak overlap for stability
+        (viol, counters, partials), pass_wall_s = timed_batch()
+        keyed_results = [(kid, collect_keyed(kv_ds))
+                         for kid, kv_ds in keyed_plans]
+    else:
+        with ThreadPoolExecutor(max_workers=1 + len(keyed_plans)) as pool:
+            fut_batch = pool.submit(timed_batch)
+            fut_keyed = [(kid, pool.submit(collect_keyed, kv_ds))
+                         for kid, kv_ds in keyed_plans]
+            (viol, counters, partials), pass_wall_s = fut_batch.result()
+            keyed_results = [(kid, f.result()) for kid, f in fut_keyed]
 
     metrics = assemble_metrics(checks, counters, partials, ctx=ctx)
 

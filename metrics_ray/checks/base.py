@@ -52,6 +52,10 @@ class BatchOutcome:
     # per-partition sketch partials: partition -> blob (correct attribution
     # regardless of layout; enables per-partition sketch metrics + resume)
     partials: dict[int, bytes] | None = None
+    # per-row key stream for fused keyed checks: (partition, clip_id, key)
+    # rows emitted while the payload is already in memory — shuffled
+    # distributedly by the runner, NEVER collected to the driver
+    keys: pa.Table | None = None
 
 
 def violations_table(partition: np.ndarray, clip_id: np.ndarray | list,

@@ -199,6 +199,44 @@ def content_duplicates(ds, cols: tuple[str, ...] = ("bytes", "transcript"),
                          out_schema=KEYED_VIOLATION_SCHEMA)
 
 
+def content_duplicates_from_keys(keys_ds):
+    """Same dedup semantics over a pre-hashed key stream — the FUSED path:
+    the suite's single payload scan emits (key, clip_id, partition) rows
+    via ContentHashCheck, so the payload bytes are read ONCE for decode +
+    hashing together instead of twice."""
+    return grouped_apply(keys_ds, "key", _content_bucket_rows,
+                         out_schema=KEYED_VIOLATION_SCHEMA)
+
+
+class ContentHashCheck:
+    """Key-emitting pseudo-check for the fused content-dedup path: hashes
+    the identity columns inside the shared batch pass (payload already in
+    memory) and emits per-row key rows; no violations or counters of its
+    own — the dedup reduce happens in the keyed stage."""
+
+    check_id = "content_dedup"
+    is_estimate = False
+    per_partition_sketch = False
+
+    def __init__(self, cols: tuple[str, ...] = ("bytes", "transcript")):
+        self.cols = cols
+        self.columns = (*cols, "clip_id", "partition")
+
+    def setup(self, ctx) -> None:  # noqa: B027
+        pass
+
+    def evaluate(self, batch: pa.Table):
+        from .base import BatchOutcome
+
+        return BatchOutcome(keys=content_hash_batch(batch, self.cols))
+
+    def merge(self, partials):
+        return None
+
+    def finalize_value(self, scanned, violating, merged):
+        return 1.0, True, ""
+
+
 def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
                        right_key: str | None = None, n_buckets: int = 32):
     """Hash-partitioned anti-join for a non-broadcastable right side

@@ -90,6 +90,22 @@ class SuiteExecutor:
                     "violating": pa.array([0] * n_v, pa.int64()),
                     "payload": pa.array([None] * n_v, pa.binary()),
                 }))
+            if o.keys is not None and o.keys.num_rows:
+                k = o.keys
+                n_k = k.num_rows
+                out.append(pa.table({
+                    "kind": pa.array(["k"] * n_k),
+                    "check_id": pa.array([check.check_id] * n_k),
+                    "partition": k.column("partition"),
+                    "clip_id": k.column("clip_id"),
+                    "code": pa.array([None] * n_k, pa.string()),
+                    "actual": k.column("key"),  # the content key
+                    "expected": pa.array([None] * n_k, pa.string()),
+                    "detail": pa.array([None] * n_k, pa.string()),
+                    "scanned": pa.array([0] * n_k, pa.int64()),
+                    "violating": pa.array([0] * n_k, pa.int64()),
+                    "payload": pa.array([None] * n_k, pa.binary()),
+                }))
             parts = list(o.counters.keys())
             n_p = len(parts)
             if n_p or o.partial is not None or o.partials:
@@ -181,7 +197,8 @@ def run_batch_checks(ds, checks: list[BatchCheck],
                      concurrency: int | tuple[int, int] | None = None,
                      num_cpus: float = 1.0,
                      use_actors: bool = False,
-                     violations_sink: str | None = None):
+                     violations_sink: str | None = None,
+                     return_keys: bool = False):
     """Single streaming pass → (violations, counters_df, partials dict).
 
     Default execution is TASK-based (reused worker processes + per-process
@@ -224,23 +241,39 @@ def run_batch_checks(ds, checks: list[BatchCheck],
             num_cpus=num_cpus,
             **kwargs,
         )
-    if violations_sink is not None:
-        # keep violation rows off the driver: the tagged stream materializes
-        # in the object store (spillable), violations write to the sink as
-        # partitioned parquet, and only the tiny 'p' rows come back
+    keys_ds = None
+    if violations_sink is not None or return_keys:
+        # keep bulk rows off the driver: the tagged stream materializes in
+        # the object store (spillable); violation rows go to the sink as
+        # partitioned parquet (if requested), key rows stay a distributed
+        # Dataset for the fused keyed stage, and only the tiny 'p' rows
+        # (plus violations, when no sink) come back to the driver
         tagged = tagged.materialize()
-        (tagged.filter(expr='kind == "v"')
-               .select_columns(VIOLATION_SCHEMA.names)
-               .write_parquet(violations_sink, partition_cols=["partition"]))
+        if return_keys:
+            keys_ds = tagged.filter(expr='kind == "k"')
+        if violations_sink is not None:
+            (tagged.filter(expr='kind == "v"')
+                   .select_columns(VIOLATION_SCHEMA.names)
+                   .write_parquet(violations_sink,
+                                  partition_cols=["partition"]))
+            driver_expr = 'kind == "p"'
+        else:
+            driver_expr = 'kind != "k"'
         batches = list(
-            tagged.filter(expr='kind == "p"')
+            tagged.filter(expr=driver_expr)
             .iter_batches(batch_size=65536, batch_format="pyarrow"))
         all_rows = (pa.concat_tables(
             [pa.table(b) for b in batches]).cast(TAGGED_SCHEMA)
             if batches else _EMPTY_TAGGED)
         kinds = all_rows.column("kind").to_numpy(zero_copy_only=False)
-        viol = None
-        part_rows = all_rows
+        if violations_sink is not None:
+            viol = None
+            part_rows = all_rows
+        else:
+            viol = (all_rows.filter(pa.array(kinds == "v"))
+                    .select(VIOLATION_SCHEMA.names).cast(VIOLATION_SCHEMA)
+                    if (kinds == "v").any() else None)
+            part_rows = all_rows.filter(pa.array(kinds == "p"))
     else:
         # the tagged stream is small (violations + O(batches) partial rows):
         # stream it to the driver without materializing the input
@@ -266,6 +299,8 @@ def run_batch_checks(ds, checks: list[BatchCheck],
             partials.setdefault(cid, []).append((int(part_val), blob))
     if viol is None:
         viol = VIOLATION_SCHEMA.empty_table()
+    if return_keys:
+        return viol, counters, partials, keys_ds
     return viol, counters, partials
 
 
@@ -379,21 +414,30 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
               ctx: CheckContext | None = None,
               keyed: dict[str, Callable[[Any], Any]] | None = None,
               batch_size: int = 4096,
-              concurrency=None) -> SuiteReport:
+              concurrency=None,
+              keyed_from_keys: dict[str, tuple[Any, Callable]] | None = None,
+              ) -> SuiteReport:
     """Full suite: batch checks (one pass) + keyed shuffle checks.
 
     ``ds_factory(columns)`` returns the clip Dataset with optional projection
     pruning — each keyed pipeline re-reads only the columns it shuffles.
     ``keyed`` maps check_id → fn(ds) returning a violations Dataset.
-    """
+
+    ``keyed_from_keys`` maps check_id → (key_emitter_check, fn(keys_ds)):
+    the FUSED keyed path — the emitter runs inside the shared batch pass
+    (payload read once), its key rows stay a distributed Dataset, and fn
+    shuffles those instead of re-reading the table."""
     from concurrent.futures import ThreadPoolExecutor
 
     import ray
 
     t0 = time.time()
     ctx = ctx or CheckContext()
+    keyed_from_keys = keyed_from_keys or {}
+    emitters = [em for em, _ in keyed_from_keys.values()]
+    pass_checks = checks + emitters
     cols = set()
-    for c in checks:
+    for c in pass_checks:
         cols.update(c.columns)
     ds = ds_factory(sorted(cols) if cols else None)
 
@@ -418,8 +462,9 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
     # EXECUTION runs concurrently
     def timed_batch():
         tb = time.time()
-        out = run_batch_checks(ds, checks, ctx, batch_size=batch_size,
-                               concurrency=concurrency)
+        out = run_batch_checks(ds, pass_checks, ctx, batch_size=batch_size,
+                               concurrency=concurrency,
+                               return_keys=bool(emitters))
         return out, time.time() - tb
 
     keyed_plans = [(kid, fn(ds_factory)) for kid, fn in (keyed or {}).items()]
@@ -427,7 +472,7 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
         # deterministic sequencing knob: on few contended cores the
         # interleaving of concurrent pipelines adds wall-time variance;
         # sequential execution trades peak overlap for stability
-        (viol, counters, partials), pass_wall_s = timed_batch()
+        batch_out, pass_wall_s = timed_batch()
         keyed_results = [(kid, collect_keyed(kv_ds))
                          for kid, kv_ds in keyed_plans]
     else:
@@ -435,8 +480,22 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
             fut_batch = pool.submit(timed_batch)
             fut_keyed = [(kid, pool.submit(collect_keyed, kv_ds))
                          for kid, kv_ds in keyed_plans]
-            (viol, counters, partials), pass_wall_s = fut_batch.result()
+            batch_out, pass_wall_s = fut_batch.result()
             keyed_results = [(kid, f.result()) for kid, f in fut_keyed]
+    if emitters:
+        viol, counters, partials, keys_ds = batch_out
+        # fused keyed stages shuffle the already-computed key rows
+        # (kind='k': key in 'actual'); the payload was read exactly once
+        for kid, (_em, fn) in keyed_from_keys.items():
+            kd = (keys_ds.filter(expr=f'check_id == "{kid}"')
+                  .map_batches(lambda b: pa.table({
+                      "key": b.column("actual"),
+                      "partition": b.column("partition"),
+                      "clip_id": b.column("clip_id"),
+                  }), batch_format="pyarrow"))
+            keyed_results.append((kid, collect_keyed(fn(kd))))
+    else:
+        viol, counters, partials = batch_out
 
     metrics = assemble_metrics(checks, counters, partials, ctx=ctx)
 
@@ -472,7 +531,7 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
     manifest = {
         "rows_scanned": total_rows,
         "n_violations": int(viol.num_rows),
-        "n_checks": len(checks) + len(keyed or {}),
+        "n_checks": len(checks) + len(keyed or {}) + len(keyed_from_keys),
         "estimation": {c.check_id: c.is_estimate for c in checks},
         "wall_s": round(time.time() - t0, 3),
         # the streaming batch-check pass alone (concurrent with keyed

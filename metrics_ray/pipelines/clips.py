@@ -215,26 +215,33 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
                           with_decode: bool = True,
                           with_content_dedup: bool = True,
                           batch_size: int = 256, concurrency=None,
-                          baseline_factory=None) -> SuiteReport:
+                          baseline_factory=None,
+                          fuse_content_dedup: bool = True) -> SuiteReport:
     """Run the full check suite over an arbitrary clip ds_factory.
 
-    Content dedup runs FUSED: the shared batch pass hashes (bytes,
-    transcript) while the payload is in memory and emits key rows; the
-    dedup shuffle consumes those, so the table's payload columns are read
-    exactly once for decode + hashing together."""
+    ``fuse_content_dedup=True`` (default): the shared batch pass hashes
+    (bytes, transcript) while the payload is in memory and emits key rows;
+    the dedup shuffle consumes those, so the payload columns are read
+    exactly once — the right trade when the input streams from storage.
+    ``False`` runs dedup as an independent concurrent pipeline re-reading
+    the payload — better when the input is already in the object store
+    (a memory re-read is cheaper than serializing the extra stage behind
+    the batch pass)."""
     from ..checks.keyed import ContentHashCheck, content_duplicates_from_keys
 
     profile = build_baseline_profile(baseline_factory or factory)
     ctx = default_ctx(transcript_index=transcript_index_df(sf_dir, replicas),
                       baseline_profile=profile)
     keyed_from_keys = None
-    if with_content_dedup:
+    if with_content_dedup and fuse_content_dedup:
         keyed_from_keys = {"content_dedup": (ContentHashCheck(),
                                              content_duplicates_from_keys)}
     return run_suite(factory,
                      full_checks(with_decode=with_decode),
                      ctx=ctx,
-                     keyed=keyed_checks(with_content_dedup=False),
+                     keyed=keyed_checks(
+                         with_content_dedup=(with_content_dedup
+                                             and not fuse_content_dedup)),
                      batch_size=batch_size,
                      concurrency=concurrency,
                      keyed_from_keys=keyed_from_keys)

@@ -34,9 +34,36 @@ def _sf_tag(sf_dir: str) -> float:
         return -1.0
 
 
+def _quiet_ray_data_logging() -> None:
+    """Ship a logging config (via RAY_DATA_LOGGING_CONFIG, inherited by
+    every worker process) that drops Ray 2.49's once-per-reduce-task
+    "Failed to hash the schemas" warning — noise from pandas-block
+    schema dedup that floods the bench tail and hides real warnings.
+    Must run BEFORE ray.init so node workers inherit the env var."""
+    try:
+        import copy
+
+        import yaml
+        from ray.data._internal.logging import DEFAULT_CONFIG
+
+        cfg = copy.deepcopy(DEFAULT_CONFIG)
+        cfg["loggers"]["ray.data._internal.arrow_ops.transform_pyarrow"] = {
+            "level": "ERROR",
+            "handlers": ["file", "console"],
+            "propagate": False,
+        }
+        path = "/tmp/metrics_ray_data_logging.yaml"
+        with open(path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", path)
+    except Exception:
+        pass  # logging cosmetics only — never block the bench
+
+
 def _init_ray(num_cpus: int) -> None:
     import ray
 
+    _quiet_ray_data_logging()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, ignore_reinit_error=True,
@@ -180,9 +207,13 @@ def run_scaling(args) -> None:
                    "--replicas", str(replicas), "--headline-only", "--staged"]
             out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                                  cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            r = json.loads(line)
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if out.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling child (num_cpus={n}) failed "
+                    f"rc={out.returncode}; stderr tail:\n"
+                    + "\n".join(out.stderr.splitlines()[-20:]))
+            r = json.loads(lines[-1])
             if best is None or r["value"] < best["value"]:
                 best = r
         runs[n] = best

@@ -18,4 +18,15 @@ Architecture (SURVEY.md §7):
   - ``pipelines``  end-to-end pipelines exposed through __ray_entry__
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Ray 2.49's unify_schemas logs a harmless "Failed to hash the schemas (for
+# deduplication): unhashable type: 'dict'" warning for pandas-block schemas
+# produced by groupby/map_groups stages. It fires once per reduce task and
+# floods bench/driver tails, hiding real warnings. This module is imported in
+# every worker that deserializes our batch functions, so the level set here
+# applies engine-wide.
+import logging as _logging
+
+_logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(_logging.ERROR)

@@ -147,15 +147,36 @@ def exact_duplicate_keys(ds, column: str = "clip_id",
 
 def content_hash_batch(batch: pa.Table,
                        cols: tuple[str, ...] = ("bytes", "transcript")) -> pa.Table:
-    """Vectorized 64-bit content hash over the identity columns
+    """128-bit content digest over the identity columns
     (ExtensionalConciseness.java:92-134 replaced the O(n²) pairwise
-    set-equality with... nothing; here: hash + groupby, SURVEY.md §2.4)."""
-    h = np.zeros(len(batch), dtype=np.uint64)
-    for c in cols:
-        vals = batch.column(c).to_numpy(zero_copy_only=False)
-        h = h * _GOLD + hash64(vals).astype(np.uint64)
+    set-equality with... nothing; here: hash + groupby, SURVEY.md §2.4).
+
+    blake2b-128 over length-prefixed, type-tagged column values: at the
+    10^12-row design target a 64-bit key would see guaranteed birthday
+    collisions (~10^4 colliding pairs at 10^9 rows already) and report
+    false DUPLICATE_CONTENT violations on an exact (is_estimate=False)
+    check; 128 bits keeps the whole-corpus collision probability < 1e-14.
+    The digest is C-speed and memory-bandwidth-bound on the payload bytes
+    the batch already holds; the shuffle key is 32 hex chars."""
+    import hashlib
+
+    cols_data = [batch.column(c).to_pylist() for c in cols]
+    keys = []
+    for i in range(len(batch)):
+        d = hashlib.blake2b(digest_size=16)
+        for vals in cols_data:
+            v = vals[i]
+            if v is None:
+                enc = b"\x00"
+            elif isinstance(v, bytes):
+                enc = b"\x01" + v
+            else:
+                enc = b"\x02" + str(v).encode("utf-8")
+            d.update(len(enc).to_bytes(8, "little"))
+            d.update(enc)
+        keys.append(d.hexdigest())
     return pa.table({
-        "key": pa.array([f"{x:016x}" for x in h], pa.string()),
+        "key": pa.array(keys, pa.string()),
         "partition": batch.column("partition"),
         "clip_id": batch.column("clip_id"),
     })

@@ -73,13 +73,20 @@ _B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64).astype(np.uint64)
 
 
 def minhash_signature(shingles: set[str]) -> np.ndarray:
-    """128-permutation MinHash signature (uint64). Universal hashing
-    (a*h + b) mod p over stable 64-bit shingle hashes."""
+    """128-permutation MinHash signature (uint64) over stable 64-bit
+    shingle hashes.
+
+    Note on the hash family: the a*h product wraps mod 2^64 in uint64
+    BEFORE the Mersenne fold below, so this is a deterministic
+    overflow-wrapping mix, not exact (a*h + b) mod p universal hashing.
+    That is fine here: banding is only a candidate FILTER followed by
+    exact-Jaccard verification, so signature quality affects recall
+    constants, never correctness."""
     if not shingles:
         return np.full(N_PERM, np.uint64(_MERSENNE), dtype=np.uint64)
     h = hash64(np.array(sorted(shingles), dtype=object)).astype(np.uint64)
-    # (N_PERM, n) — modular arithmetic in python ints is exact; stay in
-    # uint64 with Mersenne-prime folding: (x & p) + (x >> 61) ≡ x mod p
+    # (N_PERM, n): uint64 wrap-around product, then Mersenne folding
+    # (x & p) + (x >> 61) to spread the result back into [0, ~p]
     x = (_A[:, None] * (h[None, :] & np.uint64(_MERSENNE))) + _B[:, None]
     x = (x & np.uint64(_MERSENNE)) + (x >> np.uint64(61))
     x = np.where(x >= _MERSENNE, x - np.uint64(_MERSENNE), x)
@@ -118,6 +125,19 @@ def simhash64(tokens: list[str]) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def hamming64_bulk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized hamming distance between paired uint64 arrays:
+    XOR + popcount (bytewise table lookup — no per-pair python)."""
+    x = a.astype(np.uint64) ^ b.astype(np.uint64)
+    if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+        return np.bitwise_count(x).astype(np.int64)
+    by = x.view(np.uint8).reshape(len(x), 8)
+    return _POPCOUNT8[by].sum(axis=1).astype(np.int64)
+
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def simhash_chunk_keys(sh: int, n_chunks: int = 4) -> list[str]:
@@ -160,9 +180,22 @@ LANG_CONF_HIGH = 0.30  # CorrectLanguageTag.java:58-59 thresholds 0.90/0.70,
 LANG_CONF_LOW = 0.10   # scaled to function-word hit-rates
 
 
+def lang_conf_tier(conf: float) -> str:
+    """The reference's dual-threshold semantics (CorrectLanguageTag.java:
+    58-59): >= HIGH → a confident prediction ('high'), between LOW and
+    HIGH → usable but flagged ('low'), below LOW → no prediction ('none',
+    lang_id reports 'und')."""
+    if conf >= LANG_CONF_HIGH:
+        return "high"
+    if conf >= LANG_CONF_LOW:
+        return "low"
+    return "none"
+
+
 def lang_id(text: str) -> tuple[str, float]:
     """Function-word-profile language ID → (lang, confidence). 'und'
-    (undetermined) below the low-confidence threshold."""
+    (undetermined) below the low-confidence threshold; pair with
+    lang_conf_tier for the high/low confidence split."""
     words = [w.lower() for w in text.split()]
     if not words:
         return "und", 0.0
@@ -183,19 +216,21 @@ def md5_fingerprint(text: str) -> str:
 
 
 def rolling_fingerprint(text: str, w: int = 8, mod: int = 1 << 31) -> int:
-    """Rabin-Karp min-fingerprint: minimum of the rolling polynomial hash
-    over all w-byte windows (winnowing-style document fingerprint)."""
-    data = text.encode("utf-8")
+    """Rabin-Karp min-fingerprint: minimum of the polynomial hash over all
+    w-byte windows (winnowing-style document fingerprint).
+
+    Vectorized: every window hash is sum(byte_j * base^(w-1-j)) mod m,
+    computed for all windows at once via a sliding-window view and one
+    int64 matvec (bytes < 2^8, powers < 2^31, w=8 → the dot product stays
+    < 2^42, no overflow before the final mod). Bit-identical to the former
+    per-byte rolling loop."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(data) < w:
-        data = data + b"\x00" * (w - len(data))
+        data = np.concatenate([data, np.zeros(w - len(data), np.uint8)])
     base = 257
-    h = 0
-    for ch in data[:w]:
-        h = (h * base + ch) % mod
-    best = h
-    pw = pow(base, w - 1, mod)
-    for i in range(w, len(data)):
-        h = ((h - data[i - w] * pw) * base + data[i]) % mod
-        if h < best:
-            best = h
-    return best
+    pw = np.array([pow(base, w - 1 - j, mod) for j in range(w)],
+                  dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(
+        data.astype(np.int64), w)
+    h = (windows @ pw) % mod
+    return int(h.min())

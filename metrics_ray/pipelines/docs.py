@@ -368,8 +368,8 @@ def q_doc_neardup_simhash(sf_dir: str) -> pa.Table:
             if len(ids) > 1000:
                 continue
             a, b = np.triu_indices(len(ids), k=1)
-            hd = np.array([T.hamming64(int(sigs[i]), int(sigs[j]))
-                           for i, j in zip(a, b)])
+            sig_arr = sigs.astype(np.uint64)
+            hd = T.hamming64_bulk(sig_arr[a], sig_arr[b])
             keep = hd <= SIMHASH_MAX_HD
             outs.append(_pair_frame(ids[a][keep], ids[b][keep],
                                     hd=pd.Series(hd[keep], dtype="int64")))
@@ -443,7 +443,8 @@ ORDER BY doc_a, doc_b"""
 
 def q_doc_lang_id(sf_dir: str) -> pa.Table:
     """Heuristic function-word language ID vs the declared lang column
-    (CorrectLanguageTag analog) — Ray-only (model-based)."""
+    (CorrectLanguageTag analog, incl. its dual 0.90/0.70 confidence
+    thresholds via conf_tier) — Ray-only (model-based)."""
     def lid(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
         langs = b.column("lang").to_pylist()
@@ -453,6 +454,8 @@ def q_doc_lang_id(sf_dir: str) -> pa.Table:
             "declared": b.column("lang"),
             "predicted": pa.array(list(pred), pa.string()),
             "confidence": pa.array(list(conf), pa.float64()),
+            "conf_tier": pa.array([T.lang_conf_tier(c) for c in conf],
+                                  pa.string()),
             "agree": pa.array([p == l for p, l in zip(pred, langs)],
                               pa.bool_()),
         })

@@ -3,8 +3,9 @@ validation, brute-force cosine top-k (ANN baseline), exact near-duplicate
 detection, and an LSH-bucketed approximate variant (the scale path).
 
 Near-dup runs over a derived VCORPUS = embeddings plus seeded near-identical
-copies (vec_id % 11 == 3 → vec_id + 1_000_000 with +0.5 added to the first
-component), mirrored exactly in SQL so DuckDB's ``list_cosine_similarity``
+copies (vec_id % 11 == 3 → vec_id + 1_000_000 with +0.1 added to the first
+component — the vectors are unit-norm, so +0.1 keeps cosine ≈ 0.995, above
+the 0.98 threshold), mirrored exactly in SQL so DuckDB's ``list_cosine_similarity``
 is the oracle. All similarity math is float64 on both sides; cosines are
 rounded to 6 decimals before thresholding/ranking so engine and oracle order
 identically.

@@ -162,16 +162,19 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"])
-    seg_map = dict(zip(cust.column("c_custkey").to_pylist(),
-                       cust.column("c_mktsegment").to_pylist()))
-    seg_ref = ray.put(seg_map)
+    seg_series = pd.Series(
+        cust.column("c_mktsegment").to_pylist(),
+        index=cust.column("c_custkey").to_numpy(zero_copy_only=False))
+    seg_ref = ray.put(seg_series)
 
     def enrich(b: pa.Table) -> pa.Table:
         seg = ray.get(seg_ref)
-        keys = b.column("o_custkey").to_pylist()
+        keys = b.column("o_custkey").to_numpy(zero_copy_only=False)
         price = b.column("o_totalprice").to_numpy(zero_copy_only=False)
         df = pd.DataFrame({
-            "segment": [seg.get(k, "UNKNOWN") for k in keys],
+            # vectorized hash lookup on the broadcast Series (no per-row
+            # python dict.get)
+            "segment": pd.Series(keys).map(seg).fillna("UNKNOWN").to_numpy(),
             "price": price,
         })
         g = df.groupby("segment", sort=False)["price"].agg(["size", "sum"])

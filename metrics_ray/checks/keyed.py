@@ -83,6 +83,28 @@ def grouped_apply(ds, key, fn, n_buckets: int | None = None,
             .map_groups(apply, batch_format=batch_format))
 
 
+def cap_group_members(ids: np.ndarray, cap: int,
+                      salt: int = 0x5BD1E995) -> np.ndarray:
+    """Deterministic bounded subsample of a hot group's members.
+
+    The reference handles skew by SAMPLING strata proportionally
+    (EstimatedDereferenceabilityByStratified.java:76-80), never by
+    dropping them. For pair-generating stages (LSH bands, simhash chunks,
+    vector buckets) a group of size g costs O(g²) pairs; a degenerate
+    mega-group (hot band key, near-constant column) must be bounded — but
+    round 1's ``continue`` silently lost ALL of its recall. This keeps a
+    deterministic pseudo-random ``cap``-subset instead: members with the
+    smallest hash64 priority (stable across workers/runs, no RNG), so a
+    mega-group degrades to sampled recall rather than zero.
+
+    Returns indices into ``ids`` (all of them when len <= cap)."""
+    if len(ids) <= cap:
+        return np.arange(len(ids))
+    pri = hash64(np.asarray(ids, dtype=np.int64)
+                 * np.int64(2654435761) + np.int64(salt))
+    return np.sort(np.argsort(pri, kind="stable")[:cap])
+
+
 def _preagg_key_counts(batch: pa.Table, col: str) -> pa.Table:
     """Per-batch (key, partition, cnt) partial counts (combiner before the
     groupby shuffle, 'Aggregation at scale' pattern)."""

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..checks.keyed import grouped_apply, shuffle_blocks
+from ..checks.keyed import cap_group_members, grouped_apply, shuffle_blocks
 from ..functions import text as T
 from ..functions.rounding import round_half_away
 
@@ -241,13 +241,107 @@ def _pair_frame(a, b, **extra) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
+_MEMBER_SCHEMA = pa.schema([
+    ("key", pa.int64()), ("side", pa.string()),
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text", pa.string()),
+])
+_ATTACHED_SCHEMA = pa.schema([
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("member", pa.int64()), ("text", pa.string()),
+])
+
+
+def verify_pairs_distributed(cand, corpus, tau: float = NEAR_DUP_TAU):
+    """Exact-Jaccard verification of candidate pairs WITHOUT any driver
+    materialization or whole-corpus broadcast (round-1's #1 scale defect:
+    the old path ray.put a dict of every document's text).
+
+    Dataflow (all bucketed hash co-groups; checks/keyed.py grouped_apply):
+      1. explode each candidate pair into two member rows keyed by the
+         member doc_id, union with the (doc_id, text) corpus stream;
+      2. co-group on doc_id → each member row picks up its text; the full
+         corpus text crosses the exchange exactly ONCE, member rows are
+         O(candidates) (rare by construction);
+      3. co-group on (doc_a, doc_b) → the two attached texts meet, exact
+         Jaccard, keep >= tau.
+    At 10^12 rows every stage is a key-hash shuffle with per-bucket
+    vectorized reduction; nothing scales with corpus size on the driver."""
+    def explode(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy(zero_copy_only=False)
+        bb = b.column("doc_b").to_numpy(zero_copy_only=False)
+        key = np.concatenate([a, bb])
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "side": pa.array(["m"] * len(key), pa.string()),
+            "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "doc_b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+            "text": pa.array([None] * len(key), pa.string()),
+        })
+
+    def tag_corpus(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": b.column("doc_id").cast(pa.int64()),
+            "side": pa.array(["t"] * n, pa.string()),
+            "doc_a": pa.array([None] * n, pa.int64()),
+            "doc_b": pa.array([None] * n, pa.int64()),
+            "text": b.column("text"),
+        })
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["side"] == "t"]
+        m = df[df["side"] == "m"]
+        if m.empty:
+            return pd.DataFrame({
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "member": pd.Series(dtype="int64"),
+                "text": pd.Series(dtype="object"),
+            })
+        tmap = pd.Series(t["text"].to_numpy(), index=t["key"].to_numpy())
+        tmap = tmap[~tmap.index.duplicated()]
+        return pd.DataFrame({
+            "doc_a": m["doc_a"].astype("int64"),
+            "doc_b": m["doc_b"].astype("int64"),
+            "member": m["key"].astype("int64"),
+            "text": m["key"].map(tmap),
+        })
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b, rows_j = [], [], []
+        # pairs are rare (banding already filtered); the loop touches only
+        # candidate groups inside this bucket
+        for (a, bb), g in df.groupby(["doc_a", "doc_b"], sort=False):
+            tx = dict(zip(g["member"], g["text"]))
+            ta, tb = tx.get(a), tx.get(bb)
+            if ta is None or tb is None:
+                continue
+            j = T.jaccard(T.word_shingles(ta), T.word_shingles(tb))
+            if j >= tau:
+                rows_a.append(int(a)); rows_b.append(int(bb))
+                rows_j.append(round_half_away(j, 6))
+        return pd.DataFrame({
+            "doc_a": pd.Series(rows_a, dtype="int64"),
+            "doc_b": pd.Series(rows_b, dtype="int64"),
+            "jacc": pd.Series(rows_j, dtype="float64"),
+        })
+
+    members = cand.map_batches(explode, batch_format="pyarrow")
+    tagged = members.union(
+        corpus.map_batches(tag_corpus, batch_format="pyarrow"))
+    attached = grouped_apply(tagged, "key", attach,
+                             out_schema=_ATTACHED_SCHEMA)
+    return grouped_apply(attached, ["doc_a", "doc_b"], verify,
+                         out_schema=_PAIR_J_SCHEMA)
+
+
 def q_doc_neardup_minhash(sf_dir: str) -> pa.Table:
     """Near-duplicate pairs via MinHash banding: shingle → 128-perm
-    signature → 32 band keys → groupby(band) candidates → exact-Jaccard
-    verify ≥ {tau}. Verification recall ≈ 1 at τ=0.8 (p_miss < 1e-7), so
-    the result set equals the exact O(n²) oracle."""
-    import ray
-
+    signature → 32 band keys → groupby(band) candidates → DISTRIBUTED
+    exact-Jaccard verify ≥ {tau} (bucketed co-group join on doc_id, see
+    verify_pairs_distributed — no whole-corpus broadcast). Verification
+    recall ≈ 1 at τ=0.8 (p_miss < 1e-7), so the result set equals the
+    exact O(n²) oracle."""
     def band_batch(b: pa.Table) -> pa.Table:
         ids, keys = [], []
         for doc_id, txt in zip(b.column("doc_id").to_pylist(),
@@ -266,15 +360,17 @@ def q_doc_neardup_minhash(sf_dir: str) -> pa.Table:
         outs = [_pair_frame([], [])]
         for _, g in multi.groupby("band"):
             ids = np.sort(g["doc_id"].to_numpy())
-            if len(ids) > 1000:  # skew guard: degenerate mega-band
-                continue
+            # skew guard: a degenerate mega-band is SAMPLED (bounded
+            # pair-gen, deterministic subset), not dropped
+            ids = ids[cap_group_members(ids, 1000)]
             a, b = np.triu_indices(len(ids), k=1)
             outs.append(_pair_frame(ids[a], ids[b]))
         return pd.concat(outs, ignore_index=True)
 
-    # derive the corpus ONCE; the banding pipeline and the verify broadcast
-    # both consume the materialized blocks (from_arrow_refs breaks lineage
-    # so neither consumer re-runs the derivation)
+    # derive the corpus ONCE; the banding pipeline and the verify join both
+    # consume the materialized BLOCKS (object-store refs — from_arrow_refs
+    # breaks lineage so neither consumer re-runs the derivation; nothing is
+    # pulled to the driver)
     import ray.data as rd
 
     corpus_refs = corpus_ds(sf_dir).materialize().to_arrow_refs()
@@ -286,27 +382,9 @@ def q_doc_neardup_minhash(sf_dir: str) -> pa.Table:
         lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
         out_schema=_PAIR_SCHEMA)
 
-    # verify: broadcast the candidate docs' texts (small side), exact Jaccard
-    texts = {r["doc_id"]: r["text"]
-             for t in ray.get(corpus_refs)
-             for r in t.select(["doc_id", "text"]).to_pylist()}
-    texts_ref = ray.put(texts)
-
-    def verify(b: pa.Table) -> pa.Table:
-        tx = ray.get(texts_ref)
-        rows = []
-        for a, bb in zip(b.column("doc_a").to_pylist(),
-                         b.column("doc_b").to_pylist()):
-            j = T.jaccard(T.word_shingles(tx[a]), T.word_shingles(tx[bb]))
-            if j >= NEAR_DUP_TAU:
-                rows.append((a, bb, round_half_away(j, 6)))
-        return pa.table({
-            "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows], pa.int64()),
-            "jacc": pa.array([r[2] for r in rows], pa.float64()),
-        })
-
-    out = cand.map_batches(verify, batch_format="pyarrow")
+    out = verify_pairs_distributed(
+        cand, rd.from_arrow_refs(corpus_refs).map_batches(
+            lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"))
     res = _collect(out, ["doc_a", "doc_b"])
     if res is None:
         return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -365,8 +443,8 @@ def q_doc_neardup_simhash(sf_dir: str) -> pa.Table:
             g = g.sort_values("doc_id")
             ids = g["doc_id"].to_numpy()
             sigs = g["sig"].to_numpy()
-            if len(ids) > 1000:
-                continue
+            keep_idx = cap_group_members(ids, 1000)  # sample, don't drop
+            ids, sigs = ids[keep_idx], sigs[keep_idx]
             a, b = np.triu_indices(len(ids), k=1)
             sig_arr = sigs.astype(np.uint64)
             hd = T.hamming64_bulk(sig_arr[a], sig_arr[b])

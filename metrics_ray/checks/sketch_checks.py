@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..schema import Codes
-from ..sketches import HLL, FixedHistogram, TDigest, hash64, loads_any
+from ..sketches import HLL, BottomKSample, FixedHistogram, TDigest, hash64, loads_any
 from .base import BatchCheck, BatchOutcome, CheckContext, per_partition_counts
 
 
@@ -103,6 +103,67 @@ class QuantileProfileCheck(BatchCheck):
         qs = {q: td.quantile(q) for q in (0.01, 0.25, 0.5, 0.75, 0.99)}
         detail = " ".join(f"p{int(q*100):02d}={v:.1f}" for q, v in qs.items())
         return qs[0.5], True, detail
+
+
+class ReservoirQuantileCheck(BatchCheck):
+    """Reservoir-sample estimate over a numeric column — the reference's
+    1M-slot reservoir metrics
+    (EstimateSimpleEntitiesAsMembersOfDisjointClasses.java:55,
+    ReservoirSampler.java) re-expressed on the mergeable bottom-k sketch
+    (sketches.BottomKSample): each batch contributes a deterministic
+    hash-priority sample keyed on clip_id; partials merge associatively
+    (identical to one single-stream reservoir pass).
+
+    metric = sample median of ``column``; detail carries the sample size
+    and p25/p75. Always passes — like QuantileProfileCheck it informs,
+    but through the reference's SAMPLE-the-rows machinery rather than a
+    streaming digest (the two estimates cross-check each other)."""
+
+    is_estimate = True
+
+    def __init__(self, check_id: str, column: str, k: int = 1024,
+                 key_column: str = "clip_id"):
+        self.check_id = check_id
+        self.column = column
+        self.k = k
+        self.key_column = key_column
+        self.columns = (column, key_column, "partition")
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        vals = batch.column(self.column).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keys = np.array(batch.column(self.key_column).to_pylist(),
+                        dtype=object)
+        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        partials: dict[int, bytes] = {}
+        for p in np.unique(part):
+            sel = part == p
+            bk = BottomKSample(self.k)
+            bk.add(keys[sel], vals[sel])
+            partials[int(p)] = bk.dumps()
+        return BatchOutcome(
+            counters=per_partition_counts(part, np.zeros(len(batch), bool)),
+            partials=partials,
+        )
+
+    def merge(self, partials):
+        if not partials:
+            return None
+        acc = loads_any(partials[0])
+        for b in partials[1:]:
+            acc = acc.merge(loads_any(b))
+        return acc.dumps()
+
+    def finalize_value(self, scanned, violating, merged):
+        if merged is None:
+            return float("nan"), True, ""
+        bk = loads_any(merged)
+        if bk.n == 0:
+            return float("nan"), True, "empty sample"
+        vals = np.sort(bk.sample().astype(np.float64))
+        p25, p50, p75 = (float(np.quantile(vals, q))
+                         for q in (0.25, 0.5, 0.75))
+        return p50, True, f"n={bk.n} p25={p25:.1f} p75={p75:.1f}"
 
 
 class DriftCheck(BatchCheck):

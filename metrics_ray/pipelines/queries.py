@@ -293,6 +293,72 @@ def q_decode_violations(sf_dir: str) -> pa.Table:
             .sort_by([("clip_id", "ascending"), ("code", "ascending")]))
 
 
+DECODE_SAMPLE_FRACTION = 0.5
+
+
+def q_decode_violations_sampled(sf_dir: str) -> pa.Table:
+    """Decode/SNR invariants in the reference's Estimated* execution mode
+    (EstimatedMisreportedContentType.java:86-130): decode only a seeded
+    deterministic half of the clips; the result is the exact subset of
+    the full-scan violations whose clip_id falls in the sample (asserted
+    in tests, with the reference's tol-0.15 rate comparison)."""
+    from ..checks.decode import DecodeCheck
+
+    path = ensure_clips_parquet(sf_dir)
+    check = DecodeCheck(check_id="decode_invariants_sampled",
+                        sample_fraction=DECODE_SAMPLE_FRACTION)
+    ds = clips_factory(path)(list(DecodeCheck.columns))
+    viol, _, _ = run_batch_checks(ds, [check], batch_size=128)
+    return (viol.select(["clip_id", "code"])
+            .sort_by([("clip_id", "ascending"), ("code", "ascending")]))
+
+
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Proportional per-stratum sample of the clips table (the
+    ByStratified analog): deterministic 20% Bernoulli-by-hash on clip_id
+    — expected 20% of EVERY partition without computing partition sizes
+    or shuffling. Rows-only (hash sampling is not SQL-expressible);
+    determinism and per-stratum proportions asserted in tests."""
+    from ..stages.sampling import stratified_sample
+
+    ds = stratified_sample(
+        _meta_ds(sf_dir).select_columns(["clip_id", "partition"]),
+        fraction=0.2, row_key="clip_id")
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "partition": pa.array([], pa.int32())})
+    return pa.concat_tables(tables).sort_by([("clip_id", "ascending")])
+
+
+def q_ev_user_sample(sf_dir: str) -> pa.Table:
+    """Per-key bounded sample over the events stream (the ByTld per-key
+    reservoir analog): at most 5 events per user, selected by
+    deterministic hash priority on event_id. Rows-only; the <= k bound,
+    determinism, and per-key uniformity are asserted in tests."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.sampling import per_key_sample
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id"])
+    out = per_key_sample(
+        ds, key="user_id", k=5, row_key="event_id",
+        out_schema=pa.schema([("user_id", pa.int64()),
+                              ("event_id", pa.int64())]))
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "event_id": pa.array([], pa.int64())})
+    return pa.concat_tables(tables).sort_by(
+        [("user_id", "ascending"), ("event_id", "ascending")])
+
+
 def q_partition_distinct(sf_dir: str) -> pa.Table:
     """Per-partition approximate distinct clip_id counts, merged INSIDE
     Ray's groupby-aggregate operator (custom mergeable AggregateFn over
@@ -393,6 +459,9 @@ VALIDATION_QUERIES = {
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, None),
+    "val_decode_violations_sampled": (q_decode_violations_sampled, None),
+    "val_stratified_sample": (q_stratified_sample, None),
+    "ev_user_sample": (q_ev_user_sample, None),
     "val_content_dedup": (q_content_dedup, None),
     "val_audio_features": (q_audio_features, None),
     "val_partition_distinct": (q_partition_distinct, None),

@@ -251,21 +251,39 @@ FROM expanded GROUP BY 1 ORDER BY 1"""
 
 # ------------------------------------------------------------ sessionization
 
+_SESSIONS_SCHEMA = pa.schema([("user_id", pa.int64()),
+                              ("n_events", pa.int64()),
+                              ("n_sessions", pa.int64())])
+
+
 def q_ev_sessions(sf_dir: str) -> pa.Table:
-    """Gap sessionization: hash-shuffle by user_id, per-group sort by
-    (ts, event_id), new session when gap > 30 min."""
-    def sessions(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        gaps = g["ts"].diff().dt.total_seconds()
-        n_sessions = int((gaps > SESSION_GAP_S).sum()) + 1
-        return pa.table({
-            "user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
-            "n_events": pa.array([len(g)], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
+    """Gap sessionization: hash-BUCKET by user_id (grouped_apply — one
+    vectorized pandas fold per coarse bucket, never a python dispatch per
+    user), sort each bucket by (user_id, ts, event_id), new session when
+    the within-user gap > 30 min.
+
+    user_id is high-cardinality, so the per-key
+    ``groupby(user).map_groups`` shape costs a python call + DataFrame
+    per user — the exact anti-pattern grouped_apply exists to avoid; the
+    bucketed fold keeps identical semantics (keys only need co-location)."""
+    from ..checks.keyed import grouped_apply
+
+    def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gap = df.groupby("user_id", sort=False)["ts"].diff().dt.total_seconds()
+        g = (df.assign(brk=(gap > SESSION_GAP_S))
+             .groupby("user_id", sort=False)
+             .agg(n_events=("ts", "size"), brk=("brk", "sum"))
+             .reset_index())
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "n_events": g["n_events"].astype("int64"),
+            "n_sessions": (g["brk"] + 1).astype("int64"),
         })
 
-    out = (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
-           .repartition(shuffle_blocks()).groupby("user_id").map_groups(sessions, batch_format="pandas"))
+    out = grouped_apply(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        "user_id", sessions_bucket, out_schema=_SESSIONS_SCHEMA)
     return _collect(out, ["user_id"])
 
 

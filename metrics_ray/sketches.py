@@ -213,7 +213,82 @@ class FixedHistogram:
         return FixedHistogram(e, c)
 
 
+# ------------------------------------------------------------- reservoir
+
+@dataclass
+class BottomKSample:
+    """Deterministic mergeable uniform sample (bottom-k sketch) — the
+    mergeable re-expression of the reference's 1M-slot reservoir
+    (``ReservoirSampler.java``, used by
+    ``EstimateSimpleEntitiesAsMembersOfDisjointClasses.java:55`` and the
+    per-key reservoirs of ``EstimatedDereferenceabilityByTld.java:151-167``).
+
+    A classic reservoir is order-dependent and RNG-stateful — unusable
+    when thousands of workers each see a slice of the stream. Bottom-k is
+    the associative equivalent: every item gets a fixed hash priority
+    (seeded, no RNG at add time) and the sketch keeps the k smallest.
+    Merge = concat + reselect: associative, commutative, IDEMPOTENT
+    (re-merging a checkpointed partial is harmless), and the result is
+    identical to a single-stream pass — exactly the property the
+    checkpoint/resume path needs. For distinct item keys the selected set
+    is a uniform without-replacement sample of the distinct keys."""
+
+    k: int = 1024
+    seed: int = 7
+    priorities: np.ndarray = field(
+        default_factory=lambda: np.empty(0, np.uint64))
+    values: np.ndarray = field(
+        default_factory=lambda: np.empty(0, object))
+
+    def add(self, keys: np.ndarray, values: np.ndarray | None = None) -> None:
+        """``keys`` determine the priorities (row identity, e.g. clip_id);
+        ``values`` are the sampled payloads (default: the keys)."""
+        keys = np.asarray(keys, dtype=object)
+        if keys.size == 0:
+            return
+        vals = keys if values is None else np.asarray(values, dtype=object)
+        pri = hash64(keys) ^ np.uint64(self.seed * 0x9E3779B97F4A7C15 % (1 << 64))
+        self.priorities = np.concatenate([self.priorities, pri])
+        self.values = np.concatenate([self.values, vals])
+        self._select()
+
+    def merge(self, other: "BottomKSample") -> "BottomKSample":
+        out = BottomKSample(
+            self.k, self.seed,
+            np.concatenate([self.priorities, other.priorities]),
+            np.concatenate([self.values, other.values]))
+        out._select()
+        return out
+
+    def _select(self) -> None:
+        # dedupe identical priorities (same key re-added / re-merged),
+        # then keep the k smallest
+        pri, idx = np.unique(self.priorities, return_index=True)
+        vals = self.values[idx]
+        if pri.size > self.k:
+            pri, vals = pri[: self.k], vals[: self.k]
+        self.priorities, self.values = pri, vals
+
+    def sample(self) -> np.ndarray:
+        return self.values
+
+    @property
+    def n(self) -> int:
+        return int(self.priorities.size)
+
+    def dumps(self) -> bytes:
+        return pickle.dumps(
+            ("bottomk", self.k, self.seed, self.priorities, self.values))
+
+    @staticmethod
+    def loads(b: bytes) -> "BottomKSample":
+        tag, k, seed, pri, vals = pickle.loads(b)
+        assert tag == "bottomk"
+        return BottomKSample(k, seed, pri, vals)
+
+
 def loads_any(b: bytes):
     tag = pickle.loads(b)[0]
     return {"hll": HLL.loads, "tdigest": TDigest.loads,
-            "hist": FixedHistogram.loads}[tag](b)
+            "hist": FixedHistogram.loads,
+            "bottomk": BottomKSample.loads}[tag](b)

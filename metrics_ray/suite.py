@@ -14,7 +14,12 @@ from .checks.base import BatchCheck, CheckContext
 from .checks.decode import DecodeCheck
 from .checks.keyed import content_duplicates, exact_duplicate_keys
 from .checks.referential import ReferentialCheck
-from .checks.sketch_checks import DistinctHLLCheck, DriftCheck, QuantileProfileCheck
+from .checks.sketch_checks import (
+    DistinctHLLCheck,
+    DriftCheck,
+    QuantileProfileCheck,
+    ReservoirQuantileCheck,
+)
 from .checks.stateless import EnumCheck, NonNullCheck, RangeCheck, RegexCheck, SchemaCheck
 from .schema import (
     CLIP_ID_RE,
@@ -46,6 +51,7 @@ def sketch_checks() -> list[BatchCheck]:
     return [
         DistinctHLLCheck("clipid_unique_hll", "clip_id"),
         QuantileProfileCheck("dur_profile", "dur_ms"),
+        ReservoirQuantileCheck("dur_reservoir", "dur_ms"),
         DriftCheck("dur_drift_psi", "dur_ms"),
     ]
 

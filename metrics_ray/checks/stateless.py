@@ -119,6 +119,125 @@ class RegexCheck(BatchCheck):
                              self.pattern)
 
 
+class OwnershipCheck(BatchCheck):
+    """Partition-authority predicate — the OntologyHijacking analog
+    (OntologyHijacking.java:143-155: a document must not redefine terms
+    whose authority belongs to another namespace). Here the authority of a
+    clip is derived from its id: the partition that OWNS clip-NNNNNNNN is
+    ``int(NNNNNNNN) % n_partitions``; a row stored under a different
+    partition is a hijacked write (it claims an identity another
+    partition is authoritative for — exactly how the duplicate-id
+    corruption manifests: the k%101 rows copy a NEIGHBOR partition's id).
+
+    Rows whose id does not match the format are skipped here (they are
+    already flagged by RegexCheck); stateless, SQL-mirrorable."""
+
+    def __init__(self, check_id: str, n_partitions: int = 8,
+                 id_re: str | None = None):
+        from ..schema import CLIP_ID_RE
+
+        self.check_id = check_id
+        self.n_partitions = n_partitions
+        self.id_re = id_re or CLIP_ID_RE
+        self.columns = ("clip_id", "partition")
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        import pandas as pd
+
+        col = batch.column("clip_id")
+        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        valid = pc.match_substring_regex(
+            pc.fill_null(col, ""), self.id_re).to_numpy(
+                zero_copy_only=False).astype(bool)
+        ids = pd.Series(col.to_pylist(), dtype="object")
+        num = pd.to_numeric(ids.str.slice(5), errors="coerce")
+        owner = (num % self.n_partitions).to_numpy()
+        mask = valid & (owner != part)
+        counters = per_partition_counts(part, mask)
+        viol = None
+        if mask.any():
+            idx = np.nonzero(mask)[0]
+            viol = violations_table(
+                part[idx],
+                [ids.iloc[i] for i in idx],
+                Codes.WRONG_PARTITION,
+                [f"partition {int(part[i])}" for i in idx],
+                f"owner partition = id % {self.n_partitions}",
+                "",
+            )
+        return BatchOutcome(violations=viol, counters=counters)
+
+
+# declarative cross-column rule: (name, (col, op, value), (col, op, value))
+# — violation when the WHEN predicate holds and the REQUIRE predicate fails
+CrossRule = tuple[str, tuple, tuple]
+
+
+def _col_pred(batch: pa.Table, spec: tuple) -> np.ndarray:
+    """Vectorized single-column predicate → bool mask (null → False)."""
+    col, op, val = spec
+    c = batch.column(col)
+    if op == "null_or_empty":
+        out = c.is_null()
+        if pa.types.is_string(c.type):
+            out = pc.or_(out, pc.equal(pc.fill_null(c, "x"), ""))
+        return out.to_numpy(zero_copy_only=False).astype(bool)
+    cmp = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+           ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}
+    if op in cmp:
+        res = cmp[op](c, val)
+    elif op == "in":
+        res = pc.is_in(c, value_set=pa.array(list(val), c.type))
+    elif op == "not_in":
+        res = pc.invert(pc.is_in(c, value_set=pa.array(list(val), c.type)))
+    else:
+        raise ValueError(f"unknown cross-column op {op!r}")
+    return pc.fill_null(res, False).to_numpy(zero_copy_only=False).astype(bool)
+
+
+class CrossColumnCheck(BatchCheck):
+    """Declarative column-pair coherence rules — the
+    MisusedOwlDatatypeOrObjectProperties.java:59-123 /
+    MisplacedClassesOrProperties.java:60-152 analog: a value must be of
+    the KIND its paired declaration implies (an object property must not
+    carry a literal; a positive duration must not pair with a zero sample
+    rate; an empty codec declaration must not pair with content-bearing
+    text). Each rule is data, not code: (name, when-pred, require-pred),
+    evaluated as vectorized Arrow kernels; a row violates a rule when
+    WHEN holds and REQUIRE does not."""
+
+    def __init__(self, check_id: str, rules: list[CrossRule]):
+        self.check_id = check_id
+        self.rules = rules
+        used = set()
+        for _name, when, require in rules:
+            used.add(when[0]); used.add(require[0])
+        self.columns = (*sorted(used), "clip_id", "partition")
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        clip_ids = batch.column("clip_id").to_pylist()
+        any_mask = np.zeros(len(batch), dtype=bool)
+        tables = []
+        for name, when, require in self.rules:
+            bad = _col_pred(batch, when) & ~_col_pred(batch, require)
+            if bad.any():
+                idx = np.nonzero(bad)[0]
+                req_vals = batch.column(require[0]).take(
+                    pa.array(idx)).to_pylist()
+                tables.append(violations_table(
+                    part[idx], [clip_ids[i] for i in idx],
+                    Codes.KIND_MISMATCH, req_vals,
+                    f"{require[0]} {require[1]} {require[2]}"
+                    f" when {when[0]} {when[1]} {when[2]}",
+                    name,
+                ))
+            any_mask |= bad
+        counters = per_partition_counts(part, any_mask)
+        viol = pa.concat_tables(tables) if tables else None
+        return BatchOutcome(violations=viol, counters=counters)
+
+
 class SchemaCheck(BatchCheck):
     """Arrow-schema conformance — names and types of the batch must match the
     declared table schema (the engine-level CompatibleDatatype: data is never

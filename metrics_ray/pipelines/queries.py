@@ -17,7 +17,14 @@ from .. import synth
 from ..checks.base import CheckContext
 from ..checks.keyed import content_duplicates, exact_duplicate_keys
 from ..checks.referential import ReferentialCheck
-from ..checks.stateless import EnumCheck, NonNullCheck, RangeCheck, RegexCheck
+from ..checks.stateless import (
+    CrossColumnCheck,
+    EnumCheck,
+    NonNullCheck,
+    OwnershipCheck,
+    RangeCheck,
+    RegexCheck,
+)
 from ..runner import run_batch_checks
 from ..schema import (
     CLIP_ID_RE,
@@ -119,6 +126,41 @@ SQL_CLIPID_FORMAT = f"""WITH {synth.CLIPS_SQL}
 SELECT clip_id FROM clips
 WHERE NOT regexp_matches(clip_id, '^clip-[0-9]{{8}}$')
 ORDER BY clip_id"""
+
+
+def q_ownership(sf_dir: str) -> pa.Table:
+    """Partition-authority violations (OntologyHijacking analog): rows
+    written under a partition that does not own their clip_id."""
+    return _single_check_violations(
+        sf_dir, OwnershipCheck("partition_ownership"))
+
+
+SQL_OWNERSHIP = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id, 'partition ' || CAST(partition AS VARCHAR) AS actual
+FROM clips
+WHERE regexp_matches(clip_id, '^clip-[0-9]{{8}}$')
+  AND CAST(substr(clip_id, 6) AS BIGINT) % 8 != partition
+ORDER BY clip_id, actual"""
+
+
+def q_cross_kind(sf_dir: str) -> pa.Table:
+    """Cross-column kind-coherence violations (declarative rule bank)."""
+    from ..suite import CROSS_RULES
+
+    viol, _, _ = run_batch_checks(
+        _meta_ds(sf_dir), [CrossColumnCheck("cross_kind", CROSS_RULES)])
+    return (viol.select(["clip_id", "detail"])
+            .rename_columns(["clip_id", "rule"])
+            .sort_by([("clip_id", "ascending"), ("rule", "ascending")]))
+
+
+SQL_CROSS_KIND = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id, 'dur_requires_sr' AS rule FROM clips
+WHERE dur_ms > 0 AND NOT (sr_hz > 0)
+UNION ALL
+SELECT clip_id, 'no_codec_no_transcript' FROM clips
+WHERE codec = '' AND NOT (transcript IS NULL OR transcript = '')
+ORDER BY clip_id, rule"""
 
 
 # --------------------------------------------------------- keyed operators
@@ -272,6 +314,16 @@ counts AS (
   UNION ALL
   SELECT 'transcript_nonnull', COUNT(*),
          SUM(CASE WHEN transcript IS NULL OR transcript = '' THEN 1 ELSE 0 END) FROM clips
+  UNION ALL
+  SELECT 'partition_ownership', COUNT(*),
+         SUM(CASE WHEN regexp_matches(clip_id, '^clip-[0-9]{{8}}$')
+                   AND CAST(substr(clip_id, 6) AS BIGINT) % 8 != partition
+                  THEN 1 ELSE 0 END) FROM clips
+  UNION ALL
+  SELECT 'cross_kind', COUNT(*),
+         SUM(CASE WHEN (dur_ms > 0 AND NOT (sr_hz > 0))
+                    OR (codec = '' AND NOT (transcript IS NULL OR transcript = ''))
+                  THEN 1 ELSE 0 END) FROM clips
 )
 SELECT check_id, CAST(rows_scanned AS BIGINT) AS rows_scanned,
        CAST(rows_violating AS BIGINT) AS rows_violating,
@@ -451,6 +503,8 @@ VALIDATION_QUERIES = {
     "val_codec_deprecated": (q_codec_deprecated, SQL_CODEC_DEPRECATED),
     "val_transcript_nonnull": (q_transcript_nonnull, SQL_TRANSCRIPT_NONNULL),
     "val_clipid_format": (q_clipid_format, SQL_CLIPID_FORMAT),
+    "val_ownership": (q_ownership, SQL_OWNERSHIP),
+    "val_cross_kind": (q_cross_kind, SQL_CROSS_KIND),
     "val_clipid_dups": (q_clipid_dups, SQL_CLIPID_DUPS),
     "val_missing_refs": (q_missing_refs, SQL_MISSING_REFS),
     "val_transcript_mismatch": (q_transcript_mismatch, SQL_TRANSCRIPT_MISMATCH),

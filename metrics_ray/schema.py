@@ -71,6 +71,8 @@ class Codes:
     TRANSCRIPT_MISMATCH = "TranscriptMismatch"
     DISTRIBUTION_DRIFT = "DistributionDrift"
     LANG_MISMATCH = "LangMismatch"
+    WRONG_PARTITION = "WrongPartition"
+    KIND_MISMATCH = "KindMismatch"
 
 
 # Declared validity domains (the engine's "vocabulary", VocabularyLoader analog —

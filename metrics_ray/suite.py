@@ -20,7 +20,15 @@ from .checks.sketch_checks import (
     QuantileProfileCheck,
     ReservoirQuantileCheck,
 )
-from .checks.stateless import EnumCheck, NonNullCheck, RangeCheck, RegexCheck, SchemaCheck
+from .checks.stateless import (
+    CrossColumnCheck,
+    EnumCheck,
+    NonNullCheck,
+    OwnershipCheck,
+    RangeCheck,
+    RegexCheck,
+    SchemaCheck,
+)
 from .schema import (
     CLIP_ID_RE,
     CLIP_SCHEMA,
@@ -31,6 +39,16 @@ from .schema import (
     VALID_SR_HZ,
     Codes,
 )
+
+
+# value-kind coherence rules (MisusedOwlDatatypeOrObjectProperties /
+# MisplacedClassesOrProperties analog): a declaration and its paired value
+# must agree in kind — violation when WHEN holds and REQUIRE fails
+CROSS_RULES = [
+    ("dur_requires_sr", ("dur_ms", ">", 0), ("sr_hz", ">", 0)),
+    ("no_codec_no_transcript", ("codec", "==", ""),
+     ("transcript", "null_or_empty", None)),
+]
 
 
 def metadata_checks() -> list[BatchCheck]:
@@ -44,6 +62,8 @@ def metadata_checks() -> list[BatchCheck]:
                   code=Codes.DEPRECATED_VALUE, invert=True),
         NonNullCheck("transcript_nonnull", "transcript"),
         RegexCheck("clipid_format", "clip_id", CLIP_ID_RE),
+        OwnershipCheck("partition_ownership"),
+        CrossColumnCheck("cross_kind", CROSS_RULES),
     ]
 
 

@@ -66,3 +66,48 @@ def test_custom_check_through_engine(sf_unit):
     mdf = report.metrics.to_pandas()
     assert len(mdf[(mdf.check_id == "transcript_min_len")
                    & (mdf.partition >= 0)]) == 8
+
+
+def test_config_suite_matches_code_suite(sf_unit):
+    """SURVEY.md §2.9: the suite assembled from the YAML config must be
+    byte-identical in behavior to the python-assembled one."""
+    import os
+
+    from metrics_ray.config import checks_from_config
+    from metrics_ray.pipelines.clips import (
+        clips_factory, ensure_clips_parquet, transcript_index_df)
+    from metrics_ray.runner import run_suite
+    from metrics_ray.suite import (
+        build_baseline_profile, default_ctx, full_checks)
+
+    cfg_path = os.path.join(os.path.dirname(__file__), "..",
+                            "configs", "full_suite.yaml")
+    cfg_checks = checks_from_config(cfg_path)
+    code_checks = full_checks()
+    assert [type(c).__name__ for c in cfg_checks] == \
+        [type(c).__name__ for c in code_checks]
+    assert [c.check_id for c in cfg_checks] == \
+        [c.check_id for c in code_checks]
+    assert [tuple(c.columns) for c in cfg_checks] == \
+        [tuple(c.columns) for c in code_checks]
+
+    factory = clips_factory(ensure_clips_parquet(sf_unit))
+    profile = build_baseline_profile(factory)
+    ctx = default_ctx(transcript_index=transcript_index_df(sf_unit),
+                      baseline_profile=profile)
+    r_cfg = run_suite(factory, cfg_checks, ctx=ctx, concurrency=2)
+    r_code = run_suite(factory, code_checks, ctx=ctx, concurrency=2)
+    assert r_cfg.metrics.to_pydict() == r_code.metrics.to_pydict()
+
+
+def test_config_rejects_unknown_type(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from metrics_ray.config import checks_from_config
+
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"checks": [{"type": "nope", "id": "x"}]}))
+    with _pytest.raises(ValueError, match="unknown check type"):
+        checks_from_config(str(p))

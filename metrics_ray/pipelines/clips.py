@@ -54,6 +54,29 @@ def clips_dataset(sf_dir: str, replicas: int = 1, with_audio: bool = True,
     return out
 
 
+def transcript_index_ds(sf_dir: str):
+    """Transcript index derived DISTRIBUTEDLY from the documents table —
+    the two-pass derive-index-then-join shape of
+    UsageOfIncorrectDomainOrRangeDatatypes.java:77-190 (the reference
+    derives its constraint index FROM the dataset, then joins the dataset
+    against it). The derivation runs where the data is; nothing passes
+    through the driver — the consumer joins it with a bucketed exchange
+    (checks/keyed.py bucketed_anti_join / stages/join.py), the path for
+    an index too large to broadcast. n_docs comes from parquet metadata
+    (no scan)."""
+    from functools import partial as _partial
+
+    import ray.data as rd
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return ds.map_batches(
+        _partial(synth.derive_transcript_index_batch, n_docs=n, replica=0),
+        batch_format="pyarrow")
+
+
 def transcript_index_df(sf_dir: str, replicas: int = 1):
     """Small reference side table (broadcast side of the referential join)."""
     import pandas as pd

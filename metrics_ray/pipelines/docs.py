@@ -517,6 +517,98 @@ FROM shingles a JOIN shingles b
 ORDER BY doc_a, doc_b"""
 
 
+# ----------------------------------------------------------- license scan
+
+# compiled-regex license bank (HumanReadableLicense.java /
+# MachineReadableLicense.java analog: a bank of license-identifying
+# patterns evaluated over free text; first match wins, 'none' otherwise).
+# Kept lowercase — matching runs on lower(text) on both engine and oracle.
+LICENSE_PATTERNS: list[tuple[str, str]] = [
+    ("cc-by", r"creative commons|cc-by|cc by"),
+    ("mit", r"mit license"),
+    ("apache", r"apache license"),
+    ("public-domain", r"public domain"),
+]
+
+
+# seeded license suffixes (same derived-corpus pattern as CORPUS_SQL) so
+# every pattern — and the first-match priority — has verified coverage:
+#   doc_id % 23 ==  1 → '... released under the MIT License'
+#   doc_id % 23 ==  7 → '... Creative Commons Attribution'
+#   doc_id % 23 == 15 → '... Public Domain dedication'
+#   doc_id % 23 == 20 → BOTH apache + public domain (priority: apache wins)
+_LIC_SUFFIX = {
+    1: " released under the MIT License",
+    7: " Creative Commons Attribution",
+    15: " Public Domain dedication",
+    20: " Apache License with Public Domain portions",
+}
+
+
+def _license_text_batch(b: pa.Table) -> pa.Table:
+    doc_id = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    txt = b.column("text").to_pylist()
+    out = [t + _LIC_SUFFIX.get(int(k) % 23, "")
+           for k, t in zip(doc_id, txt)]
+    return pa.table({"doc_id": b.column("doc_id"),
+                     "text": pa.array(out, pa.string())})
+
+
+_LIC_TEXT_SQL = """licdocs AS (
+    SELECT doc_id,
+           text || CASE doc_id % 23
+                WHEN 1 THEN ' released under the MIT License'
+                WHEN 7 THEN ' Creative Commons Attribution'
+                WHEN 15 THEN ' Public Domain dedication'
+                WHEN 20 THEN ' Apache License with Public Domain portions'
+                ELSE '' END AS text
+    FROM documents
+)"""
+
+
+def q_doc_license(sf_dir: str) -> pa.Table:
+    """Per-license document counts via the compiled multi-pattern
+    classifier — vectorized: one re2 kernel call per pattern per batch
+    (pyarrow.compute.match_substring_regex), first-match priority via
+    numpy.select; no per-row python."""
+    import pyarrow.compute as pc
+
+    def classify(b: pa.Table) -> pa.Table:
+        b = _license_text_batch(b)
+        low = pc.utf8_lower(pc.fill_null(b.column("text"), ""))
+        masks = [pc.match_substring_regex(low, pat).to_numpy(
+            zero_copy_only=False).astype(bool)
+            for _, pat in LICENSE_PATTERNS]
+        lic = np.select(masks, [name for name, _ in LICENSE_PATTERNS],
+                        default="none")
+        uniq, cnt = np.unique(lic, return_counts=True)
+        return pa.table({"license": pa.array(uniq, pa.string()),
+                         "n_docs": pa.array(cnt.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    pre = documents_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        classify, batch_format="pyarrow")
+    out = pre.groupby("license").aggregate(Sum("n_docs", alias_name="n_docs"))
+    df = out.to_pandas().sort_values("license").reset_index(drop=True)
+    return pa.table({
+        "license": pa.array(df["license"], pa.string()),
+        "n_docs": pa.array(df["n_docs"].astype("int64")),
+    })
+
+
+_LIC_CASES = "\n".join(
+    f"           WHEN regexp_matches(lower(text), '{pat}') THEN '{name}'"
+    for name, pat in LICENSE_PATTERNS)
+
+SQL_DOC_LICENSE = f"""WITH {_LIC_TEXT_SQL}
+SELECT CASE
+{_LIC_CASES}
+           ELSE 'none' END AS license,
+       COUNT(*) AS n_docs
+FROM licdocs GROUP BY 1 ORDER BY 1"""
+
+
 # ------------------------------------------------------------- language ID
 
 def q_doc_lang_id(sf_dir: str) -> pa.Table:
@@ -552,4 +644,5 @@ DOC_QUERIES = {
     "doc_neardup_simhash": (q_doc_neardup_simhash, None),
     "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
     "doc_lang_id": (q_doc_lang_id, None),
+    "doc_license": (q_doc_license, SQL_DOC_LICENSE),
 }

@@ -219,6 +219,89 @@ WHERE c.transcript IS DISTINCT FROM t.ref_transcript
 ORDER BY c.clip_id"""
 
 
+def q_missing_refs_dist(sf_dir: str) -> pa.Table:
+    """Fully-distributed referential integrity: the transcript index is
+    DERIVED from the documents table inside Ray (transcript_index_ds —
+    never materialized on the driver) and anti-joined against the clips
+    via the bucketed hash exchange. Same semantics (and same oracle) as
+    the broadcast val_missing_refs — this is the non-broadcastable-index
+    path an operator switches to when the index outgrows worker memory."""
+    import ray
+
+    from ..checks.keyed import bucketed_anti_join
+    from .clips import transcript_index_ds
+
+    out = bucketed_anti_join(_meta_ds(sf_dir), transcript_index_ds(sf_dir),
+                             key="clip_id")
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"clip_id": pa.array([], pa.string())})
+    return pa.concat_tables(tables).select(["clip_id"]).sort_by("clip_id")
+
+
+def q_transcript_mismatch_dist(sf_dir: str) -> pa.Table:
+    """Distributed transcript-equality check: bucketed inner join of the
+    clips stream with the Ray-derived index, comparing transcript to the
+    reference inside each bucket (IS DISTINCT FROM semantics). Same
+    oracle as the broadcast val_transcript_mismatch."""
+    import ray
+
+    from ..stages.join import bucketed_inner_join
+    from .clips import transcript_index_ds
+
+    def post(df):
+        import pandas as pd
+
+        neq = df["transcript"] != df["ref_transcript"]  # None==None → equal
+        return pd.DataFrame({"clip_id": df.loc[neq, "clip_id"].astype(str)})
+
+    out = bucketed_inner_join(
+        _meta_ds(sf_dir).select_columns(["clip_id", "transcript"]),
+        transcript_index_ds(sf_dir).select_columns(
+            ["clip_id", "ref_transcript"]),
+        left_key="clip_id", right_key="clip_id",
+        left_cols=["clip_id", "transcript"], right_cols=["ref_transcript"],
+        post=post, out_schema=pa.schema([("clip_id", pa.string())]))
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"clip_id": pa.array([], pa.string())})
+    return pa.concat_tables(tables).sort_by("clip_id")
+
+
+PRESENCE_RE = "^clip-9"
+
+
+def q_regex_presence(sf_dir: str) -> pa.Table:
+    """Metadata-presence predicate (PresenceOfURIRegEx analog,
+    SURVEY.md §2.3): does ANY row match the pattern — a distributed
+    any()/count aggregate, not a per-row violation scan."""
+    import pyarrow.compute as pc
+
+    ds = _meta_ds(sf_dir).select_columns(["clip_id"])
+
+    def cnt(b: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(
+            pc.fill_null(b.column("clip_id"), ""), PRESENCE_RE)
+        return pa.table({"n": pa.array([pc.sum(m).as_py() or 0], pa.int64())})
+
+    total = sum(r["n"] for r in
+                ds.map_batches(cnt, batch_format="pyarrow").take_all())
+    return pa.table({
+        "pattern": pa.array([PRESENCE_RE], pa.string()),
+        "n_matches": pa.array([total], pa.int64()),
+        "present": pa.array([total > 0], pa.bool_()),
+    })
+
+
+SQL_REGEX_PRESENCE = f"""WITH {synth.CLIPS_SQL}
+SELECT '{PRESENCE_RE}' AS pattern,
+       CAST(COUNT(CASE WHEN regexp_matches(clip_id, '{PRESENCE_RE}')
+                       THEN 1 END) AS BIGINT) AS n_matches,
+       COUNT(CASE WHEN regexp_matches(clip_id, '{PRESENCE_RE}')
+                  THEN 1 END) > 0 AS present
+FROM clips"""
+
+
 def q_partition_stats(sf_dir: str) -> pa.Table:
     """Per-partition aggregate profile (groupby exercise; the per-partition
     observation-activity counters)."""
@@ -508,6 +591,10 @@ VALIDATION_QUERIES = {
     "val_clipid_dups": (q_clipid_dups, SQL_CLIPID_DUPS),
     "val_missing_refs": (q_missing_refs, SQL_MISSING_REFS),
     "val_transcript_mismatch": (q_transcript_mismatch, SQL_TRANSCRIPT_MISMATCH),
+    "val_missing_refs_dist": (q_missing_refs_dist, SQL_MISSING_REFS),
+    "val_transcript_mismatch_dist": (q_transcript_mismatch_dist,
+                                     SQL_TRANSCRIPT_MISMATCH),
+    "val_regex_presence": (q_regex_presence, SQL_REGEX_PRESENCE),
     "val_partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
     "val_top_durations": (q_top_durations, SQL_TOP_DURATIONS),
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),

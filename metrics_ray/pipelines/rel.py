@@ -300,10 +300,114 @@ SELECT user_id,
 FROM gaps GROUP BY user_id ORDER BY user_id"""
 
 
+# ------------------------------------------------------------ 3-way joins
+
+def q_nation_revenue(sf_dir: str) -> pa.Table:
+    """Revenue per customer NATION — the 3-table enrichment
+    (ExtendedProvenanceMetric.java:56-155: agent→entity→activity chain):
+    orders ⋈ customer ⋈ nation as ONE broadcast_enrich pass (both
+    dimension sides ship once; chained vectorized lookups inside the
+    batch), then partial-agg → tiny groupby."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import broadcast_enrich
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    enriched = broadcast_enrich(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        [(cust, "o_custkey", "c_custkey", {"nationkey": "c_nationkey"}),
+         (nation, "nationkey", "n_nationkey", {"nation": "n_name"})])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = (df.groupby("nation", sort=False)["o_totalprice"]
+             .agg(["size", "sum"]).reset_index())
+        return pa.table({
+            "nation": pa.array(g["nation"], pa.string()),
+            "n_orders": pa.array(g["size"].astype("int64")),
+            "revenue": pa.array(g["sum"].astype("float64")),
+        })
+
+    out = (enriched.map_batches(partial, batch_format="pyarrow")
+           .repartition(shuffle_blocks()).groupby("nation").aggregate(
+               Sum("n_orders", alias_name="n_orders"),
+               Sum("revenue", alias_name="revenue")))
+    df = out.to_pandas().sort_values("nation").reset_index(drop=True)
+    return pa.table({
+        "nation": pa.array(df["nation"], pa.string()),
+        "n_orders": pa.array(df["n_orders"].astype("int64")),
+        "revenue": pa.array(round_half_away(df["revenue"].to_numpy(), 4)),
+    })
+
+
+SQL_NATION_REVENUE = """SELECT n.n_name AS nation,
+       COUNT(*) AS n_orders,
+       round(SUM(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1"""
+
+
+def q_priority_revenue(sf_dir: str) -> pa.Table:
+    """Discounted revenue per order priority — the LARGE ⋈ LARGE join
+    (lineitem ⋈ orders, neither broadcastable at scale): one bucketed
+    hash co-group on the order key with the per-bucket reducer emitting
+    PARTIAL aggregates (priority, n, revenue), then a tiny global
+    groupby. Shuffle payload = 4 projected columns, never full rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import bucketed_inner_join
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        g = (df.groupby("o_orderpriority", sort=False)["rev"]
+             .agg(["size", "sum"]).reset_index())
+        return pd.DataFrame({
+            "priority": g["o_orderpriority"].astype(str),
+            "n_items": g["size"].astype("int64"),
+            "revenue": g["sum"].astype("float64"),
+        })
+
+    joined = bucketed_inner_join(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_extendedprice", "l_discount"],
+        right_cols=["o_orderpriority"],
+        post=post,
+        out_schema=pa.schema([("priority", pa.string()),
+                              ("n_items", pa.int64()),
+                              ("revenue", pa.float64())]))
+    out = joined.repartition(shuffle_blocks()).groupby("priority").aggregate(
+        Sum("n_items", alias_name="n_items"),
+        Sum("revenue", alias_name="revenue"))
+    df = out.to_pandas().sort_values("priority").reset_index(drop=True)
+    return pa.table({
+        "priority": pa.array(df["priority"], pa.string()),
+        "n_items": pa.array(df["n_items"].astype("int64")),
+        "revenue": pa.array(round_half_away(df["revenue"].to_numpy(), 4)),
+    })
+
+
+SQL_PRIORITY_REVENUE = """SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_items,
+       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1"""
+
+
 REL_QUERIES = {
     "rel_cust_no_premium_orders": (q_customers_without_orders,
                                    SQL_CUSTOMERS_WITHOUT_ORDERS),
     "rel_segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
+    "rel_nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "rel_priority_revenue": (q_priority_revenue, SQL_PRIORITY_REVENUE),
     "ev_type_stats": (q_ev_type_stats, SQL_EV_TYPE_STATS),
     "ev_sliding_counts": (q_ev_sliding_counts, SQL_EV_SLIDING_COUNTS),
     "ev_daily_counts": (q_ev_daily_counts, SQL_EV_DAILY_COUNTS),

@@ -1,0 +1,116 @@
+"""Join operators — the multi-table enrichment paths
+(ExtendedProvenanceMetric.java:56-155: a provenance chain resolved across
+three tables; UsageOfIncorrectDomainOrRangeDatatypes.java:77-190: derive an
+index FROM the dataset, then join the dataset against it).
+
+Two shapes, chosen by side size — the decision a 10^12-row engine must
+make explicitly:
+
+  broadcast_enrich     N small dimension sides, ONE streaming pass over
+                       the fact stream: every side ships once via ray.put
+                       and each batch applies all lookups as vectorized
+                       pandas index-maps. No shuffle at all.
+  bucketed_inner_join  two LARGE sides: hash-bucket both on the join key,
+                       union, one co-group exchange, vectorized
+                       pandas merge per bucket. Shuffle payload = the
+                       projected join columns only (callers pre-project).
+
+Both compose: a 3-way fact⋈fact⋈dim plan is one bucketed join with a
+broadcast_enrich before or after it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..checks.keyed import grouped_apply
+from ..sketches import hash64
+
+
+def broadcast_enrich(ds, sides: list[tuple], default=None):
+    """``sides``: list of (table: pa.Table, left_key, right_key, carry)
+    where ``carry`` maps output column → right column. Each side becomes a
+    broadcast pandas Series per carried column (ray.put once, ray.get per
+    task — never re-shipped per batch); lookups chain, so a later side may
+    key on a column produced by an earlier one (customer → nation)."""
+    import ray
+
+    maps = []
+    for table, left_key, right_key, carry in sides:
+        idx = table.column(right_key).to_numpy(zero_copy_only=False)
+        series_map = {out_col: pd.Series(
+            table.column(src_col).to_numpy(zero_copy_only=False), index=idx)
+            for out_col, src_col in carry.items()}
+        maps.append((left_key, series_map))
+    ref = ray.put(maps)
+
+    def enrich(b: pa.Table) -> pa.Table:
+        lookups = ray.get(ref)
+        df = b.to_pandas()
+        for left_key, series_map in lookups:
+            keys = df[left_key]
+            for out_col, s in series_map.items():
+                col = keys.map(s)
+                df[out_col] = col if default is None else col.fillna(default)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(enrich, batch_format="pyarrow")
+
+
+def bucketed_inner_join(left_ds, right_ds, left_key: str, right_key: str,
+                        left_cols: list[str], right_cols: list[str],
+                        post=None, out_schema: pa.Schema | None = None,
+                        n_buckets: int | None = None):
+    """Hash-partitioned inner join of two large Datasets.
+
+    Both sides are tagged (stringified key + side + projected columns,
+    padded to a shared schema), unioned, and co-grouped by key hash;
+    each bucket runs one vectorized ``pandas.merge``. ``post(merged_df)``
+    optionally reduces inside the bucket (pre-aggregation before any
+    further exchange — give it the partial-aggregate, not the row
+    emitter, whenever the final result is an aggregate).
+
+    Skew: identical keys must co-locate, so a hot key concentrates in one
+    bucket by necessity; ``post`` sees the whole key group and can sample
+    or pre-aggregate it (grouped_apply's bucket count only caps how many
+    DISTINCT keys share a task)."""
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"join columns must be disjoint, got {overlap}")
+    lsch = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    rsch = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    lfields = [(c, lsch[c]) for c in left_cols]
+    rfields = [(c, rsch[c]) for c in right_cols]
+
+    def tag(side: str, key_col: str, present: list, absent: list):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {
+                "__key": pa.array(
+                    [None if k is None else str(k)
+                     for k in b.column(key_col).to_pylist()], pa.string()),
+                "__side": pa.array([side] * n, pa.string()),
+            }
+            for name, typ in lfields + rfields:
+                cols[name] = (b.column(name).combine_chunks()
+                              if (name, typ) in present else pa.nulls(n, typ))
+            return pa.table(cols)
+        return f
+
+    tagged = left_ds.map_batches(
+        tag("l", left_key, lfields, rfields),
+        batch_format="pyarrow").union(
+        right_ds.map_batches(
+            tag("r", right_key, rfields, lfields),
+            batch_format="pyarrow"))
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["__side"] == "l", ["__key"] + left_cols]
+        r = df.loc[df["__side"] == "r", ["__key"] + right_cols]
+        merged = l.merge(r, on="__key").drop(columns="__key")
+        return post(merged) if post is not None else merged
+
+    return grouped_apply(tagged, "__key", reduce_bucket,
+                         n_buckets=n_buckets, out_schema=out_schema)

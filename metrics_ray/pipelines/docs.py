@@ -111,12 +111,17 @@ def _collect(ds, sort_keys) -> pa.Table:
 # ----------------------------------------------------- token counts / quality
 
 def _token_count_batch(b: pa.Table) -> pa.Table:
-    texts = b.column("text").to_pylist()
+    """Token counts as two re2 kernel calls per batch (no per-doc python;
+    counts identical to the former str.split / re.findall loop)."""
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(b.column("text"), "")
     return pa.table({
         "doc_id": b.column("doc_id"),
-        "n_ws_tokens": pa.array([len(t.split()) for t in texts], pa.int64()),
-        "n_bpe_tokens": pa.array([T.bpe_token_count(t) for t in texts],
-                                 pa.int64()),
+        "n_ws_tokens": pc.cast(pc.count_substring_regex(txt, r"\S+"),
+                               pa.int64()),
+        "n_bpe_tokens": pc.cast(
+            pc.count_substring_regex(txt, T.BPE_RE.pattern), pa.int64()),
     })
 
 
@@ -133,16 +138,34 @@ FROM documents ORDER BY doc_id"""
 
 
 def _quality_batch(b: pa.Table) -> pa.Table:
-    texts = b.column("text").to_pylist()
-    feats = [T.quality_features(t) for t in texts]
+    """Quality features vectorized: Arrow re2 kernels for chars/words/
+    punct, one pandas explode for token-exact stopword counting (a regex
+    \\b match would over-count inside punctuated tokens), arithmetic for
+    mean word length. Values identical to functions.text.quality_features
+    (kept as the scalar reference API) — the oracle SQL mirrors both."""
+    import pyarrow.compute as pc
+
+    txt = pc.fill_null(b.column("text"), "")
+    n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+    n_words = pc.count_substring_regex(txt, r"\S+").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_punct = pc.count_substring_regex(txt, r"[^A-Za-z0-9\s]").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    s = pd.Series(txt.to_pylist())
+    ex = s.str.split().explode().str.lower()
+    n_stop = (ex.isin(T.STOPWORDS).groupby(level=0).sum()
+              .reindex(s.index, fill_value=0).to_numpy().astype(np.int64))
+    nonspace = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy()
+    mean_wl = np.where(n_words == 0, 0.0,
+                       round_half_away(
+                           nonspace / np.maximum(n_words, 1), 6))
     return pa.table({
         "doc_id": b.column("doc_id"),
-        "n_chars": pa.array([f["n_chars"] for f in feats], pa.int64()),
-        "n_words": pa.array([f["n_words"] for f in feats], pa.int64()),
-        "n_punct": pa.array([f["n_punct"] for f in feats], pa.int64()),
-        "n_stop": pa.array([f["n_stop"] for f in feats], pa.int64()),
-        "mean_word_len": pa.array([f["mean_word_len"] for f in feats],
-                                  pa.float64()),
+        "n_chars": pa.array(n_chars.astype(np.int64)),
+        "n_words": pa.array(n_words),
+        "n_punct": pa.array(n_punct),
+        "n_stop": pa.array(n_stop),
+        "mean_word_len": pa.array(mean_wl, pa.float64()),
     })
 
 

@@ -53,6 +53,30 @@ TAGGED_SCHEMA = pa.schema(
 _EMPTY_TAGGED = TAGGED_SCHEMA.empty_table()
 
 
+def _breaker_counter_cls():
+    """Global violation counter for the circuit breaker — the one piece of
+    genuinely shared mutable state in the engine, so it is a raw Ray actor
+    (the Dataset API cannot express cross-task mutation; SURVEY.md §2.6
+    'circuit breaker / error budget': the reference fail-fasts after N
+    strikes to stop burning compute on garbage input). Defined lazily so
+    importing the module never touches ray."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class _BreakerCounter:
+        def __init__(self):
+            self.total = 0
+
+        def incr(self, n: int) -> int:
+            self.total += int(n)
+            return self.total
+
+        def get(self) -> int:
+            return self.total
+
+    return _BreakerCounter
+
+
 class SuiteExecutor:
     """The per-worker check-graph executor. Check graph built + setup() run
     once per __init__ (SURVEY.md §2.1: Check.setup() ≈
@@ -60,18 +84,35 @@ class SuiteExecutor:
 
     Instantiated once per (worker process, pipeline) via the task-path
     executor cache below — the default — or once per actor when
-    ``run_batch_checks(use_actors=True)``."""
+    ``run_batch_checks(use_actors=True)``.
 
-    def __init__(self, checks: list[BatchCheck], ctx: CheckContext):
+    ``breaker=(counter_actor_handle, budget)`` arms the circuit breaker:
+    each violating batch reports its violation count to the shared
+    counter (one cheap RPC, only on violating batches); once the global
+    total exceeds the budget every executor that observes it skips ALL
+    remaining batches (returns empty) — the N-strikes fail-fast. The trip
+    point is inherently racy (in-flight batches finish), which is the
+    nature of a breaker: it bounds wasted work, it does not define the
+    result set."""
+
+    def __init__(self, checks: list[BatchCheck], ctx: CheckContext,
+                 breaker: tuple | None = None):
         self.checks = checks
         self.report_problems = getattr(ctx, "require_problem_report", True)
+        self.breaker = breaker
+        self._tripped = False
         for c in self.checks:
             c.setup(ctx)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._tripped:
+            return _EMPTY_TAGGED
         out: list[pa.Table] = []
+        batch_violations = 0
         for check in self.checks:
             o = check.evaluate(batch)
+            if o.violations is not None:
+                batch_violations += o.violations.num_rows
             n_v = (o.violations.num_rows
                    if o.violations is not None and self.report_problems
                    else 0)
@@ -132,6 +173,13 @@ class SuiteExecutor:
                         [o.counters[p][1] for p in parts], pa.int64()),
                     "payload": pa.array(payloads, pa.binary()),
                 }))
+        if self.breaker is not None and batch_violations:
+            import ray
+
+            handle, budget = self.breaker
+            total = ray.get(handle.incr.remote(batch_violations))
+            if total > budget:
+                self._tripped = True
         if not out:
             return _EMPTY_TAGGED
         return pa.concat_tables(out).cast(TAGGED_SCHEMA)
@@ -181,10 +229,11 @@ _EXECUTOR_CACHE: dict[str, SuiteExecutor] = {}
 
 
 def _suite_task(batch: pa.Table, *, cache_key: str,
-                checks: list[BatchCheck], ctx: CheckContext) -> pa.Table:
+                checks: list[BatchCheck], ctx: CheckContext,
+                breaker: tuple | None = None) -> pa.Table:
     ex = _EXECUTOR_CACHE.get(cache_key)
     if ex is None:
-        ex = _EXECUTOR_CACHE[cache_key] = SuiteExecutor(checks, ctx)
+        ex = _EXECUTOR_CACHE[cache_key] = SuiteExecutor(checks, ctx, breaker)
         if len(_EXECUTOR_CACHE) > 8:  # bound per-process memory
             for k in list(_EXECUTOR_CACHE)[:-4]:
                 del _EXECUTOR_CACHE[k]
@@ -198,7 +247,8 @@ def run_batch_checks(ds, checks: list[BatchCheck],
                      num_cpus: float = 1.0,
                      use_actors: bool = False,
                      violations_sink: str | None = None,
-                     return_keys: bool = False):
+                     return_keys: bool = False,
+                     error_budget: int | None = None):
     """Single streaming pass → (violations, counters_df, partials dict).
 
     Default execution is TASK-based (reused worker processes + per-process
@@ -215,6 +265,11 @@ def run_batch_checks(ds, checks: list[BatchCheck],
     import uuid
 
     ctx = ctx or CheckContext()
+    breaker = None
+    breaker_handle = None
+    if error_budget is not None:
+        breaker_handle = _breaker_counter_cls().remote()
+        breaker = (breaker_handle, int(error_budget))
     if use_actors:
         if concurrency is None:
             import ray
@@ -222,7 +277,7 @@ def run_batch_checks(ds, checks: list[BatchCheck],
             concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
         tagged = ds.map_batches(
             SuiteExecutor,
-            fn_constructor_args=(checks, ctx),
+            fn_constructor_args=(checks, ctx, breaker),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -232,7 +287,7 @@ def run_batch_checks(ds, checks: list[BatchCheck],
         from functools import partial as _partial
 
         fn = _partial(_suite_task, cache_key=uuid.uuid4().hex,
-                      checks=checks, ctx=ctx)
+                      checks=checks, ctx=ctx, breaker=breaker)
         kwargs = {} if concurrency is None else {"concurrency": concurrency}
         tagged = ds.map_batches(
             fn,
@@ -299,6 +354,19 @@ def run_batch_checks(ds, checks: list[BatchCheck],
             partials.setdefault(cid, []).append((int(part_val), blob))
     if viol is None:
         viol = VIOLATION_SCHEMA.empty_table()
+    if breaker_handle is not None:
+        # record the breaker outcome as a synthetic counter row so the
+        # existing return shape carries it: scanned = total violations the
+        # counter saw, violating = 1 iff the budget was exceeded
+        import ray
+
+        total = int(ray.get(breaker_handle.get.remote()))
+        ray.kill(breaker_handle)
+        counters = pd.concat([counters, pd.DataFrame([{
+            "check_id": "__circuit__", "partition": -1,
+            "scanned": total,
+            "violating": int(total > error_budget)}])],
+            ignore_index=True)
     if return_keys:
         return viol, counters, partials, keys_ds
     return viol, counters, partials

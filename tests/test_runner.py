@@ -229,3 +229,32 @@ def test_compare_reports(report, sf_unit):
     assert dur.regressed.any()
     non = cmp_worse[cmp_worse.check_id == "transcript_nonnull"]
     assert not non.regressed.any()
+
+
+def test_circuit_breaker_trips_and_records(sf_unit):
+    """Error budget (SURVEY.md §2.6 N-strikes fail-fast): once global
+    violations exceed the budget, remaining batches are skipped; the
+    synthetic __circuit__ counter row records total + tripped flag."""
+    from metrics_ray.pipelines.clips import clips_dataset
+    from metrics_ray.runner import run_batch_checks
+    from metrics_ray.suite import metadata_checks
+
+    ds = clips_dataset(sf_unit, with_audio=False)
+    checks = [c for c in metadata_checks()
+              if c.check_id != "schema_conformance"]
+    viol, counters, _ = run_batch_checks(ds, checks, batch_size=32,
+                                         error_budget=0)
+    row = counters[counters.check_id == "__circuit__"]
+    assert len(row) == 1
+    assert int(row.iloc[0]["violating"]) == 1  # tripped
+    assert int(row.iloc[0]["scanned"]) > 0    # saw violations
+    # skipped batches ⇒ at least one check scanned fewer than all rows
+    scanned = counters[counters.check_id == "sr_enum"]["scanned"].sum()
+    assert scanned < 504
+
+    # generous budget: never trips, full scan
+    viol2, counters2, _ = run_batch_checks(ds, checks, batch_size=32,
+                                           error_budget=10_000)
+    row2 = counters2[counters2.check_id == "__circuit__"]
+    assert int(row2.iloc[0]["violating"]) == 0
+    assert counters2[counters2.check_id == "sr_enum"]["scanned"].sum() == 504

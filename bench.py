@@ -114,11 +114,17 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     """Time every driver-facing query (the SURVEY.md §2 operator surface)."""
     import __ray_entry__ as e
 
+    import gc
+
     out: dict[str, float] = {}
     for name, fn in e.queries().items():
         t0 = time.time()
         fn(sf_dir)
         out[name] = round(time.time() - t0, 3)
+        # drop dataset/object references between queries so earlier
+        # pipelines' blocks are freed from the object store — measured
+        # session accumulation otherwise inflates later queries' times
+        gc.collect()
     return out
 
 

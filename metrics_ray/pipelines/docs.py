@@ -313,7 +313,11 @@ def verify_pairs_distributed(cand, corpus, tau: float = NEAR_DUP_TAU):
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         t = df[df["side"] == "t"]
-        m = df[df["side"] == "m"]
+        # a pair surfaced by several bands arrives as identical member
+        # rows in the SAME bucket (key = member doc) — dedupe here, before
+        # any text is attached, so duplicate candidates never amplify the
+        # downstream exchange (multiplicity can reach the band count, 32)
+        m = df[df["side"] == "m"].drop_duplicates(["key", "doc_a", "doc_b"])
         if m.empty:
             return pd.DataFrame({
                 "doc_a": pd.Series(dtype="int64"),
@@ -333,7 +337,10 @@ def verify_pairs_distributed(cand, corpus, tau: float = NEAR_DUP_TAU):
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         rows_a, rows_b, rows_j = [], [], []
         # pairs are rare (banding already filtered); the loop touches only
-        # candidate groups inside this bucket
+        # candidate groups inside this bucket. Duplicate candidate rows
+        # (same pair surfaced by several bands) collapse here for free —
+        # the co-group brings them together and dict() dedupes — so
+        # callers need NO separate dedupe shuffle before verification.
         for (a, bb), g in df.groupby(["doc_a", "doc_b"], sort=False):
             tx = dict(zip(g["member"], g["text"]))
             ta, tb = tx.get(a), tx.get(bb)
@@ -399,11 +406,10 @@ def q_doc_neardup_minhash(sf_dir: str) -> pa.Table:
     corpus_refs = corpus_ds(sf_dir).materialize().to_arrow_refs()
     bands = rd.from_arrow_refs(corpus_refs).map_batches(
         band_batch, batch_format="pyarrow")
-    cand = grouped_apply(
-        grouped_apply(bands, "band", bucket_pairs, out_schema=_PAIR_SCHEMA),
-        ["doc_a", "doc_b"],
-        lambda df: df.drop_duplicates(["doc_a", "doc_b"]),
-        out_schema=_PAIR_SCHEMA)
+    # no dedupe stage: multi-band duplicate pairs collapse inside the
+    # verify join's final (doc_a, doc_b) co-group — one less shuffle
+    cand = grouped_apply(bands, "band", bucket_pairs,
+                         out_schema=_PAIR_SCHEMA)
 
     out = verify_pairs_distributed(
         cand, rd.from_arrow_refs(corpus_refs).map_batches(

@@ -484,6 +484,7 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
               batch_size: int = 4096,
               concurrency=None,
               keyed_from_keys: dict[str, tuple[Any, Callable]] | None = None,
+              error_budget: int | None = None,
               ) -> SuiteReport:
     """Full suite: batch checks (one pass) + keyed shuffle checks.
 
@@ -532,7 +533,8 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
         tb = time.time()
         out = run_batch_checks(ds, pass_checks, ctx, batch_size=batch_size,
                                concurrency=concurrency,
-                               return_keys=bool(emitters))
+                               return_keys=bool(emitters),
+                               error_budget=error_budget)
         return out, time.time() - tb
 
     keyed_plans = [(kid, fn(ds_factory)) for kid, fn in (keyed or {}).items()]
@@ -606,5 +608,10 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
         # shuffles) — the component that dominates at production row counts
         "pass_wall_s": round(pass_wall_s, 3),
     }
+    if error_budget is not None:
+        brk = counters[counters.check_id == "__circuit__"]
+        if len(brk):
+            manifest["circuit_open"] = bool(int(brk.iloc[0]["violating"]))
+            manifest["circuit_violations_seen"] = int(brk.iloc[0]["scanned"])
     return SuiteReport(metrics=metrics, violations=viol, verdicts=verdicts,
                        manifest=manifest)

@@ -258,3 +258,16 @@ def test_circuit_breaker_trips_and_records(sf_unit):
     row2 = counters2[counters2.check_id == "__circuit__"]
     assert int(row2.iloc[0]["violating"]) == 0
     assert counters2[counters2.check_id == "sr_enum"]["scanned"].sum() == 504
+
+
+def test_run_suite_error_budget_manifest(sf_unit):
+    from metrics_ray.pipelines.clips import clips_factory, ensure_clips_parquet
+    from metrics_ray.runner import run_suite
+    from metrics_ray.suite import metadata_checks
+
+    factory = clips_factory(ensure_clips_parquet(sf_unit))
+    checks = [c for c in metadata_checks()
+              if c.check_id != "schema_conformance"]
+    report = run_suite(factory, checks, batch_size=32, error_budget=0)
+    assert report.manifest["circuit_open"] is True
+    assert report.manifest["circuit_violations_seen"] > 0

@@ -29,12 +29,17 @@ from ..checks.keyed import grouped_apply
 from ..sketches import hash64
 
 
-def broadcast_enrich(ds, sides: list[tuple], default=None):
+def broadcast_enrich(ds, sides: list[tuple], defaults: dict | None = None):
     """``sides``: list of (table: pa.Table, left_key, right_key, carry)
     where ``carry`` maps output column → right column. Each side becomes a
     broadcast pandas Series per carried column (ray.put once, ray.get per
     task — never re-shipped per batch); lookups chain, so a later side may
-    key on a column produced by an earlier one (customer → nation)."""
+    key on a column produced by an earlier one (customer → nation).
+
+    ``defaults`` maps output column → fill value for unmatched keys;
+    columns without a default keep NaN/None (and a chained lookup through
+    them stays unmatched — inner-join semantics downstream)."""
+    defaults = defaults or {}
     import ray
 
     maps = []
@@ -53,7 +58,8 @@ def broadcast_enrich(ds, sides: list[tuple], default=None):
             keys = df[left_key]
             for out_col, s in series_map.items():
                 col = keys.map(s)
-                df[out_col] = col if default is None else col.fillna(default)
+                df[out_col] = (col.fillna(defaults[out_col])
+                               if out_col in defaults else col)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return ds.map_batches(enrich, batch_format="pyarrow")

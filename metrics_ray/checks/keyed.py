@@ -167,36 +167,64 @@ def exact_duplicate_keys(ds, column: str = "clip_id",
         out_schema=KEYED_VIOLATION_SCHEMA)
 
 
+def _binary_views(col) -> list:
+    """Per-row zero-copy memoryview slices of a Binary/String column
+    (None for null rows). Avoids both to_pylist's full materialization
+    AND combine_chunks' full copy of the payload bytes — the digest reads
+    straight from each chunk's Arrow buffer."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list = []
+    for arr in chunks:
+        n = len(arr)
+        if n == 0:
+            continue
+        if not (pa.types.is_binary(arr.type) or pa.types.is_string(arr.type)):
+            out.extend(None if v is None else str(v).encode("utf-8")
+                       for v in arr.to_pylist())
+            continue
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32,
+                             count=n + 1 + arr.offset)[arr.offset:]
+        data = (memoryview(bufs[2]) if bufs[2] is not None
+                else memoryview(b""))
+        if arr.null_count == 0:
+            out.extend(data[offs[i]:offs[i + 1]] for i in range(n))
+        else:
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            out.extend(data[offs[i]:offs[i + 1]] if valid[i] else None
+                       for i in range(n))
+    return out
+
+
 def content_hash_batch(batch: pa.Table,
                        cols: tuple[str, ...] = ("bytes", "transcript")) -> pa.Table:
     """128-bit content digest over the identity columns
     (ExtensionalConciseness.java:92-134 replaced the O(n²) pairwise
     set-equality with... nothing; here: hash + groupby, SURVEY.md §2.4).
 
-    blake2b-128 over length-prefixed, type-tagged column values: at the
-    10^12-row design target a 64-bit key would see guaranteed birthday
-    collisions (~10^4 colliding pairs at 10^9 rows already) and report
-    false DUPLICATE_CONTENT violations on an exact (is_estimate=False)
-    check; 128 bits keeps the whole-corpus collision probability < 1e-14.
-    The digest is C-speed and memory-bandwidth-bound on the payload bytes
-    the batch already holds; the shuffle key is 32 hex chars."""
+    sha256 truncated to 128 bits over length-prefixed, null-tagged column
+    values: at the 10^12-row design target a 64-bit key would see
+    guaranteed birthday collisions (~10^4 colliding pairs at 10^9 rows
+    already) and report false DUPLICATE_CONTENT violations on an exact
+    (is_estimate=False) check; 128 bits keeps the whole-corpus collision
+    probability < 1e-14. sha256 because it is the fastest 128+-bit digest
+    on this hardware (SHA-NI ≈ 1.2 GB/s vs blake2b 0.77 / md5 0.63); the
+    values are read as zero-copy Arrow buffer slices, so the stage stays
+    payload-bandwidth-bound. Shuffle key = 32 hex chars."""
     import hashlib
 
-    cols_data = [batch.column(c).to_pylist() for c in cols]
+    cols_views = [_binary_views(batch.column(c)) for c in cols]
     keys = []
     for i in range(len(batch)):
-        d = hashlib.blake2b(digest_size=16)
-        for vals in cols_data:
-            v = vals[i]
+        d = hashlib.sha256()
+        for views in cols_views:
+            v = views[i]
             if v is None:
-                enc = b"\x00"
-            elif isinstance(v, bytes):
-                enc = b"\x01" + v
+                d.update(b"\xff\xff\xff\xff\xff\xff\xff\xff")
             else:
-                enc = b"\x02" + str(v).encode("utf-8")
-            d.update(len(enc).to_bytes(8, "little"))
-            d.update(enc)
-        keys.append(d.hexdigest())
+                d.update(len(v).to_bytes(8, "little"))
+                d.update(v)
+        keys.append(d.hexdigest()[:32])
     return pa.table({
         "key": pa.array(keys, pa.string()),
         "partition": batch.column("partition"),

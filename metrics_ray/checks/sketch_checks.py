@@ -13,7 +13,15 @@ import numpy as np
 import pyarrow as pa
 
 from ..schema import Codes
-from ..sketches import HLL, BottomKSample, FixedHistogram, TDigest, hash64, loads_any
+from ..sketches import (
+    HLL,
+    BottomKSample,
+    FixedHistogram,
+    TDigest,
+    hash64,
+    loads_any,
+    merge_blobs,
+)
 from .base import BatchCheck, BatchOutcome, CheckContext, per_partition_counts
 
 
@@ -46,13 +54,10 @@ class DistinctHLLCheck(BatchCheck):
             partials=partials,
         )
 
-    def merge(self, partials: list[bytes]) -> bytes | None:
+    def merge(self, partials):
         if not partials:
             return None
-        acc = loads_any(partials[0])
-        for b in partials[1:]:
-            acc = acc.merge(loads_any(b))
-        return acc.dumps()
+        return merge_blobs(partials).dumps()
 
     def finalize_value(self, scanned, violating, merged):
         if scanned == 0 or merged is None:
@@ -91,10 +96,7 @@ class QuantileProfileCheck(BatchCheck):
     def merge(self, partials):
         if not partials:
             return None
-        acc = loads_any(partials[0])
-        for b in partials[1:]:
-            acc = acc.merge(loads_any(b))
-        return acc.dumps()
+        return merge_blobs(partials).dumps()
 
     def finalize_value(self, scanned, violating, merged):
         if merged is None:
@@ -149,10 +151,7 @@ class ReservoirQuantileCheck(BatchCheck):
     def merge(self, partials):
         if not partials:
             return None
-        acc = loads_any(partials[0])
-        for b in partials[1:]:
-            acc = acc.merge(loads_any(b))
-        return acc.dumps()
+        return merge_blobs(partials).dumps()
 
     def finalize_value(self, scanned, violating, merged):
         if merged is None:
@@ -208,10 +207,7 @@ class DriftCheck(BatchCheck):
     def merge(self, partials):
         if not partials:
             return None
-        acc = loads_any(partials[0])
-        for b in partials[1:]:
-            acc = acc.merge(loads_any(b))
-        return acc.dumps()
+        return merge_blobs(partials).dumps()
 
     def finalize_value(self, scanned, violating, merged):
         if merged is None or self._baseline_counts is None:

@@ -292,3 +292,63 @@ def loads_any(b: bytes):
     return {"hll": HLL.loads, "tdigest": TDigest.loads,
             "hist": FixedHistogram.loads,
             "bottomk": BottomKSample.loads}[tag](b)
+
+
+def merge_blobs(blobs: list[bytes]):
+    """Merge MANY serialized sketch partials in one shot.
+
+    The pairwise ``acc.merge(loads(b))`` loop costs one compress/reselect
+    per partial — at 10k partials (batches × partitions × sketch checks)
+    that is seconds of sequential driver time per suite run. All four
+    sketches are associative, so an n-way merge is semantically a fold:
+    HLL = one reduced max over stacked registers; histogram = one summed
+    count matrix; bottom-k = one concat + select; t-digest = one concat +
+    single compress (a valid merge order — the digest is order-sensitive
+    only in its ±quantile-estimate noise, which estimate consumers already
+    tolerance-test)."""
+    if not blobs:
+        return None
+    sketches = [loads_any(b) for b in blobs]
+    first = sketches[0]
+    if len(sketches) == 1:
+        return first
+    if isinstance(first, HLL):
+        regs = np.maximum.reduce([s.registers for s in sketches])
+        return HLL(first.p, regs)
+    if isinstance(first, FixedHistogram):
+        counts = np.sum([s.counts for s in sketches], axis=0)
+        return FixedHistogram(first.edges, counts)
+    if isinstance(first, BottomKSample):
+        out = BottomKSample(
+            first.k, first.seed,
+            np.concatenate([s.priorities for s in sketches]),
+            np.concatenate([s.values for s in sketches]))
+        out._select()
+        return out
+    if isinstance(first, TDigest):
+        m = np.concatenate([s.means for s in sketches])
+        w = np.concatenate([s.weights for s in sketches])
+        if m.size > 2048:
+            # vectorized weighted pre-clustering (the n-way extension of
+            # add()'s equal-count pre-clustering): sort by mean, cut into
+            # ~1024 equal-WEIGHT buckets, one weighted mean per bucket —
+            # keeps the final python compress loop O(1024) instead of
+            # O(total centroids across all partials)
+            order = np.argsort(m, kind="stable")
+            m, w = m[order], w[order]
+            cw = np.cumsum(w)
+            targets = np.linspace(0, cw[-1], 1025)[1:-1]
+            cuts = np.unique(np.searchsorted(cw, targets, side="left"))
+            bounds = np.concatenate([[0], cuts + 1, [m.size]])
+            bounds = np.unique(bounds)
+            wsum = np.add.reduceat(w, bounds[:-1])
+            msum = np.add.reduceat(m * w, bounds[:-1])
+            keep = wsum > 0
+            m, w = msum[keep] / wsum[keep], wsum[keep]
+        out = TDigest(first.delta, m, w)
+        out._compress()
+        return out
+    acc = first
+    for s in sketches[1:]:
+        acc = acc.merge(s)
+    return acc

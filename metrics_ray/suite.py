@@ -112,7 +112,7 @@ def build_baseline_profile(ds_factory, column: str = "dur_ms",
     costs one pass instead of two."""
     import ray.data  # noqa: F401
     from .schema import MAX_DUR_MS, MIN_DUR_MS
-    from .sketches import FixedHistogram, loads_any
+    from .sketches import FixedHistogram, loads_any, merge_blobs
 
     if domain is None:
         domain = {"dur_ms": (float(MIN_DUR_MS), float(MAX_DUR_MS)),
@@ -132,9 +132,7 @@ def build_baseline_profile(ds_factory, column: str = "dur_ms",
 
     blobs = [r["payload"] for r in
              ds.map_batches(hist_partial, batch_format="pyarrow").take_all()]
-    h = loads_any(blobs[0])
-    for b in blobs[1:]:
-        h = h.merge(loads_any(b))
+    h = merge_blobs(blobs)
     return {column: {"edges": edges.tolist(), "counts": h.counts.tolist()}}
 
 

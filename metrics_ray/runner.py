@@ -387,10 +387,11 @@ def assemble_metrics(checks: list[BatchCheck], counters: pd.DataFrame,
     rows = []
     for check in checks:
         sub = counters[counters.check_id == check.check_id]
-        merged = check.merge([b for _, b in partials.get(check.check_id, [])])
+        blobs = partials.get(check.check_id, [])
         g_scanned = int(sub["scanned"].sum())
         g_viol = int(sub["violating"].sum())
-        if merged is None:  # exact check → per-partition verdict rows
+        if not blobs:  # exact check → per-partition verdict rows
+            merged = check.merge([])
             for _, r in sub.iterrows():
                 v, ok, _ = check.finalize_value(int(r.scanned), int(r.violating), None)
                 rows.append((check.check_id, int(r.partition), v,
@@ -400,20 +401,28 @@ def assemble_metrics(checks: list[BatchCheck], counters: pd.DataFrame,
             # sketch check → per-partition rows from partition-attributed
             # blobs (a batch never spans partitions in the hive layout; in
             # the flat layout attribution is per source batch, still a
-            # faithful per-partition estimate)
+            # faithful per-partition estimate). The GLOBAL sketch is the
+            # merge OF the per-partition merges (associative) — every raw
+            # blob is unpickled exactly once, not once per tier.
             by_part: dict[int, list[bytes]] = {}
-            for part_val, blob in partials.get(check.check_id, []):
+            for part_val, blob in blobs:
                 by_part.setdefault(part_val, []).append(blob)
+            part_merged: list[bytes] = []
             for part_val in sorted(by_part):
+                pm = check.merge(by_part[part_val])
+                if pm is not None:
+                    part_merged.append(pm)
                 if part_val < 0:
                     continue
-                pm = check.merge(by_part[part_val])
                 psub = sub[sub.partition == part_val]
                 ps = int(psub["scanned"].sum())
                 pv = int(psub["violating"].sum())
                 v, ok, _ = check.finalize_value(ps, pv, pm)
                 rows.append((check.check_id, int(part_val), v, ps, pv,
                              check.is_estimate, ok))
+            merged = check.merge(part_merged)
+        else:
+            merged = check.merge([b for _, b in blobs])
         value, passed, detail = check.finalize_value(g_scanned, g_viol, merged)
         rows.append((check.check_id, -1, value, g_scanned, g_viol,
                      check.is_estimate, passed))

@@ -178,12 +178,17 @@ def _binary_views(col) -> list:
         n = len(arr)
         if n == 0:
             continue
-        if not (pa.types.is_binary(arr.type) or pa.types.is_string(arr.type)):
+        if pa.types.is_binary(arr.type) or pa.types.is_string(arr.type):
+            off_dtype = np.int32
+        elif (pa.types.is_large_binary(arr.type)
+              or pa.types.is_large_string(arr.type)):
+            off_dtype = np.int64
+        else:
             out.extend(None if v is None else str(v).encode("utf-8")
                        for v in arr.to_pylist())
             continue
         bufs = arr.buffers()
-        offs = np.frombuffer(bufs[1], dtype=np.int32,
+        offs = np.frombuffer(bufs[1], dtype=off_dtype,
                              count=n + 1 + arr.offset)[arr.offset:]
         data = (memoryview(bufs[2]) if bufs[2] is not None
                 else memoryview(b""))

@@ -89,3 +89,27 @@ def test_decode_check_wrong_type_payload():
     o = c.evaluate(b)
     assert o.violations.num_rows == 1
     assert o.violations.column("code").to_pylist() == ["DecodeError"]
+
+
+def test_content_hash_large_types_slices_nulls():
+    """content_hash_batch reads zero-copy buffer slices — large_binary/
+    large_string (int64 offsets), sliced arrays, and nulls must all hash
+    identically to their small-type equivalents."""
+    import pyarrow as pa
+
+    from metrics_ray.checks.keyed import content_hash_batch
+
+    t = pa.table({
+        "bytes": pa.array([b"abc", None, b"abc", b"x"], pa.large_binary()),
+        "transcript": pa.array(["t1", "t2", "t1", None], pa.large_string()),
+        "clip_id": pa.array(["a", "b", "c", "d"]),
+        "partition": pa.array([0, 1, 0, 1], pa.int32()),
+    })
+    k1 = content_hash_batch(t).column("key").to_pylist()
+    assert k1[0] == k1[2] and len(set(k1)) == 3
+    assert content_hash_batch(t.slice(2)).column("key").to_pylist()[0] == k1[2]
+    t2 = pa.table({
+        "bytes": t.column("bytes").cast(pa.binary()),
+        "transcript": t.column("transcript").cast(pa.string()),
+        "clip_id": t.column("clip_id"), "partition": t.column("partition")})
+    assert content_hash_batch(t2).column("key").to_pylist() == k1

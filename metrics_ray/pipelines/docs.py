@@ -447,6 +447,53 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0 /
 ORDER BY doc_a, doc_b"""
 
 
+# --------------------------------------------------- dup-cluster resolution
+
+def q_doc_dup_clusters(sf_dir: str) -> pa.Table:
+    """Duplicate-cluster resolution: connected components over the exact-
+    verified near-dup pair graph → (doc_id, cluster_id = component min).
+    The cluster representative (cluster_id == doc_id) is the keep; every
+    other member is droppable — the consumption format of dedup in a
+    training-data pipeline.
+
+    Pairs here are the near-dup query's own output (O(duplicates),
+    already driver-collected by the query contract), resolved with
+    union-find; the distributed equivalent for unbounded dup rates is
+    stages/components.label_propagation (same semantics, tested
+    equivalent)."""
+    from ..stages.components import connected_components_local
+
+    pairs = q_doc_neardup_minhash(sf_dir)
+    df = connected_components_local(pairs)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"], pa.int64()),
+        "cluster_id": pa.array(df["cluster_id"], pa.int64()),
+    })
+
+
+SQL_DOC_DUP_CLUSTERS = f"""WITH RECURSIVE {CORPUS_SQL.strip().lstrip()},
+{_SHINGLES_SQL},
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= {NEAR_DUP_TAU}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc
+)
+SELECT doc AS doc_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY doc ORDER BY doc"""
+
+
 # ----------------------------------------------------------- SimHash neardup
 
 def q_doc_neardup_simhash(sf_dir: str) -> pa.Table:
@@ -674,4 +721,5 @@ DOC_QUERIES = {
     "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
     "doc_lang_id": (q_doc_lang_id, None),
     "doc_license": (q_doc_license, SQL_DOC_LICENSE),
+    "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS),
 }

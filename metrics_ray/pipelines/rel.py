@@ -17,6 +17,11 @@ These exercise the engine's wide operations on the generic tables
                                  groupby(user).map_groups(sort + fold),
                                  SURVEY.md §2.8 (the reference's one
                                  order-dependent operator)
+  ev_disjoint_types[_sampled]    per-entity type-set intersection vs a
+                                 disjointness rule bank (AdvancedEntities…
+                                 DisjointClasses), plus the hash-Bernoulli
+                                 entity-bounded estimate flavor
+                                 (EstimateSimple…'s reservoir bound)
 """
 
 from __future__ import annotations
@@ -402,6 +407,110 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1"""
 
 
+# ------------------------------------ per-entity disjoint-set membership
+
+HIGH_VALUE_T = 150.0
+DISJOINT_RULES = (("purchase", "error"), ("signup", "click"))
+DISJOINT_SAMPLE_SEED = 0xD15C0
+
+
+def _disjoint_types_ds(sf_dir: str, entity_fraction: float | None):
+    """Shared pipeline for the disjoint-set check: filter+project at the
+    read → per-batch DISTINCT (user_id, event_type) combiner (≤5 types
+    per user survive the shuffle) → grouped_apply co-groups each user
+    once → vectorized per-bucket rule check (one self-merge per rule,
+    never a per-entity python dispatch)."""
+    import pyarrow.compute as pc
+
+    from ..checks.keyed import grouped_apply
+    from ..sketches import hash64
+
+    thr = (None if entity_fraction is None else
+           np.uint64(int(min(max(entity_fraction, 0.0), 1.0)
+                         * float(2**64 - 1))))
+
+    def distinct_types(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("value"), HIGH_VALUE_T))
+        if thr is not None and b.num_rows:
+            ids = np.array(b.column("user_id").to_pylist(), dtype=object)
+            pri = hash64(ids) ^ np.uint64(
+                DISJOINT_SAMPLE_SEED * 0x9E3779B97F4A7C15 % (1 << 64))
+            b = b.take(pa.array(np.nonzero(pri <= thr)[0]))
+        df = (b.select(["user_id", "event_type"]).to_pandas()
+              .drop_duplicates())
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+            "event_type": pa.array(df["event_type"], pa.string()),
+        })
+
+    def check_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # cross-batch distinct, then one self-merge per disjointness rule
+        df = df.drop_duplicates()
+        outs = []
+        for a, b in DISJOINT_RULES:
+            hit = (df.loc[df["event_type"] == a, ["user_id"]]
+                   .merge(df.loc[df["event_type"] == b, ["user_id"]],
+                          on="user_id"))
+            if len(hit):
+                outs.append(pd.DataFrame({
+                    "user_id": hit["user_id"].astype("int64"),
+                    "type_a": a, "type_b": b}))
+        if not outs:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "type_a": pd.Series([], dtype=str),
+                "type_b": pd.Series([], dtype=str)})
+        return pd.concat(outs, ignore_index=True)
+
+    ds = (_read(sf_dir, "events", ["user_id", "event_type", "value"])
+          .map_batches(distinct_types, batch_format="pyarrow"))
+    return grouped_apply(ds, "user_id", check_bucket,
+                         out_schema=_DISJOINT_SCHEMA)
+
+
+_DISJOINT_SCHEMA = pa.schema([("user_id", pa.int64()),
+                              ("type_a", pa.string()),
+                              ("type_b", pa.string())])
+
+
+def q_ev_disjoint_types(sf_dir: str) -> pa.Table:
+    """Per-entity set-intersection against a broadcast disjointness rule
+    bank — AdvancedEntitiesAsMembersOfDisjointClasses.java:44-233 (group
+    types by subject, flag subjects whose type set intersects a
+    disjointWith pair). Entity = user_id; its "type set" = the distinct
+    event_type values among the entity's high-value events; a rule
+    (a, b) is violated when both members appear in the set."""
+    out = _collect(_disjoint_types_ds(sf_dir, None), ["user_id", "type_a"])
+    return out if out is not None else _DISJOINT_SCHEMA.empty_table()
+
+
+def q_ev_disjoint_types_sampled(sf_dir: str) -> pa.Table:
+    """Entity-bounded estimate flavor —
+    EstimateSimpleEntitiesAsMembersOfDisjointClasses.java:42-196 bounds
+    the entity universe with a 1M reservoir before the same check. The
+    mergeable multi-worker analog is a deterministic hash-Bernoulli
+    ENTITY sample applied before the shuffle: every partition keeps the
+    same entities with zero coordination, and the kept set is stable
+    under resume/re-execution (a classic stateful reservoir is not).
+    Result = exact violations restricted to the sampled entity universe
+    (verified subset-of-full in tests); rate estimates scale by 1/f."""
+    out = _collect(_disjoint_types_ds(sf_dir, 0.5), ["user_id", "type_a"])
+    return out if out is not None else _DISJOINT_SCHEMA.empty_table()
+
+
+SQL_EV_DISJOINT_TYPES = f"""WITH t AS (
+    SELECT DISTINCT user_id, event_type FROM events
+    WHERE value >= {HIGH_VALUE_T}
+)
+SELECT t1.user_id AS user_id,
+       t1.event_type AS type_a,
+       t2.event_type AS type_b
+FROM t t1 JOIN t t2 USING (user_id)
+WHERE (t1.event_type = 'purchase' AND t2.event_type = 'error')
+   OR (t1.event_type = 'signup' AND t2.event_type = 'click')
+ORDER BY user_id, type_a"""
+
+
 REL_QUERIES = {
     "rel_cust_no_premium_orders": (q_customers_without_orders,
                                    SQL_CUSTOMERS_WITHOUT_ORDERS),
@@ -412,4 +521,6 @@ REL_QUERIES = {
     "ev_sliding_counts": (q_ev_sliding_counts, SQL_EV_SLIDING_COUNTS),
     "ev_daily_counts": (q_ev_daily_counts, SQL_EV_DAILY_COUNTS),
     "ev_sessions": (q_ev_sessions, SQL_EV_SESSIONS),
+    "ev_disjoint_types": (q_ev_disjoint_types, SQL_EV_DISJOINT_TYPES),
+    "ev_disjoint_types_sampled": (q_ev_disjoint_types_sampled, None),
 }

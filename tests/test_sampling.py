@@ -166,3 +166,43 @@ def test_reservoir_quantile_check(ray_session):
     exact = np.median([r["dur_ms"] for r in
                        ds.select_columns(["dur_ms"]).take_all()])
     assert abs(value - exact) / max(exact, 1) < 0.25
+
+
+# ------------------------------------------- per-entity disjoint-set check
+
+def test_disjoint_types_matches_oracle(ray_session):
+    """AdvancedEntitiesAsMembersOfDisjointClasses semantics: grouped
+    type-set vs rule bank == the DuckDB self-join oracle."""
+    import duckdb
+
+    from metrics_ray.pipelines.rel import (SQL_EV_DISJOINT_TYPES,
+                                           q_ev_disjoint_types)
+
+    t = q_ev_disjoint_types(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    o = con.sql(SQL_EV_DISJOINT_TYPES).arrow()
+    assert t.num_rows == o.num_rows
+    assert t.to_pydict() == o.to_pydict()
+
+
+def test_disjoint_types_sampled_is_entity_restriction(ray_session):
+    """EstimateSimple… flavor: the hash-Bernoulli entity bound yields
+    EXACTLY the full result restricted to the sampled entity universe —
+    deterministic, no recall loss within the sample."""
+    from metrics_ray.pipelines.rel import (q_ev_disjoint_types,
+                                           q_ev_disjoint_types_sampled)
+
+    full = q_ev_disjoint_types(SF)
+    samp = q_ev_disjoint_types_sampled(SF)
+    rows = lambda t: set(zip(*[t.column(c).to_pylist()
+                               for c in t.column_names]))
+    f, s = rows(full), rows(samp)
+    assert s <= f
+    sampled_users = {r[0] for r in s}
+    # every violation of a sampled entity is present (subset is exact,
+    # not lossy) and re-running is bit-stable
+    assert s == {r for r in f if r[0] in sampled_users}
+    again = rows(q_ev_disjoint_types_sampled(SF))
+    assert again == s

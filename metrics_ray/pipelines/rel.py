@@ -22,6 +22,9 @@ These exercise the engine's wide operations on the generic tables
                                  DisjointClasses), plus the hash-Bernoulli
                                  entity-bounded estimate flavor
                                  (EstimateSimple…'s reservoir bound)
+  ev_purchase_attribution        temporal AS-OF join: each purchase ← the
+                                 user's most recent click at-or-before it
+                                 (stages/join.py bucketed_asof_join)
 """
 
 from __future__ import annotations
@@ -407,6 +410,74 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1"""
 
 
+# --------------------------------------------------------- as-of join
+
+_ATTRIB_SCHEMA = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("click_id", pa.int64()),
+                            ("gap_us", pa.int64())])
+
+
+def q_ev_purchase_attribution(sf_dir: str) -> pa.Table:
+    """Touchpoint attribution via the temporal AS-OF join
+    (stages/join.py bucketed_asof_join): every purchase event is joined
+    to the same user's most recent click at-or-before the purchase time
+    (latest click_id wins a timestamp tie; purchases with no prior click
+    keep nulls). Both sides are filtered + projected at the read; shuffle
+    payload = (key, ts, id) only."""
+    from ..stages.join import bucketed_asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    purchases = (ev.filter(expr="event_type == 'purchase'")
+                 .select_columns(["event_id", "ts", "user_id"]))
+    clicks = (ev.filter(expr="event_type == 'click'")
+              .select_columns(["event_id", "ts", "user_id"])
+              .rename_columns({"event_id": "click_id"}))
+
+    def typed(merged: pd.DataFrame) -> pd.DataFrame:
+        m = merged["__rts"].notna().to_numpy()
+        lts = merged["__ts"].to_numpy().astype("datetime64[us]").astype(
+            "int64")
+        rts = np.where(m, merged["__rts"].to_numpy()
+                       .astype("datetime64[us]").astype("int64"), 0)
+        return pd.DataFrame({
+            "event_id": merged["event_id"].astype("int64"),
+            "user_id": merged["user_id"].astype("int64"),
+            "click_id": merged["click_id"].astype("Int64"),
+            "gap_us": pd.Series(np.where(m, lts - rts, 0))
+                        .mask(~m).astype("Int64"),
+        })
+
+    out = bucketed_asof_join(
+        purchases, clicks, left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="ts",
+        left_cols=["event_id", "user_id"], right_cols=["click_id"],
+        right_tie="click_id", post=typed, out_schema=_ATTRIB_SCHEMA)
+    res = _collect(out, ["event_id"])
+    if res is None:
+        return _ATTRIB_SCHEMA.empty_table()
+    # drop the pandas-dtype schema metadata so nullable ints round-trip
+    # as plain arrow int64 (to_pandas → NaN like every SQL engine, not
+    # pd.NA), keeping the driver's value comparison dtype-uniform
+    return res.replace_schema_metadata(None)
+
+
+SQL_EV_PURCHASE_ATTRIBUTION = """WITH c AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS event_id,
+       p.user_id AS user_id,
+       c.event_id AS click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+QUALIFY row_number() OVER (PARTITION BY p.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) = 1
+ORDER BY event_id"""
+
+
 # ------------------------------------ per-entity disjoint-set membership
 
 HIGH_VALUE_T = 150.0
@@ -522,5 +593,7 @@ REL_QUERIES = {
     "ev_daily_counts": (q_ev_daily_counts, SQL_EV_DAILY_COUNTS),
     "ev_sessions": (q_ev_sessions, SQL_EV_SESSIONS),
     "ev_disjoint_types": (q_ev_disjoint_types, SQL_EV_DISJOINT_TYPES),
+    "ev_purchase_attribution": (q_ev_purchase_attribution,
+                                SQL_EV_PURCHASE_ATTRIBUTION),
     "ev_disjoint_types_sampled": (q_ev_disjoint_types_sampled, None),
 }

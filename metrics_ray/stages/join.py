@@ -14,8 +14,15 @@ make explicitly:
                        union, one co-group exchange, vectorized
                        pandas merge per bucket. Shuffle payload = the
                        projected join columns only (callers pre-project).
+  bucketed_asof_join   temporal AS-OF join (each left row ← the single
+                       most recent right row with right.ts <= left.ts,
+                       same key): same tagged-union co-group exchange,
+                       one vectorized ``pandas.merge_asof`` per bucket.
+                       Ray Data has no native as-of join; the only
+                       partitioning assumption is that identical keys
+                       co-locate (guaranteed by the bucket hash).
 
-Both compose: a 3-way fact⋈fact⋈dim plan is one bucketed join with a
+All compose: a 3-way fact⋈fact⋈dim plan is one bucketed join with a
 broadcast_enrich before or after it.
 """
 
@@ -116,6 +123,86 @@ def bucketed_inner_join(left_ds, right_ds, left_key: str, right_key: str,
         l = df.loc[df["__side"] == "l", ["__key"] + left_cols]
         r = df.loc[df["__side"] == "r", ["__key"] + right_cols]
         merged = l.merge(r, on="__key").drop(columns="__key")
+        return post(merged) if post is not None else merged
+
+    return grouped_apply(tagged, "__key", reduce_bucket,
+                         n_buckets=n_buckets, out_schema=out_schema)
+
+
+def bucketed_asof_join(left_ds, right_ds, left_key: str, right_key: str,
+                       left_ts: str, right_ts: str,
+                       left_cols: list[str], right_cols: list[str],
+                       right_tie: str | None = None,
+                       post=None, out_schema: pa.Schema | None = None,
+                       n_buckets: int | None = None):
+    """Backward AS-OF left join of two large Datasets: every left row is
+    joined to the single most recent right row of the same key whose
+    timestamp is <= the left timestamp (left rows with no match keep
+    nulls). The classic "attribute event to preceding touchpoint" /
+    "price as of trade time" operator.
+
+    Same physical shape as ``bucketed_inner_join``: tag + union + ONE
+    co-group exchange; inside each bucket a vectorized
+    ``pandas.merge_asof`` resolves all keys of the bucket at once.
+
+    Tie-break: among right rows sharing the match timestamp the row with
+    the greatest ``right_tie`` wins (sort-last), making the join
+    deterministic; pass the right side's unique id. Null timestamps never
+    match (right nulls dropped, left nulls keep null attachments)."""
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"join columns must be disjoint, got {overlap}")
+    lsch = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    rsch = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    ts_type = lsch[left_ts]
+    lfields = [(c, lsch[c]) for c in left_cols]
+    rfields = [(c, rsch[c]) for c in right_cols]
+
+    def tag(side: str, key_col: str, ts_col: str, present: list):
+        present_names = {name for name, _ in present}
+
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {
+                "__key": pa.array(
+                    [None if k is None else str(k)
+                     for k in b.column(key_col).to_pylist()], pa.string()),
+                "__side": pa.array([side] * n, pa.string()),
+                "__ts": b.column(ts_col).combine_chunks().cast(ts_type),
+            }
+            for name, typ in lfields + rfields:
+                cols[name] = (b.column(name).combine_chunks()
+                              if name in present_names else pa.nulls(n, typ))
+            return pa.table(cols)
+        return f
+
+    tagged = left_ds.map_batches(
+        tag("l", left_key, left_ts, lfields),
+        batch_format="pyarrow").union(
+        right_ds.map_batches(
+            tag("r", right_key, right_ts, rfields),
+            batch_format="pyarrow"))
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lall = df.loc[df["__side"] == "l", ["__key", "__ts"] + left_cols]
+        l_null = lall[lall["__ts"].isna()]
+        l = (lall.dropna(subset=["__ts"])
+             .sort_values("__ts", kind="stable"))
+        r = (df.loc[df["__side"] == "r", ["__key", "__ts"] + right_cols]
+             .dropna(subset=["__ts"])
+             .rename(columns={"__ts": "__rts"}))
+        r = r.sort_values(["__rts"] + ([right_tie] if right_tie else []),
+                          kind="stable")
+        if len(l) == 0:
+            merged = l.assign(
+                __rts=pd.Series([], dtype=r["__rts"].dtype),
+                **{c: pd.Series([], dtype=r[c].dtype) for c in right_cols})
+        else:
+            merged = pd.merge_asof(l, r, left_on="__ts", right_on="__rts",
+                                   by="__key", direction="backward")
+        if len(l_null):
+            merged = pd.concat([merged, l_null], ignore_index=True)
+        merged = merged.drop(columns="__key")
         return post(merged) if post is not None else merged
 
     return grouped_apply(tagged, "__key", reduce_bucket,

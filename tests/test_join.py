@@ -72,3 +72,87 @@ def test_verify_pairs_distributed_empty_candidates():
 
     tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
     assert tables == []
+
+
+# ------------------------------------------------------------ as-of join
+
+_ASOF_SCHEMA = pa.schema([("eid", pa.int64()), ("price", pa.int64())])
+
+
+def _asof(left: pa.Table, right: pa.Table, **kw):
+    from metrics_ray.stages.join import bucketed_asof_join
+
+    def typed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"eid": df["eid"].astype("int64"),
+                             "price": df["price"].astype("Int64")})
+
+    out = bucketed_asof_join(
+        _ds(left), _ds(right), left_key="k", right_key="k",
+        left_ts="ts", right_ts="ts", left_cols=["eid"],
+        right_cols=["price"], post=typed, out_schema=_ASOF_SCHEMA, **kw)
+    import ray
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return (pa.concat_tables(tables).to_pandas()
+            .sort_values("eid").reset_index(drop=True))
+
+
+def _ts(*secs):
+    return pa.array([pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=s)
+                     for s in secs], pa.timestamp("us"))
+
+
+def test_asof_backward_match_and_no_match():
+    left = pa.table({"k": [1, 1, 2], "ts": _ts(10, 3, 10),
+                     "eid": [100, 101, 102]})
+    right = pa.table({"k": [1, 1, 2], "ts": _ts(5, 9, 11),
+                      "price": [50, 90, 110]})
+    df = _asof(left, right)
+    # eid=100 (t=10) ← price@9; eid=101 (t=3) ← none; eid=102 (t=10) ← none
+    assert list(df["eid"]) == [100, 101, 102]
+    assert df["price"].tolist() == [90, pd.NA, pd.NA] or \
+        [None if pd.isna(v) else v for v in df["price"]] == [90, None, None]
+
+
+def test_asof_exact_match_and_tie_break():
+    # right rows share the match timestamp → greatest tie id must win
+    left = pa.table({"k": [7], "ts": _ts(5), "eid": [1]})
+    right = pa.table({"k": [7, 7, 7], "ts": _ts(5, 5, 2),
+                      "price": [10, 30, 99]})
+    df = _asof(left, right, right_tie="price")
+    assert df["price"].tolist() == [30]
+
+
+def test_asof_empty_right_side():
+    left = pa.table({"k": [1, 2], "ts": _ts(1, 2), "eid": [5, 6]})
+    right = pa.table({"k": pa.array([], pa.int64()),
+                      "ts": pa.array([], pa.timestamp("us")),
+                      "price": pa.array([], pa.int64())})
+    df = _asof(left, right)
+    assert list(df["eid"]) == [5, 6]
+    assert df["price"].isna().all()
+
+
+def test_asof_matches_pandas_merge_asof_randomized():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n_l, n_r = 200, 300
+    lk = rng.randint(0, 12, n_l)
+    rk = rng.randint(0, 12, n_r)
+    lts = rng.randint(0, 10_000, n_l)
+    rts = rng.randint(0, 10_000, n_r)
+    left = pa.table({"k": lk, "ts": _ts(*lts),
+                     "eid": np.arange(n_l, dtype="int64")})
+    right = pa.table({"k": rk, "ts": _ts(*rts),
+                      "price": np.arange(n_r, dtype="int64")})
+    df = _asof(left, right, right_tie="price")
+
+    lpd = left.to_pandas().sort_values("ts", kind="stable")
+    rpd = (right.to_pandas()
+           .sort_values(["ts", "price"], kind="stable"))
+    exp = (pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+           .sort_values("eid").reset_index(drop=True))
+    assert df["eid"].tolist() == exp["eid"].tolist()
+    got = [None if pd.isna(v) else int(v) for v in df["price"]]
+    want = [None if pd.isna(v) else int(v) for v in exp["price"]]
+    assert got == want

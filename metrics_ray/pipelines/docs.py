@@ -710,6 +710,53 @@ def q_doc_lang_id(sf_dir: str) -> pa.Table:
                     .map_batches(lid, batch_format="pyarrow"), ["doc_id"])
 
 
+# ------------------------------------------------------- heavy hitters
+
+TOP_TOKENS_K = 50
+
+
+def q_doc_top_tokens(sf_dir: str) -> pa.Table:
+    """Corpus-wide top-k frequent tokens (vocabulary / stopword stats —
+    the frequency sweep every large text pipeline runs before filtering).
+
+    Scale shape: tokenize + count entirely inside the batch with Arrow
+    kernels (split_pattern_regex → list_flatten → value_counts — zero
+    python-per-row), so the shuffle carries one (token, partial_count)
+    row per DISTINCT token per batch, never the token stream; a tiny
+    groupby-sum merges partials and a distributed sort + limit takes the
+    head. Ties broken by token ascending, so top-k is deterministic."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b.column("text"), ""), pattern=r"\s+"))
+        vc = pc.value_counts(toks)
+        t = pa.table({"token": vc.field("values"),
+                      "n": vc.field("counts").cast(pa.int64())})
+        return t.filter(pc.invert(pc.equal(t.column("token"), "")))
+
+    ds = (documents_ds(sf_dir, ["text"])
+          .map_batches(partial_counts, batch_format="pyarrow")
+          .repartition(shuffle_blocks())
+          .groupby("token").aggregate(Sum("n", alias_name="n"))
+          .sort(key=["n", "token"], descending=[True, False])
+          .limit(TOP_TOKENS_K))
+    rows = ds.take_all()
+    return pa.table({
+        "token": pa.array([r["token"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+    })
+
+
+SQL_DOC_TOP_TOKENS = f"""WITH toks AS (
+    SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+    FROM documents
+)
+SELECT token, COUNT(*) AS n FROM toks
+GROUP BY token ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}"""
+
+
 DOC_QUERIES = {
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
@@ -722,4 +769,5 @@ DOC_QUERIES = {
     "doc_lang_id": (q_doc_lang_id, None),
     "doc_license": (q_doc_license, SQL_DOC_LICENSE),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS),
+    "doc_top_tokens": (q_doc_top_tokens, SQL_DOC_TOP_TOKENS),
 }

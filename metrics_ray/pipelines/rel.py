@@ -410,6 +410,72 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1"""
 
 
+# -------------------------------------------------- group-wise top-N
+
+TOP_ORDERS_N = 3
+
+
+def q_segment_top_orders(sf_dir: str) -> pa.Table:
+    """Top-N rows per group (the window-rank `row_number() <= N` family):
+    the N most expensive orders per customer market segment.
+
+    Scale shape: segment attaches via broadcast_enrich (dimension ships
+    once), then every batch keeps only its LOCAL top-N per segment — a
+    combiner that bounds the exchange to N×|segments| rows per batch
+    regardless of input size — and one final reduce takes the global
+    head. Ties are broken by (price DESC, orderkey ASC) so the result is
+    deterministic."""
+    import pyarrow.parquet as pq
+
+    from ..stages.join import broadcast_enrich
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    enriched = broadcast_enrich(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        [(cust, "o_custkey", "c_custkey", {"segment": "c_mktsegment"})])
+
+    def local_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=["segment"]).sort_values(
+            ["segment", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="stable")
+        return (df.groupby("segment", sort=False).head(TOP_ORDERS_N)
+                [["segment", "o_orderkey", "o_totalprice"]])
+
+    parts = _collect(
+        enriched.map_batches(local_topn, batch_format="pandas"),
+        ["segment"])
+    if parts is None:
+        return pa.table({"segment": pa.array([], pa.string()),
+                         "rn": pa.array([], pa.int64()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_totalprice": pa.array([], pa.float64())})
+    df = (parts.to_pandas().sort_values(
+        ["segment", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True], kind="stable")
+        .groupby("segment", sort=False).head(TOP_ORDERS_N)
+        .reset_index(drop=True))
+    rn = df.groupby("segment", sort=False).cumcount() + 1
+    return pa.table({
+        "segment": pa.array(df["segment"], pa.string()),
+        "rn": pa.array(rn.to_numpy(), pa.int64()),
+        "o_orderkey": pa.array(df["o_orderkey"].astype("int64")),
+        "o_totalprice": pa.array(df["o_totalprice"].astype("float64")),
+    })
+
+
+SQL_SEGMENT_TOP_ORDERS = f"""SELECT segment, rn, o_orderkey, o_totalprice
+FROM (
+    SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+           row_number() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice DESC,
+                                       o.o_orderkey) AS rn
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rn <= {TOP_ORDERS_N}
+ORDER BY segment, rn"""
+
+
 # --------------------------------------------------------- as-of join
 
 _ATTRIB_SCHEMA = pa.schema([("event_id", pa.int64()),
@@ -588,6 +654,8 @@ REL_QUERIES = {
     "rel_segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "rel_nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     "rel_priority_revenue": (q_priority_revenue, SQL_PRIORITY_REVENUE),
+    "rel_segment_top_orders": (q_segment_top_orders,
+                               SQL_SEGMENT_TOP_ORDERS),
     "ev_type_stats": (q_ev_type_stats, SQL_EV_TYPE_STATS),
     "ev_sliding_counts": (q_ev_sliding_counts, SQL_EV_SLIDING_COUNTS),
     "ev_daily_counts": (q_ev_daily_counts, SQL_EV_DAILY_COUNTS),

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import pyarrow as pa
 
 from .. import synth
@@ -539,6 +540,60 @@ SELECT clip_id, dur_ms FROM clips
 ORDER BY dur_ms DESC, clip_id LIMIT 20"""
 
 
+DUR_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_dur_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT per-codec duration quantiles via the counting path: per-batch
+    (codec, dur_ms) value-count partials → groupby-sum merge → quantile
+    selection on the cumulative counts. For a bounded value domain (ms
+    durations) the merged count table is O(|codec| × |distinct dur|)
+    regardless of row count, so exact quantiles need NO per-group sort
+    and no group materialization — the scale answer to "median of a
+    billion-row group". Matches DuckDB quantile_disc (sorted element at
+    rank ceil(q·n))."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (b.to_pandas().groupby(["codec", "dur_ms"], sort=False)
+              .size().reset_index(name="cnt"))
+        return pa.table({
+            "codec": pa.array(df["codec"], pa.string()),
+            "dur_ms": pa.array(df["dur_ms"].astype("int64")),
+            "cnt": pa.array(df["cnt"].astype("int64")),
+        })
+
+    counts = (_meta_ds(sf_dir).select_columns(["codec", "dur_ms"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["codec", "dur_ms"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+    df = counts.to_pandas().sort_values(["codec", "dur_ms"]).reset_index(
+        drop=True)
+
+    out = {"codec": [], **{f"p{int(q * 100)}": [] for q in DUR_QUANTILES}}
+    for codec, g in df.groupby("codec", sort=True):
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        out["codec"].append(codec)
+        for q in DUR_QUANTILES:
+            rank = int(np.ceil(q * n))
+            pos = int(np.searchsorted(cum, rank))
+            out[f"p{int(q * 100)}"].append(int(g["dur_ms"].iloc[pos]))
+    return pa.table({
+        "codec": pa.array(out["codec"], pa.string()),
+        **{k: pa.array(out[k], pa.int64())
+           for k in out if k != "codec"},
+    })
+
+
+SQL_DUR_QUANTILES = f"""WITH {synth.CLIPS_SQL}
+SELECT codec,
+       quantile_disc(dur_ms, 0.5) AS p50,
+       quantile_disc(dur_ms, 0.9) AS p90,
+       quantile_disc(dur_ms, 0.99) AS p99
+FROM clips GROUP BY codec ORDER BY codec"""
+
+
 def q_audio_features(sf_dir: str) -> pa.Table:
     """Acoustic feature extraction (actor-pool stage) — rows-only (audio
     bytes exist only on the Ray side). Floats rounded for stability."""
@@ -597,6 +652,7 @@ VALIDATION_QUERIES = {
     "val_regex_presence": (q_regex_presence, SQL_REGEX_PRESENCE),
     "val_partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
     "val_top_durations": (q_top_durations, SQL_TOP_DURATIONS),
+    "val_dur_quantiles": (q_dur_quantiles, SQL_DUR_QUANTILES),
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, None),

@@ -710,6 +710,259 @@ def q_doc_lang_id(sf_dir: str) -> pa.Table:
                     .map_batches(lid, batch_format="pyarrow"), ["doc_id"])
 
 
+# ------------------------------------------------------- PII scrubbing
+
+# Training-data redaction bank (RE2-safe, identical semantics in Arrow
+# and DuckDB). Order = application order; patterns are disjoint.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9.]+@[a-z0-9-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+# seeded PII suffixes (same derived-corpus pattern as the license bank)
+# so every pattern — and multi-hit docs — has verified coverage:
+_PII_SUFFIX = {
+    3: " contact jane.roe@example.com for details",
+    9: " call 555-123-4567 now",
+    17: " ref 123-45-6789 on file",
+    22: " mail a.b@test.org or 555-000-1111",
+}
+
+
+def _pii_text_batch(b: pa.Table) -> pa.Table:
+    doc_id = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    txt = b.column("text").to_pylist()
+    out = [t + _PII_SUFFIX.get(int(k) % 31, "")
+           for k, t in zip(doc_id, txt)]
+    return pa.table({"doc_id": pa.array(doc_id),
+                     "text": pa.array(out, pa.string())})
+
+
+_PII_TEXT_SQL = """pii_docs AS (
+    SELECT doc_id, text || CASE doc_id % 31
+        WHEN 3 THEN ' contact jane.roe@example.com for details'
+        WHEN 9 THEN ' call 555-123-4567 now'
+        WHEN 17 THEN ' ref 123-45-6789 on file'
+        WHEN 22 THEN ' mail a.b@test.org or 555-000-1111'
+        ELSE '' END AS text
+    FROM documents
+)"""
+
+
+def q_doc_pii(sf_dir: str) -> pa.Table:
+    """PII detection + redaction — the scrub pass every training-data
+    pipeline runs before tokenization. One streaming map_batches: Arrow
+    re2 kernels count each PII class and chain-replace matches with
+    typed placeholder tokens; no python-per-row, no shuffle (row-local).
+    Redacted text is returned so the oracle verifies the REPLACEMENT,
+    not just the counts."""
+    import pyarrow.compute as pc
+
+    def scrub(b: pa.Table) -> pa.Table:
+        t = _pii_text_batch(b)
+        txt = pc.fill_null(t.column("text"), "")
+        cols = {"doc_id": t.column("doc_id")}
+        red = txt
+        for name, pat, token in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.count_substring_regex(txt, pat).cast(
+                pa.int64())
+            red = pc.replace_substring_regex(red, pat, token)
+        cols["redacted"] = red
+        return pa.table(cols)
+
+    ds = documents_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow")
+    return _collect(ds, ["doc_id"])
+
+
+_PII_REDACT_EXPR = "text"
+for _name, _pat, _token in PII_PATTERNS:
+    _PII_REDACT_EXPR = (f"regexp_replace({_PII_REDACT_EXPR}, "
+                        f"'{_pat}', '{_token}', 'g')")
+_PII_COUNT_COLS = ",\n       ".join(
+    f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+    for name, pat, _ in PII_PATTERNS)
+
+SQL_DOC_PII = f"""WITH {_PII_TEXT_SQL}
+SELECT doc_id,
+       {_PII_COUNT_COLS},
+       {_PII_REDACT_EXPR} AS redacted
+FROM pii_docs ORDER BY doc_id"""
+
+
+# --------------------------------------------------- repetition stats
+
+
+def q_doc_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition signals per document: total / distinct
+    token counts, duplicate-token fraction (1 − distinct/total) and the
+    mass of the single most frequent token — the quality features used
+    to drop boilerplate/spam before training. Row-local (one vectorized
+    explode + two groupbys per batch), no shuffle."""
+
+    def rep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        txts = b.column("text").to_pylist()
+        df = pd.DataFrame({
+            "doc_id": ids,
+            "tok": [t.split() if t else [] for t in txts],
+        }).explode("tok").dropna(subset=["tok"])
+        counts = (df.groupby(["doc_id", "tok"], sort=False)
+                  .size().rename("n").reset_index())
+        agg = (counts.groupby("doc_id", sort=False)["n"]
+               .agg(total="sum", distinct="size", maxn="max")
+               .reset_index())
+        total = agg["total"].to_numpy(dtype="float64")
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].astype("int64")),
+            "n_tokens": pa.array(agg["total"].astype("int64")),
+            "n_distinct": pa.array(agg["distinct"].astype("int64")),
+            "dup_frac": pa.array(round_half_away(
+                1.0 - agg["distinct"].to_numpy() / total, 6)),
+            "top_frac": pa.array(round_half_away(
+                agg["maxn"].to_numpy() / total, 6)),
+        })
+
+    ds = documents_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        rep, batch_format="pyarrow")
+    return _collect(ds, ["doc_id"])
+
+
+SQL_DOC_REPETITION = """WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+    FROM documents
+), counts AS (
+    SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       round(1.0 - COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS dup_frac,
+       round(MAX(n) / CAST(SUM(n) AS DOUBLE), 6) AS top_frac
+FROM counts GROUP BY doc_id ORDER BY doc_id"""
+
+
+# ------------------------------------------------- contamination check
+
+CONTAM_W = 8          # word n-gram width
+CONTAM_EVAL_MOD = 47  # doc_id % MOD == RES defines the held-out eval set
+CONTAM_EVAL_RES = 5
+
+# seeded leakage (derived-corpus pattern, as the license/PII banks): docs
+# with doc_id % 7 == 2 share a 9-word phrase, so eval docs carrying it
+# (doc_id ≡ 5 mod 47 ∧ ≡ 2 mod 7, present from sf0.001 up) contaminate
+# every train doc carrying it — plus any exact-dup twin of an eval doc.
+_CONTAM_PHRASE = (" alpha beta gamma delta epsilon zeta eta theta iota")
+
+
+def _contam_text_batch(b: pa.Table) -> pa.Table:
+    doc_id = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    txt = b.column("text").to_pylist()
+    out = [t + (_CONTAM_PHRASE if int(k) % 7 == 2 else "")
+           for k, t in zip(doc_id, txt)]
+    return pa.table({"doc_id": pa.array(doc_id),
+                     "text": pa.array(out, pa.string())})
+
+
+_CONTAM_TEXT_SQL = f"""contam_docs AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 7 = 2
+                        THEN '{_CONTAM_PHRASE}' ELSE '' END AS text
+    FROM documents
+)"""
+
+
+def _word_grams(text: str, w: int = CONTAM_W) -> set[str]:
+    """Distinct word w-grams; docs shorter than w words have NONE (unlike
+    word_shingles' short-doc fallback) so the SQL mirror is exact."""
+    words = text.split() if text else []
+    if len(words) < w:
+        return set()
+    return {" ".join(words[i:i + w]) for i in range(len(words) - w + 1)}
+
+
+def q_doc_contamination(sf_dir: str) -> pa.Table:
+    """Train/eval decontamination — flag training documents sharing any
+    exact word 8-gram with the held-out eval slice (the leakage sweep
+    run before training on web-scale corpora).
+
+    Scale shape: the eval n-gram index is derived FROM the dataset
+    (filter → per-batch distinct grams → driver union — eval sets are
+    small by construction) and broadcast once via ray.put; the corpus
+    scan is one row-local map_batches doing a C-level set intersection
+    per doc. At 100 TB the broadcast set becomes hashed 64-bit grams in
+    a sorted array / bloom filter (np.isin per batch) — same plan, the
+    exact-string set here keeps the oracle comparison collision-free."""
+    import ray
+
+    def keep(b: pa.Table, is_eval: bool) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % CONTAM_EVAL_MOD) == CONTAM_EVAL_RES
+        return b.filter(pa.array(m if is_eval else ~m))
+
+    eval_ds = (documents_ds(sf_dir, ["doc_id", "text"])
+               .map_batches(lambda b: keep(b, True),
+                            batch_format="pyarrow")
+               .map_batches(_contam_text_batch, batch_format="pyarrow"))
+
+    def grams_batch(b: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for t in b.column("text").to_pylist():
+            out |= _word_grams(t)
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    parts = ray.get(eval_ds.map_batches(
+        grams_batch, batch_format="pyarrow").to_arrow_refs())
+    # Ray may forward 0-row blocks with the upstream schema untouched —
+    # only blocks the batch fn actually produced carry the gram column
+    eval_grams = frozenset(
+        g for t in parts if "gram" in t.schema.names
+        for g in t.column("gram").to_pylist())
+    ref = ray.put(eval_grams)
+
+    def scan(b: pa.Table) -> pa.Table:
+        bank = ray.get(ref)
+        t = _contam_text_batch(b)
+        ids, hits = [], []
+        for k, txt in zip(t.column("doc_id").to_pylist(),
+                          t.column("text").to_pylist()):
+            n = len(_word_grams(txt) & bank)
+            if n:
+                ids.append(int(k))
+                hits.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_matched": pa.array(hits, pa.int64())})
+
+    train = documents_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: keep(b, False), batch_format="pyarrow")
+    out = _collect(train.map_batches(scan, batch_format="pyarrow"),
+                   ["doc_id"])
+    if out is None:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_matched": pa.array([], pa.int64())})
+    return out
+
+
+SQL_DOC_CONTAMINATION = f"""WITH {_CONTAM_TEXT_SQL}, words AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM contam_docs
+), grams AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i : i + {CONTAM_W - 1}], ' ')
+           AS gram
+    FROM words, UNNEST(range(1, len(w) - {CONTAM_W - 2})) AS t(i)
+    WHERE len(w) >= {CONTAM_W}
+), eval_grams AS (
+    SELECT DISTINCT gram FROM grams
+    WHERE doc_id % {CONTAM_EVAL_MOD} = {CONTAM_EVAL_RES}
+)
+SELECT g.doc_id, COUNT(*) AS n_matched
+FROM grams g JOIN eval_grams e USING (gram)
+WHERE g.doc_id % {CONTAM_EVAL_MOD} <> {CONTAM_EVAL_RES}
+GROUP BY g.doc_id ORDER BY g.doc_id"""
+
+
 # ------------------------------------------------------- heavy hitters
 
 TOP_TOKENS_K = 50
@@ -770,4 +1023,7 @@ DOC_QUERIES = {
     "doc_license": (q_doc_license, SQL_DOC_LICENSE),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS),
     "doc_top_tokens": (q_doc_top_tokens, SQL_DOC_TOP_TOKENS),
+    "doc_pii": (q_doc_pii, SQL_DOC_PII),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
 }

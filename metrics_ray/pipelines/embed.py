@@ -478,10 +478,49 @@ def q_emb_knn_ivf(sf_dir: str) -> pa.Table:
     })
 
 
+# ------------------------------------------- semantic dup clusters
+
+def q_emb_dup_clusters(sf_dir: str) -> pa.Table:
+    """Semantic-dedup cluster resolution: connected components over the
+    exact cosine near-dup pair graph → (vec_id, cluster_id = component
+    min); cluster_id == vec_id marks the canonical keep. Completes the
+    dedup family (exact / minhash / simhash / embedding) with the same
+    consumption format as doc_dup_clusters; the distributed path for
+    unbounded dup rates is stages/components.label_propagation (tested
+    equivalent on the doc graph)."""
+    from ..stages.components import connected_components_local
+
+    pairs = q_emb_neardup(sf_dir)
+    df = connected_components_local(pairs, "vec_a", "vec_b")
+    return pa.table({
+        "vec_id": pa.array(df["doc_id"], pa.int64()),
+        "cluster_id": pa.array(df["cluster_id"], pa.int64()),
+    })
+
+
+SQL_EMB_DUP_CLUSTERS = f"""WITH RECURSIVE {VCORPUS_SQL},
+pairs AS (
+    SELECT a.vec_id AS u, b.vec_id AS v
+    FROM vcorpus a JOIN vcorpus b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= {NEAR_TAU}
+),
+edges AS (
+    SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+),
+reach(node, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS vec_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY node ORDER BY vec_id"""
+
+
 EMB_QUERIES = {
     "emb_norm_check": (q_emb_norm_check, SQL_EMB_NORM_CHECK),
     "emb_knn": (q_emb_knn, SQL_EMB_KNN),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
     "emb_knn_ivf": (q_emb_knn_ivf, None),
+    "emb_dup_clusters": (q_emb_dup_clusters, SQL_EMB_DUP_CLUSTERS),
 }

@@ -340,6 +340,10 @@ def run_batch_checks(ds, checks: list[BatchCheck],
                 .select(VIOLATION_SCHEMA.names).cast(VIOLATION_SCHEMA)
                 if (kinds == "v").any() else None)
         part_rows = all_rows.filter(pa.array(kinds == "p"))
+    if os.environ.get("METRICS_RAY_PRINT_STATS"):
+        # operator knob: per-stage wall/cpu/row stats of the executed pass
+        # (Ray Data's ds.stats()) for tuning batch_size / concurrency
+        print(tagged.stats())
     pdf = part_rows.select(["check_id", "partition", "scanned", "violating"]).to_pandas()
     counters = (pdf.groupby(["check_id", "partition"], sort=True)
                 .sum().reset_index())

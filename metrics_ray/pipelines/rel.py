@@ -544,6 +544,49 @@ QUALIFY row_number() OVER (PARTITION BY p.event_id
 ORDER BY event_id"""
 
 
+# --------------------------------------------------------- range join
+
+BURST_BAND_US = 15 * 60 * 1_000_000  # ±15 min
+
+
+def q_ev_click_burst(sf_dir: str) -> pa.Table:
+    """Temporal RANGE join (stages/join.py bucketed_range_count): for
+    every purchase event, the number of click events — by ANY user —
+    within ±15 minutes. No join key exists, so a hash join can't express
+    it; the band-tiling plan bounds the exchange at 3× the click rows
+    and resolves each tile with two vectorized searchsorted probes."""
+    from ..stages.join import bucketed_range_count
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    purchases = (ev.filter(expr="event_type == 'purchase'")
+                 .select_columns(["event_id", "ts"]))
+    clicks = (ev.filter(expr="event_type == 'click'")
+              .select_columns(["ts"]))
+    out = bucketed_range_count(
+        purchases, clicks, left_ts="ts", right_ts="ts",
+        band_us=BURST_BAND_US, left_cols=["event_id"],
+        out_count="n_clicks",
+        out_schema=pa.schema([("event_id", pa.int64()),
+                              ("n_clicks", pa.int64())]))
+    res = _collect(out, ["event_id"])
+    if res is None:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "n_clicks": pa.array([], pa.int64())})
+    return res
+
+
+SQL_EV_CLICK_BURST = """WITH c AS (
+    SELECT ts FROM events WHERE event_type = 'click'
+), p AS (
+    SELECT event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, COUNT(c.ts) AS n_clicks
+FROM p LEFT JOIN c
+  ON c.ts BETWEEN p.ts - INTERVAL 15 MINUTE
+              AND p.ts + INTERVAL 15 MINUTE
+GROUP BY p.event_id ORDER BY p.event_id"""
+
+
 # ------------------------------------ per-entity disjoint-set membership
 
 HIGH_VALUE_T = 150.0
@@ -663,5 +706,6 @@ REL_QUERIES = {
     "ev_disjoint_types": (q_ev_disjoint_types, SQL_EV_DISJOINT_TYPES),
     "ev_purchase_attribution": (q_ev_purchase_attribution,
                                 SQL_EV_PURCHASE_ATTRIBUTION),
+    "ev_click_burst": (q_ev_click_burst, SQL_EV_CLICK_BURST),
     "ev_disjoint_types_sampled": (q_ev_disjoint_types_sampled, None),
 }

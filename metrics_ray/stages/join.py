@@ -21,6 +21,14 @@ make explicitly:
                        Ray Data has no native as-of join; the only
                        partitioning assumption is that identical keys
                        co-locate (guaranteed by the bucket hash).
+  bucketed_range_count temporal RANGE (band) join, count flavor: each
+                       left row ← COUNT of right rows within ±band of
+                       its timestamp. Time is tiled into band-width
+                       buckets; right rows replicate to the 3 buckets
+                       they can reach (bounded 3× blow-up, no key
+                       needed), then one sorted-searchsorted count per
+                       bucket. The non-equi join Ray Data cannot
+                       express natively.
 
 All compose: a 3-way fact⋈fact⋈dim plan is one bucketed join with a
 broadcast_enrich before or after it.
@@ -206,4 +214,93 @@ def bucketed_asof_join(left_ds, right_ds, left_key: str, right_key: str,
         return post(merged) if post is not None else merged
 
     return grouped_apply(tagged, "__key", reduce_bucket,
+                         n_buckets=n_buckets, out_schema=out_schema)
+
+
+def bucketed_range_count(left_ds, right_ds, left_ts: str, right_ts: str,
+                         band_us: int, left_cols: list[str],
+                         out_count: str = "n_in_band",
+                         n_buckets: int | None = None,
+                         out_schema: pa.Schema | None = None):
+    """Band join (count flavor): for every left row, the number of right
+    rows whose timestamp lies in [left_ts − band, left_ts + band], both
+    ends inclusive — with NO join key (the non-equi shape a hash join
+    cannot express).
+
+    Plan: tile time into band-width buckets. A right row in bucket b can
+    only reach left rows in buckets b−1..b+1, so each right row
+    replicates to exactly 3 bucket tags (bounded blow-up, independent of
+    skew); left rows carry their single bucket. One co-group exchange by
+    bucket tile, then each tile sorts its right timestamps once and
+    answers all its left rows with two vectorized ``searchsorted``
+    probes — O((L+R)·log R) per tile, never O(L·R).
+
+    Timestamps are compared as int64 microseconds (exact); null
+    timestamps on either side are dropped."""
+    ts_i64 = "__ts_us"
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.is_valid(b.column(left_ts)))
+        ts = (b.column(left_ts).combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        cols = {
+            "__tile": pa.array(ts // band_us, pa.int64()),
+            "__side": pa.array(["l"] * b.num_rows, pa.string()),
+            ts_i64: pa.array(ts, pa.int64()),
+        }
+        for c in left_cols:
+            cols[c] = b.column(c).combine_chunks()
+        return pa.table(cols)
+
+    lsch = dict(zip(left_ds.schema().names, left_ds.schema().types))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.is_valid(b.column(right_ts)))
+        ts = (b.column(right_ts).combine_chunks()
+              .cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        tile = ts // band_us
+        # replicate to the 3 reachable tiles
+        rep_ts = np.concatenate([ts, ts, ts])
+        rep_tile = np.concatenate([tile - 1, tile, tile + 1])
+        n = len(rep_ts)
+        cols = {
+            "__tile": pa.array(rep_tile, pa.int64()),
+            "__side": pa.array(["r"] * n, pa.string()),
+            ts_i64: pa.array(rep_ts, pa.int64()),
+        }
+        for c in left_cols:
+            cols[c] = pa.nulls(n, lsch[c])
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(
+        tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow"))
+
+    def count_tile(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        # a co-group bucket may hold many tiles — resolve each exactly
+        for _, g in df.groupby("__tile", sort=False):
+            l = g[g["__side"] == "l"]
+            if not len(l):
+                continue
+            r_ts = np.sort(g.loc[g["__side"] == "r", ts_i64].to_numpy())
+            lt = l[ts_i64].to_numpy()
+            lo = np.searchsorted(r_ts, lt - band_us, side="left")
+            hi = np.searchsorted(r_ts, lt + band_us, side="right")
+            res = l[left_cols].copy()
+            res[out_count] = (hi - lo).astype("int64")
+            out.append(res)
+        if not out:
+            return pd.DataFrame(
+                {**{c: pd.Series([], dtype="object") for c in left_cols},
+                 out_count: pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_apply(tagged, "__tile", count_tile,
                          n_buckets=n_buckets, out_schema=out_schema)

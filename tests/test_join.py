@@ -132,6 +132,65 @@ def test_asof_empty_right_side():
     assert df["price"].isna().all()
 
 
+# ------------------------------------------------------- range (band) join
+
+_RANGE_SCHEMA = pa.schema([("eid", pa.int64()), ("n", pa.int64())])
+
+
+def _range_count(left: pa.Table, right: pa.Table, band_us: int):
+    from metrics_ray.stages.join import bucketed_range_count
+
+    out = bucketed_range_count(
+        _ds(left), _ds(right), left_ts="ts", right_ts="ts",
+        band_us=band_us, left_cols=["eid"], out_count="n",
+        out_schema=_RANGE_SCHEMA)
+    import ray
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pd.DataFrame({"eid": [], "n": []})
+    return (pa.concat_tables(tables).to_pandas()
+            .sort_values("eid").reset_index(drop=True))
+
+
+def test_range_count_band_edges_inclusive():
+    # band = 10s; right rows exactly at ±band must count, ±(band+1) must not
+    left = pa.table({"ts": _ts(100), "eid": [1]})
+    right = pa.table({"ts": _ts(90, 110, 89, 111, 100),
+                      "x": [0, 0, 0, 0, 0]})
+    df = _range_count(left, right, band_us=10 * 1_000_000)
+    assert df["n"].tolist() == [3]
+
+
+def test_range_count_zero_matches_and_empty_right():
+    left = pa.table({"ts": _ts(0, 5000), "eid": [1, 2]})
+    right = pa.table({"ts": _ts(2000), "x": [0]})
+    df = _range_count(left, right, band_us=1_000_000)
+    assert df["n"].tolist() == [0, 0]
+    empty = pa.table({"ts": pa.array([], pa.timestamp("us")),
+                      "x": pa.array([], pa.int64())})
+    df = _range_count(left, empty, band_us=1_000_000)
+    assert df["n"].tolist() == [0, 0]
+
+
+def test_range_count_matches_bruteforce_randomized():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n_l, n_r = 150, 400
+    lts = rng.randint(0, 50_000, n_l)
+    rts = rng.randint(0, 50_000, n_r)
+    band = 3_000  # seconds → tiles hold many rows, rows cross tiles
+    left = pa.table({"ts": _ts(*lts),
+                     "eid": np.arange(n_l, dtype="int64")})
+    right = pa.table({"ts": _ts(*rts), "x": np.zeros(n_r, dtype="int64")})
+    df = _range_count(left, right, band_us=band * 1_000_000)
+    lus = lts.astype("int64") * 1_000_000
+    rus = rts.astype("int64") * 1_000_000
+    exp = [int(np.sum(np.abs(rus - t) <= band * 1_000_000)) for t in lus]
+    assert df["eid"].tolist() == list(range(n_l))
+    assert df["n"].tolist() == exp
+
+
 def test_asof_matches_pandas_merge_asof_randomized():
     import numpy as np
 

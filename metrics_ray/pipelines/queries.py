@@ -617,6 +617,141 @@ def q_audio_features(sf_dir: str) -> pa.Table:
     }).sort_by("clip_id")
 
 
+def q_audio_chunks(sf_dir: str) -> pa.Table:
+    """Fixed-window chunking + canonical transcode (stages/audio_ops.py
+    AudioChunker) summarized per clip — rows-only (payload is Ray-only).
+    Per-batch partials then a global groupby-sum: the partial alone is NOT
+    deterministic, because seeded duplicate clip_ids (k%101==7) may or may
+    not share a batch — the global merge makes the per-clip_id totals
+    batch-size-independent."""
+    from ..stages.audio_ops import AudioChunker
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes", "sr_hz"])
+    chunks = ds.map_batches(AudioChunker(), batch_format="pyarrow",
+                            batch_size=128)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "clip_id": b.column("clip_id").to_pylist(),
+            "chunk_ms": b.column("chunk_ms").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("clip_id", sort=False).agg(
+            n_chunks=("chunk_ms", "size"),
+            total_chunk_ms=("chunk_ms", "sum")).reset_index()
+        return pa.table({
+            "clip_id": pa.array(g["clip_id"], pa.string()),
+            "n_chunks": pa.array(g["n_chunks"].astype("int64")),
+            "total_chunk_ms": pa.array(g["total_chunk_ms"].astype("int64")),
+        })
+
+    from ray.data.aggregate import Sum
+
+    out = (chunks.map_batches(summarize, batch_format="pyarrow")
+           .groupby("clip_id")
+           .aggregate(Sum("n_chunks", alias_name="n_chunks"),
+                      Sum("total_chunk_ms", alias_name="total_chunk_ms")))
+    import ray
+
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "n_chunks": pa.array([], pa.int64()),
+                         "total_chunk_ms": pa.array([], pa.int64())})
+    t = pa.concat_tables(tables).sort_by("clip_id")
+    return pa.table({
+        "clip_id": t.column("clip_id"),
+        "n_chunks": t.column("n_chunks").cast(pa.int64()),
+        "total_chunk_ms": t.column("total_chunk_ms").cast(pa.int64()),
+    })
+
+
+def q_audio_silence(sf_dir: str) -> pa.Table:
+    """Frame-energy VAD / clipping profile (stages/audio_ops.py
+    SilenceProfiler) — rows-only; floats rounded for hash stability."""
+    import pyarrow.compute as pc
+
+    from ..stages.audio_ops import SilenceProfiler
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes", "sr_hz"])
+    prof = ds.map_batches(SilenceProfiler(), batch_format="pyarrow",
+                          batch_size=128)
+    import ray
+
+    tables = [t for t in ray.get(prof.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tables)
+    return pa.table({
+        "clip_id": t.column("clip_id"),
+        "decode_ok": t.column("decode_ok"),
+        "n_frames": t.column("n_frames"),
+        "speech_ratio": pc.round(t.column("speech_ratio"), ndigits=6),
+        "longest_silence_ms": t.column("longest_silence_ms"),
+        "clipping_frac": pc.round(t.column("clipping_frac"), ndigits=6),
+    }).sort_by("clip_id")
+
+
+def q_audio_resample(sf_dir: str) -> pa.Table:
+    """Sample-rate conversion to 16 kHz (stages/audio_ops.py Resampler) —
+    rows-only summary (clip_id, output length)."""
+    from ..stages.audio_ops import Resampler
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes", "sr_hz"])
+    res = (ds.map_batches(Resampler(16_000), batch_format="pyarrow",
+                          batch_size=128)
+           .select_columns(["clip_id", "sr_hz", "n_samples"]))
+    import ray
+
+    tables = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "sr_hz": pa.array([], pa.int32()),
+                         "n_samples": pa.array([], pa.int64())})
+    return pa.concat_tables(tables).sort_by("clip_id")
+
+
+def q_clip_packing(sf_dir: str) -> pa.Table:
+    """Concat-then-chunk sequence packing assignment (stages/audio_ops.py
+    pack_clips): deterministic (pack_id, offset_ms) per clip from the
+    per-partition prefix sum — metadata only, SQL-oracle-verified."""
+    from ..stages.audio_ops import pack_clips
+
+    out = pack_clips(_meta_ds(sf_dir))
+    import ray
+
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"partition": pa.array([], pa.int32()),
+                         "clip_id": pa.array([], pa.string()),
+                         "pack_id": pa.array([], pa.int64()),
+                         "offset_ms": pa.array([], pa.int64())})
+    return pa.concat_tables(tables).sort_by(
+        [("partition", "ascending"), ("clip_id", "ascending")])
+
+
+from ..stages.audio_ops import PACK_CAP_MS as _PACK_CAP  # noqa: E402
+
+SQL_CLIP_PACKING = f"""WITH {synth.CLIPS_SQL},
+d AS (
+    SELECT partition, clip_id, dur_ms FROM clips WHERE dur_ms > 0
+),
+s AS (
+    SELECT partition, clip_id,
+           COALESCE(SUM(dur_ms) OVER (
+               PARTITION BY partition ORDER BY clip_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix_ms
+    FROM d
+)
+SELECT partition, clip_id,
+       CAST(prefix_ms // {_PACK_CAP} AS BIGINT) AS pack_id,
+       CAST(prefix_ms % {_PACK_CAP} AS BIGINT) AS offset_ms
+FROM s ORDER BY partition, clip_id"""
+
+
 def q_content_dedup(sf_dir: str) -> pa.Table:
     """Exact content duplicates ((bytes, transcript) identity) — rows-only."""
     import ray
@@ -661,6 +796,10 @@ VALIDATION_QUERIES = {
     "ev_user_sample": (q_ev_user_sample, None),
     "val_content_dedup": (q_content_dedup, None),
     "val_audio_features": (q_audio_features, None),
+    "val_audio_chunks": (q_audio_chunks, None),
+    "val_audio_silence": (q_audio_silence, None),
+    "val_audio_resample": (q_audio_resample, None),
+    "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
     "val_partition_distinct": (q_partition_distinct, None),
     **DOC_QUERIES,
     **EMB_QUERIES,

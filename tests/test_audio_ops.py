@@ -1,0 +1,187 @@
+"""Audio transform stages (stages/audio_ops.py): chunking, resampling,
+VAD/clipping profile, and sequence packing — golden invariants the SQL
+oracle can't reach (payload bytes are Ray-only)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from metrics_ray import audio
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _clips_table(specs):
+    """specs: list of (clip_id, sr, dur_ms, codec, corrupt_fn|None)."""
+    ids, payloads, srs = [], [], []
+    for cid, sr, dur, codec, corrupt in specs:
+        n = audio.n_samples_for(sr, dur)
+        pcm = audio.synth_pcm(audio.clip_seed(cid), n)
+        payload = audio.encode(pcm, codec)
+        if corrupt:
+            payload = corrupt(payload)
+        ids.append(cid)
+        payloads.append(payload)
+        srs.append(sr)
+    return pa.table({"clip_id": pa.array(ids, pa.string()),
+                     "bytes": pa.array(payloads, pa.binary()),
+                     "sr_hz": pa.array(np.asarray(srs, dtype="int32"))})
+
+
+def _run_stage(table, stage):
+    import ray
+    import ray.data as rd
+
+    ds = rd.from_arrow(table).map_batches(
+        stage, batch_format="pyarrow", batch_size=2)
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return (pa.concat_tables(tables) if tables
+            else None)
+
+
+# ------------------------------------------------------------------ chunker
+
+
+def test_chunker_counts_and_payload_roundtrip():
+    from metrics_ray.stages.audio_ops import AudioChunker
+
+    # 2500 ms @ 8 kHz, 1000 ms windows → 3 chunks (1000, 1000, 500)
+    t = _clips_table([("clip-chunk-a", 8000, 2500, "pcm_s16le", None)])
+    out = _run_stage(t, AudioChunker(window_ms=1000)).sort_by("chunk_idx")
+    assert out.column("chunk_idx").to_pylist() == [0, 1, 2]
+    assert out.column("chunk_ms").to_pylist() == [1000, 1000, 500]
+    assert out.column("start_ms").to_pylist() == [0, 1000, 2000]
+    # chunks decode back to the exact PCM slices (pcm source → lossless)
+    n = audio.n_samples_for(8000, 2500)
+    full = audio.synth_pcm(audio.clip_seed("clip-chunk-a"), n)
+    q = np.clip(np.rint(full * 32767.0), -32768, 32767) / 32767.0
+    win = 8000
+    for idx, payload in enumerate(out.column("bytes").to_pylist()):
+        actual, pcm = audio.decode(payload)
+        assert actual == "pcm_s16le"
+        np.testing.assert_allclose(
+            pcm, q[idx * win:(idx + 1) * win].astype(np.float32),
+            atol=1.5 / 32767.0)
+
+
+def test_chunker_transcodes_lossy_and_skips_undecodable():
+    from metrics_ray.stages.audio_ops import AudioChunker
+
+    t = _clips_table([
+        ("clip-lossy", 16000, 1500, "opus", None),
+        ("clip-bad", 16000, 1000, "flac", lambda p: p[:9]),  # truncated
+    ])
+    out = _run_stage(t, AudioChunker(window_ms=1000))
+    ids = set(out.column("clip_id").to_pylist())
+    assert ids == {"clip-lossy"}  # undecodable yields no chunks
+    # every chunk is canonical pcm_s16le and SNR vs the opus-decoded
+    # source slice is high (requantization only)
+    _, src = audio.decode(_clips_table(
+        [("clip-lossy", 16000, 1500, "opus", None)]).column("bytes")[0].as_py())
+    win = 16000
+    for idx, payload in sorted(
+            zip(out.column("chunk_idx").to_pylist(),
+                out.column("bytes").to_pylist())):
+        actual, pcm = audio.decode(payload)
+        assert actual == "pcm_s16le"
+        ref = src[idx * win:(idx + 1) * win]
+        assert audio.snr_db(ref, pcm) > 40.0
+
+
+# ---------------------------------------------------------------- resampler
+
+
+def test_resample_identity_is_lossless_for_pcm():
+    from metrics_ray.stages.audio_ops import Resampler
+
+    t = _clips_table([("clip-res-id", 16000, 700, "pcm_s16le", None)])
+    out = _run_stage(t, Resampler(16_000))
+    n = audio.n_samples_for(16000, 700)
+    assert out.column("n_samples").to_pylist() == [n]
+    _, src = audio.decode(t.column("bytes")[0].as_py())
+    _, res = audio.decode(out.column("bytes")[0].as_py())
+    np.testing.assert_array_equal(src, res)
+
+
+def test_resample_length_and_fidelity():
+    from metrics_ray.stages.audio_ops import Resampler
+
+    t = _clips_table([("clip-res-dn", 48000, 500, "pcm_s16le", None)])
+    out = _run_stage(t, Resampler(16_000))
+    n_in = audio.n_samples_for(48000, 500)
+    assert out.column("n_samples").to_pylist() == [round(n_in * 16000 / 48000)]
+    assert out.column("sr_hz").to_pylist() == [16000]
+    # linear interp of a smooth low-frequency signal: decimated output
+    # must track the source at the matching sample positions
+    _, src = audio.decode(t.column("bytes")[0].as_py())
+    _, res = audio.decode(out.column("bytes")[0].as_py())
+    np.testing.assert_allclose(res, src[::3][:len(res)], atol=0.02)
+
+
+# ----------------------------------------------------------------- profiler
+
+
+def _encode_pcm(x: np.ndarray) -> bytes:
+    return audio.encode(x.astype(np.float32), "pcm_s16le")
+
+
+def test_silence_profile_known_layout():
+    from metrics_ray.stages.audio_ops import SilenceProfiler
+
+    sr = 8000
+    frame = audio.n_samples_for(sr, 20)
+    # 10 frames loud, 5 silent, 10 loud, 2 silent, plus a half frame tail
+    loud = 0.5 * np.ones(frame)
+    quiet = np.zeros(frame)
+    x = np.concatenate([np.tile(loud, 10), np.tile(quiet, 5),
+                        np.tile(loud, 10), np.tile(quiet, 2),
+                        0.5 * np.ones(frame // 2)])
+    t = pa.table({"clip_id": pa.array(["c1"], pa.string()),
+                  "bytes": pa.array([_encode_pcm(x)], pa.binary()),
+                  "sr_hz": pa.array(np.asarray([sr], dtype="int32"))})
+    out = _run_stage(t, SilenceProfiler(frame_ms=20))
+    assert out.column("n_frames").to_pylist() == [27]  # tail dropped
+    assert out.column("speech_ratio").to_pylist() == [pytest.approx(20 / 27)]
+    assert out.column("longest_silence_ms").to_pylist() == [100]
+
+
+def test_clipping_fraction_and_undecodable():
+    from metrics_ray.stages.audio_ops import SilenceProfiler
+
+    sr = 8000
+    x = np.concatenate([np.ones(400), 0.5 * np.ones(600)])
+    t = pa.table({
+        "clip_id": pa.array(["clip-hot", "clip-dead"], pa.string()),
+        "bytes": pa.array([_encode_pcm(x), b"????junk"], pa.binary()),
+        "sr_hz": pa.array(np.asarray([sr, sr], dtype="int32"))})
+    out = _run_stage(t, SilenceProfiler()).sort_by("clip_id")
+    assert out.column("decode_ok").to_pylist() == [False, True]
+    hot = out.filter(pa.compute.equal(out.column("clip_id"), "clip-hot"))
+    assert hot.column("clipping_frac").to_pylist() == [pytest.approx(0.4)]
+
+
+# ------------------------------------------------------------------ packing
+
+
+def test_pack_clips_matches_manual_prefix_scan():
+    import ray
+    import ray.data as rd
+
+    from metrics_ray.stages.audio_ops import pack_clips
+
+    # partition 0: durations 900×4 in id order → prefix 0,900,1800,2700
+    # cap 2000 → packs 0,0,0,1 at offsets 0,900,1800,700
+    # partition 1: one zero-duration row is excluded
+    t = pa.table({
+        "partition": pa.array(np.asarray([0, 0, 0, 0, 1, 1], dtype="int32")),
+        "clip_id": pa.array([f"c{i}" for i in range(6)], pa.string()),
+        "dur_ms": pa.array(np.asarray([900, 900, 900, 900, -5, 300],
+                                      dtype="int32")),
+    })
+    out = pack_clips(rd.from_arrow(t), cap_ms=2000)
+    tables = [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
+    got = (pa.concat_tables(tables).to_pandas()
+           .sort_values(["partition", "clip_id"]).reset_index(drop=True))
+    assert got["clip_id"].tolist() == ["c0", "c1", "c2", "c3", "c5"]
+    assert got["pack_id"].tolist() == [0, 0, 0, 1, 0]
+    assert got["offset_ms"].tolist() == [0, 900, 1800, 700, 0]

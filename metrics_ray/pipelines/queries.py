@@ -752,6 +752,30 @@ SELECT partition, clip_id,
 FROM s ORDER BY partition, clip_id"""
 
 
+def q_curation(sf_dir: str) -> pa.Table:
+    """End-to-end curation pipeline (pipelines/curate.py): per-partition
+    manifest counts — rows-only (quality gate decisions depend on decoded
+    audio). Output is written under /tmp and reused via the pipeline's own
+    per-partition resume on repeat calls."""
+    import os
+
+    from .curate import curate_sf
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/metrics_ray_curated_{tag}"
+    manifest = curate_sf(sf_dir, out_dir)
+    parts = sorted(manifest["partitions"])
+    cols = ["n_input", "n_meta", "n_undecodable", "n_low_speech",
+            "n_clipping", "n_dup_dropped", "n_out", "n_packs",
+            "total_out_ms"]
+    return pa.table({
+        "partition": pa.array(
+            [int(p.split("=")[1]) for p in parts], pa.int64()),
+        **{c: pa.array([int(manifest["partitions"][p][c]) for p in parts],
+                       pa.int64()) for c in cols},
+    })
+
+
 def q_content_dedup(sf_dir: str) -> pa.Table:
     """Exact content duplicates ((bytes, transcript) identity) — rows-only."""
     import ray
@@ -800,6 +824,7 @@ VALIDATION_QUERIES = {
     "val_audio_silence": (q_audio_silence, None),
     "val_audio_resample": (q_audio_resample, None),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
+    "val_curation": (q_curation, None),
     "val_partition_distinct": (q_partition_distinct, None),
     **DOC_QUERIES,
     **EMB_QUERIES,

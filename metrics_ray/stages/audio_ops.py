@@ -96,6 +96,18 @@ class AudioChunker:
              for n in CHUNK_SCHEMA.names})
 
 
+def resample_pcm(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation sample-rate conversion; identity when rates
+    match (no requantization loss)."""
+    if sr_in == sr_out or len(pcm) == 0:
+        return pcm
+    n_out = int(round(len(pcm) * sr_out / sr_in))
+    # output sample i sits at source position i * sr_in / sr_out
+    pos = np.arange(n_out, dtype=np.float64) * (sr_in / sr_out)
+    return np.interp(pos, np.arange(len(pcm), dtype=np.float64),
+                     pcm.astype(np.float64)).astype(np.float32)
+
+
 RESAMPLE_SCHEMA = pa.schema([
     ("clip_id", pa.string()),
     ("sr_hz", pa.int32()),
@@ -128,14 +140,7 @@ class Resampler:
                 _, pcm = audio.decode(payload)
             except (ValueError, TypeError):
                 continue
-            if sr == self.target_sr or len(pcm) == 0:
-                res = pcm
-            else:
-                n_out = int(round(len(pcm) * self.target_sr / sr))
-                # output sample i sits at source position i * sr / target
-                pos = np.arange(n_out, dtype=np.float64) * (sr / self.target_sr)
-                res = np.interp(pos, np.arange(len(pcm), dtype=np.float64),
-                                pcm.astype(np.float64)).astype(np.float32)
+            res = resample_pcm(pcm, sr, self.target_sr)
             out["clip_id"].append(cid)
             out["sr_hz"].append(self.target_sr)
             out["n_samples"].append(len(res))

@@ -752,6 +752,96 @@ SELECT partition, clip_id,
 FROM s ORDER BY partition, clip_id"""
 
 
+def _images_dataset(sf_dir: str):
+    """Images table derived distributedly from documents (stages/image.py
+    fixture — the multimodal image source)."""
+    import os as _os
+    from functools import partial as _partial
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.image import derive_images_batch
+    from .clips import documents_count
+
+    n = documents_count(sf_dir)
+    blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"],
+                         override_num_blocks=blocks)
+    return ds.map_batches(_partial(derive_images_batch, n_docs=n),
+                          batch_format="pyarrow", batch_size=256)
+
+
+def q_img_format_mismatch(sf_dir: str) -> pa.Table:
+    """Declared vs ACTUAL image format (magic detection on the payload —
+    the image MisreportedContentType): mismatching rows. The engine reads
+    the bytes; the oracle reproduces the corruption arithmetic."""
+    from ..stages.image import detect_format
+
+    def find(b: pa.Table) -> pa.Table:
+        ids = b.column("img_id").to_pylist()
+        payloads = b.column("bytes").to_pylist()
+        declared = b.column("declared_format").to_pylist()
+        rows = {"img_id": [], "declared": [], "actual": []}
+        for iid, payload, dec in zip(ids, payloads, declared):
+            act = detect_format(payload) or ""
+            if act != dec:
+                rows["img_id"].append(iid)
+                rows["declared"].append(dec)
+                rows["actual"].append(act)
+        return pa.table({k: pa.array(v, pa.string())
+                         for k, v in rows.items()})
+
+    out = _images_dataset(sf_dir).map_batches(find, batch_format="pyarrow")
+    import ray
+
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"img_id": pa.array([], pa.string()),
+                         "declared": pa.array([], pa.string()),
+                         "actual": pa.array([], pa.string())})
+    return pa.concat_tables(tables).sort_by("img_id")
+
+
+SQL_IMG_FORMAT_MISMATCH = """WITH images AS (
+    SELECT
+        printf('img-%08d', doc_id) AS img_id,
+        CASE WHEN (((doc_id * 1103515245 + 12345) % 2147483648) // 3) % 2 = 0
+             THEN 'ppm' ELSE 'bmp' END AS declared_format,
+        doc_id % 67 = 13 AS fmt_flipped
+    FROM documents
+)
+SELECT img_id, declared_format AS declared,
+       CASE declared_format WHEN 'ppm' THEN 'bmp' ELSE 'ppm' END AS actual
+FROM images WHERE fmt_flipped ORDER BY img_id"""
+
+
+def q_img_features(sf_dir: str) -> pa.Table:
+    """Image decode + feature extraction (stages/image.py
+    ImageFeatureExtractor — real pure-numpy PPM/BMP codecs) — rows-only
+    (payload bytes are Ray-only). Floats rounded for hash stability."""
+    import pyarrow.compute as pc
+
+    from ..stages.image import ImageFeatureExtractor
+
+    feats = _images_dataset(sf_dir).map_batches(
+        ImageFeatureExtractor(), batch_format="pyarrow", batch_size=128)
+    import ray
+
+    tables = [t for t in ray.get(feats.to_arrow_refs()) if t.num_rows]
+    t = pa.concat_tables(tables)
+    return pa.table({
+        "img_id": t.column("img_id"),
+        "decode_ok": t.column("decode_ok"),
+        "actual_format": t.column("actual_format"),
+        "mean_r": pc.round(t.column("mean_r"), ndigits=4),
+        "mean_g": pc.round(t.column("mean_g"), ndigits=4),
+        "mean_b": pc.round(t.column("mean_b"), ndigits=4),
+        "luma_mean": pc.round(t.column("luma_mean"), ndigits=4),
+    }).sort_by("img_id")
+
+
 def q_curation(sf_dir: str) -> pa.Table:
     """End-to-end curation pipeline (pipelines/curate.py): per-partition
     manifest counts — rows-only (quality gate decisions depend on decoded
@@ -825,6 +915,8 @@ VALIDATION_QUERIES = {
     "val_audio_resample": (q_audio_resample, None),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
     "val_curation": (q_curation, None),
+    "img_format_mismatch": (q_img_format_mismatch, SQL_IMG_FORMAT_MISMATCH),
+    "img_features": (q_img_features, None),
     "val_partition_distinct": (q_partition_distinct, None),
     **DOC_QUERIES,
     **EMB_QUERIES,

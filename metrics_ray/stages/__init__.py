@@ -1,2 +1,2 @@
 from .features import AudioFeatureExtractor  # noqa: F401
-from .image import ImageDecodeStub  # noqa: F401
+from .image import ImageFeatureExtractor  # noqa: F401

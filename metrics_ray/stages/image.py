@@ -1,20 +1,24 @@
-"""Image decode / resize / feature stage — STUBBED decode, real plumbing.
+"""Image decode / resize / feature stages — REAL codecs, pure numpy.
 
-The container ships no image libraries (TESTDATA has no image payloads
-either), so the codec boundary is explicit:
+Round 1 shipped this as a declared stub (no PIL/turbojpeg in the container).
+Round 2 makes the path real without external libraries: two uncompressed
+formats with byte-exact pure-numpy codecs —
 
-  * ``decode_image_stub`` raises ``NotImplementedError`` — the clearly
-    marked seam where a real decoder (PIL/turbojpeg/ffmpeg) plugs in;
-  * ``ImageDecodeStub`` is the actor-pool stage with the REAL Ray-side
-    contract — schema in (``id``, ``bytes`` + declared width/height),
-    schema out (fixed-shape thumbnail tensor + validity flag), actor
-    ``__init__`` holding the (stub) decoder context, small-batch sizing —
-    exercised end-to-end in tests with ``deterministic_fake=True``, which
-    synthesizes a reproducible pseudo-image from the payload hash instead
-    of decoding.
+  * P6 PPM (binary netpbm): ``P6\\n<w> <h>\\n255\\n`` + raw RGB rows;
+  * BMP (BITMAPINFOHEADER, 24 bpp, uncompressed, bottom-up BGR, 4-byte
+    row padding) —
 
-This mirrors how the audio path is structured (audio.py fake codecs), so
-swapping in a real decoder changes ONE function, not the pipeline.
+plus magic-based actual-format detection (``P6`` vs ``BM``), the image
+analog of audio.detect_codec (MisreportedContentType.java:118-174: declared
+content type vs what the payload actually parses as). Compressed formats
+(JPEG/PNG) still need an external codec; ``decode_image`` raises ValueError
+on their magics with a message naming the seam.
+
+The fixture generator (`derive_images_batch`) mirrors synth.py: a pure
+function of the documents table with a seeded corruption matrix
+(truncation → undecodable; format flip → declared≠actual), so the
+declared-vs-actual query has an exact SQL oracle while decode itself stays
+Ray-only.
 """
 
 from __future__ import annotations
@@ -22,63 +26,277 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..sketches import hash64
-
 THUMB_W = 8
 THUMB_H = 8
 
-
-def decode_image_stub(payload: bytes) -> np.ndarray:
-    """Placeholder for a real image decoder → (H, W, 3) uint8.
-
-    STUB: no image codec is available in this environment."""
-    raise NotImplementedError(
-        "image decoding requires an image codec library; "
-        "plug a real decoder in here (PIL.Image.open / turbojpeg)")
+_TWO31 = 2147483648
 
 
-def _fake_thumbnail(payload: bytes) -> np.ndarray:
-    """Deterministic pseudo-thumbnail from the payload hash (test path)."""
-    seed = int(hash64(np.array([payload], dtype=object))[0] % (2**32))
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, size=(THUMB_H, THUMB_W, 3), dtype=np.uint8)
+# ----------------------------------------------------------------- codecs
 
 
-class ImageDecodeStub:
-    """Actor-pool stage: binary image payloads → fixed-shape thumbnails.
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary P6 PPM."""
+    h, w, c = arr.shape
+    assert c == 3
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    return header + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
 
-    ``deterministic_fake=True`` routes through the reproducible fake
-    (plumbing tests); ``False`` hits the NotImplementedError seam."""
 
-    columns = ("id", "bytes")
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bpp uncompressed BMP (bottom-up BGR,
+    rows padded to 4 bytes)."""
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    # bottom-up, BGR, padded
+    bgr = arr[::-1, :, ::-1]
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    import struct
 
-    def __init__(self, deterministic_fake: bool = False):
-        self.decode = _fake_thumbnail if deterministic_fake else decode_image_stub
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              img_size, 2835, 2835, 0, 0)
+    return file_header + info_header + rows.tobytes()
+
+
+def detect_format(payload: bytes) -> str | None:
+    """Actual format by magic: 'ppm' | 'bmp' | None."""
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # header: P6, whitespace-separated w h maxval (comments start with #)
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to end of line
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("unterminated PPM comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval
+    try:
+        w, h, maxval = (int(f) for f in fields)
+    except ValueError as e:
+        raise ValueError(f"bad PPM header: {e}") from e
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM (w={w}, h={h}, maxval={maxval})")
+    need = w * h * 3
+    body = payload[pos:pos + need]
+    if len(body) < need:
+        raise ValueError("truncated PPM body")
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    (hdr_size, w, h, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dims ({w}x{h})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    need = row_bytes * h
+    body = payload[data_offset:data_offset + need]
+    if len(body) < need:
+        raise ValueError("truncated BMP body")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, row_bytes)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return (rgb if top_down else rgb[::-1]).copy()
+
+
+def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
+    """payload → (actual_format, (H, W, 3) uint8). Raises ValueError on
+    undecodable input. JPEG/PNG magics get a message naming the codec seam
+    (a real compressed-codec library plugs in here)."""
+    fmt = detect_format(payload)
+    if fmt == "ppm":
+        return fmt, _decode_ppm(payload)
+    if fmt == "bmp":
+        return fmt, _decode_bmp(payload)
+    if payload[:3] == b"\xff\xd8\xff" or payload[:4] == b"\x89PNG":
+        raise ValueError(
+            "compressed image formats need an external codec "
+            "(plug PIL/turbojpeg into decode_image)")
+    raise ValueError("unrecognized image magic")
+
+
+def resize_area(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-mean resize (H, W, 3) → (out_h, out_w, 3) uint8: each output
+    pixel is the mean of its source rectangle (integer bin edges)."""
+    h, w, c = arr.shape
+    ye = (np.arange(out_h + 1) * h) // out_h
+    xe = (np.arange(out_w + 1) * w) // out_w
+    acc = arr.astype(np.float64)
+    # reduce rows then columns with reduceat (edges are monotone non-empty
+    # whenever out <= in; guard degenerate upscale bins by clipping)
+    ye0 = np.minimum(ye[:-1], h - 1)
+    xe0 = np.minimum(xe[:-1], w - 1)
+    rows = np.add.reduceat(acc, ye0, axis=0)
+    rcnt = np.maximum(np.diff(ye), 1)[:, None, None]
+    rows = rows / rcnt
+    cols = np.add.reduceat(rows, xe0, axis=1)
+    ccnt = np.maximum(np.diff(xe), 1)[None, :, None]
+    out = cols / ccnt
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------- deterministic fixture
+
+IMG_W = 48
+IMG_H = 32
+
+
+def synth_image(seed: int, w: int = IMG_W, h: int = IMG_H) -> np.ndarray:
+    """Deterministic RGB test card: per-channel sinusoidal gradients whose
+    frequencies/phases derive from the seed (pure function, no RNG state)."""
+    s1 = (seed * 1103515245 + 12345) % _TWO31
+    s2 = (s1 * 1103515245 + 12345) % _TWO31
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    chans = []
+    for i, s in enumerate((seed, s1, s2)):
+        fx = 0.05 + (s % 97) / 97.0 * 0.4
+        fy = 0.05 + ((s >> 7) % 89) / 89.0 * 0.4
+        ph = (s % 628) / 100.0
+        chans.append(127.5 + 127.5 * np.sin(fx * x + fy * y + ph + i))
+    return np.clip(np.rint(np.stack(chans, axis=-1)), 0, 255).astype(np.uint8)
+
+
+def derive_images_batch(batch: pa.Table, n_docs: int) -> pa.Table:
+    """documents batch → images rows (img_id, bytes, declared_format,
+    width, height, partition). Corruption matrix (k = doc_id):
+
+      k % 67 == 13 → bytes encoded in the OTHER format than declared
+                      (declared≠actual — the MisreportedContentType seed)
+      k % 61 ==  9 → payload truncated to half (undecodable; magic intact)
+
+    Base format alternates by (hash(k) // 3) % 2. Everything except
+    ``bytes`` is reproducible in SQL (the img_format_mismatch oracle)."""
+    doc_id = batch.column("doc_id").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    h = (doc_id * 1103515245 + 12345) % _TWO31
+    base_fmt = np.where((h // 3) % 2 == 0, "ppm", "bmp")
+    ids, payloads, declared = [], [], []
+    for i, k in enumerate(doc_id):
+        k = int(k)
+        fmt = str(base_fmt[i])
+        enc_fmt = fmt
+        if k % 67 == 13:
+            enc_fmt = "bmp" if fmt == "ppm" else "ppm"
+        arr = synth_image(k)
+        payload = (encode_ppm(arr) if enc_fmt == "ppm" else encode_bmp(arr))
+        if k % 61 == 9:
+            payload = payload[: max(8, len(payload) // 2)]
+        ids.append(f"img-{k:08d}")
+        payloads.append(payload)
+        declared.append(fmt)
+    return pa.table({
+        "img_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(payloads, pa.binary()),
+        "declared_format": pa.array(declared, pa.string()),
+        "width": pa.array(np.full(len(ids), IMG_W, dtype=np.int32)),
+        "height": pa.array(np.full(len(ids), IMG_H, dtype=np.int32)),
+        "partition": pa.array((doc_id % 8).astype(np.int32)),
+    })
+
+
+# SQL mirror of the metadata derivation (bytes stay Ray-only)
+IMAGES_SQL = """
+images AS (
+    SELECT
+        printf('img-%08d', doc_id) AS img_id,
+        CASE WHEN (((doc_id * 1103515245 + 12345) % 2147483648) // 3) % 2 = 0
+             THEN 'ppm' ELSE 'bmp' END AS declared_format,
+        doc_id % 67 = 13 AS fmt_flipped,
+        doc_id % 61 = 9 AS truncated,
+        CAST(doc_id % 8 AS INTEGER) AS partition
+    FROM documents
+)
+"""
+
+
+# ------------------------------------------------------------------ stages
+
+FEATURE_SCHEMA = pa.schema([
+    ("img_id", pa.string()),
+    ("decode_ok", pa.bool_()),
+    ("actual_format", pa.string()),
+    ("mean_r", pa.float64()),
+    ("mean_g", pa.float64()),
+    ("mean_b", pa.float64()),
+    ("luma_mean", pa.float64()),
+    ("thumbnail", pa.list_(pa.uint8(), THUMB_H * THUMB_W * 3)),
+])
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: image payloads → per-image features + fixed-shape
+    area-mean thumbnail. Undecodable rows keep their magic-detected
+    actual_format (empty string when even the magic is foreign) with NaN
+    features — decode failures are the decode check's violations, not this
+    stage's."""
+
+    columns = ("img_id", "bytes")
+
+    def __init__(self, thumb_h: int = THUMB_H, thumb_w: int = THUMB_W):
+        self.th = thumb_h
+        self.tw = thumb_w
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("id").to_pylist()
+        ids = batch.column("img_id").to_pylist()
         payloads = batch.column("bytes").to_pylist()
-        ok, thumbs = [], []
-        zero = np.zeros(THUMB_H * THUMB_W * 3, dtype=np.uint8)
-        for payload in payloads:
-            if payload is None:
-                ok.append(False)
-                thumbs.append(zero)
-                continue
+        zero = np.zeros(self.th * self.tw * 3, dtype=np.uint8)
+        out = {n: [] for n in FEATURE_SCHEMA.names}
+        for iid, payload in zip(ids, payloads):
+            out["img_id"].append(iid)
+            fmt = detect_format(payload) if payload is not None else None
+            out["actual_format"].append(fmt or "")
             try:
-                t = self.decode(payload)
-            except NotImplementedError:
-                raise  # a misconfigured pipeline must fail loudly, not skip
-            except (ValueError, OSError):
-                ok.append(False)
-                thumbs.append(zero)
+                if payload is None:
+                    raise ValueError("null payload")
+                _, arr = decode_image(payload)
+            except (ValueError, TypeError):
+                out["decode_ok"].append(False)
+                out["mean_r"].append(float("nan"))
+                out["mean_g"].append(float("nan"))
+                out["mean_b"].append(float("nan"))
+                out["luma_mean"].append(float("nan"))
+                out["thumbnail"].append(zero)
                 continue
-            ok.append(True)
-            thumbs.append(np.ascontiguousarray(t, dtype=np.uint8).ravel())
-        return pa.table({
-            "id": pa.array(ids),
-            "decode_ok": pa.array(ok, pa.bool_()),
-            "thumbnail": pa.array(
-                [t.tolist() for t in thumbs],
-                pa.list_(pa.uint8(), THUMB_H * THUMB_W * 3)),
-        })
+            x = arr.astype(np.float64)
+            mean = x.mean(axis=(0, 1))
+            luma = float((0.2126 * x[..., 0] + 0.7152 * x[..., 1]
+                          + 0.0722 * x[..., 2]).mean())
+            out["decode_ok"].append(True)
+            out["mean_r"].append(float(mean[0]))
+            out["mean_g"].append(float(mean[1]))
+            out["mean_b"].append(float(mean[2]))
+            out["luma_mean"].append(luma)
+            out["thumbnail"].append(
+                resize_area(arr, self.th, self.tw).ravel())
+        return pa.table({n: pa.array(out[n], FEATURE_SCHEMA.field(n).type)
+                         for n in FEATURE_SCHEMA.names})

@@ -8,7 +8,7 @@ import pytest
 
 from metrics_ray import audio
 from metrics_ray.stages.features import N_FRAMES, AudioFeatureExtractor
-from metrics_ray.stages.image import THUMB_H, THUMB_W, ImageDecodeStub
+from metrics_ray.stages.image import THUMB_H, THUMB_W, ImageFeatureExtractor
 
 
 def _clip_batch(pcms, codecs, srs):
@@ -64,27 +64,21 @@ def test_audio_features_pipeline(sf_unit):
     assert (ok.rms > 0).all() and (ok.centroid_hz > 0).all()
 
 
-def test_image_stub_fake_path():
+def test_image_stage_contract():
+    from metrics_ray.stages.image import encode_ppm, synth_image
+
     batch = pa.table({
-        "id": pa.array([1, 2, 3], pa.int64()),
-        "bytes": pa.array([b"imgdata1", b"imgdata2", None], pa.binary()),
+        "img_id": pa.array(["a", "b", "c"], pa.string()),
+        "bytes": pa.array([encode_ppm(synth_image(1)),
+                           b"\xff\xd8\xffjunk", None], pa.binary()),
     })
-    out = ImageDecodeStub(deterministic_fake=True)(batch)
+    out = ImageFeatureExtractor()(batch)
     df = out.to_pylist()
-    assert [r["decode_ok"] for r in df] == [True, True, False]
+    assert [r["decode_ok"] for r in df] == [True, False, False]
     assert all(len(r["thumbnail"]) == THUMB_H * THUMB_W * 3 for r in df)
-    # deterministic: same payload → same thumbnail
-    out2 = ImageDecodeStub(deterministic_fake=True)(batch)
-    assert out.equals(out2)
-
-
-def test_image_stub_gate():
-    batch = pa.table({
-        "id": pa.array([1], pa.int64()),
-        "bytes": pa.array([b"imgdata"], pa.binary()),
-    })
-    with pytest.raises(NotImplementedError, match="image codec"):
-        ImageDecodeStub(deterministic_fake=False)(batch)
+    # deterministic: same payload → identical output (pandas equals is
+    # NaN-aware; Table.equals treats the NaN feature rows as unequal)
+    assert out.to_pandas().equals(ImageFeatureExtractor()(batch).to_pandas())
 
 
 def test_lance_source_gating(tmp_path):

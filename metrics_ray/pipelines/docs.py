@@ -1010,6 +1010,101 @@ SELECT token, COUNT(*) AS n FROM toks
 GROUP BY token ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}"""
 
 
+def q_doc_tfidf_top_term(sf_dir: str) -> pa.Table:
+    """Per-document most-distinctive term by tf·idf (idf = ln(N/df)) —
+    the corpus-statistics join every retrieval / quality pipeline needs.
+
+    Scale shape: pass 1 derives the document-frequency table FROM the
+    dataset (per-batch per-doc DISTINCT tokens → (token, 1) partials →
+    groupby-sum — shuffles one row per distinct token per batch); the df
+    table is vocabulary-sized, broadcast once via ray.put (at an
+    unbounded-vocab design point, prune to the top-V vocabulary first or
+    switch the score join to the bucketed join in stages/join.py). Pass 2
+    is row-local: tokenize, count, score against the broadcast idf, keep
+    each doc's max (score desc, term asc — deterministic)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .clips import documents_count
+
+    n_docs = documents_count(sf_dir)
+
+    def df_partials(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b.column("text"), ""), pattern=r"\s+")
+        # distinct tokens per doc, then flatten: one row per (doc, token)
+        distinct = pc.list_flatten(
+            pa.array([list(set(t)) for t in toks.to_pylist()],
+                     pa.list_(pa.string())))
+        vc = pc.value_counts(distinct)
+        t = pa.table({"token": vc.field("values"),
+                      "dfn": vc.field("counts").cast(pa.int64())})
+        return t.filter(pc.invert(pc.equal(t.column("token"), "")))
+
+    df_tbl = _collect(
+        documents_ds(sf_dir, ["text"])
+        .map_batches(df_partials, batch_format="pyarrow")
+        .repartition(shuffle_blocks())
+        .groupby("token").aggregate(Sum("dfn", alias_name="dfn")),
+        ["token"])
+    idf = {t: float(np.log(n_docs / d))
+           for t, d in zip(df_tbl.column("token").to_pylist(),
+                           df_tbl.column("dfn").to_pylist())}
+    idf_ref = ray.put(idf)
+
+    def score(b: pa.Table) -> pa.Table:
+        lookup = ray.get(idf_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b.column("text"), ""), pattern=r"\s+").to_pylist()
+        out_id, out_term, out_score = [], [], []
+        for did, tt in zip(ids, toks):
+            tt = [t for t in tt if t]
+            if not tt:
+                continue
+            s = pd.Series(tt).value_counts()
+            scores = s.to_numpy(dtype="float64") * np.array(
+                [lookup[t] for t in s.index], dtype="float64")
+            terms = s.index.to_numpy()
+            # max score, ties by lexicographically smallest term
+            order = np.lexsort((terms, -scores))
+            best = order[0]
+            out_id.append(int(did))
+            out_term.append(str(terms[best]))
+            out_score.append(round_half_away(float(scores[best]), 6))
+        return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                         "top_term": pa.array(out_term, pa.string()),
+                         "score": pa.array(out_score, pa.float64())})
+
+    return _collect(
+        documents_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow"),
+        ["doc_id"])
+
+
+SQL_DOC_TFIDF_TOP_TERM = """WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS dfn FROM toks GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf * ln(n.n * 1.0 / df.dfn) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, ROUND(score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) = 1
+ORDER BY doc_id"""
+
+
 DOC_QUERIES = {
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
@@ -1023,6 +1118,7 @@ DOC_QUERIES = {
     "doc_license": (q_doc_license, SQL_DOC_LICENSE),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS),
     "doc_top_tokens": (q_doc_top_tokens, SQL_DOC_TOP_TOKENS),
+    "doc_tfidf_top_term": (q_doc_tfidf_top_term, SQL_DOC_TFIDF_TOP_TERM),
     "doc_pii": (q_doc_pii, SQL_DOC_PII),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),

@@ -128,3 +128,33 @@ def test_top_tokens_is_batchsize_invariant():
     got = t1.to_pandas()
     assert got["token"].tolist() == want["token"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
+
+
+# ---------------------------------------------------------------- tf-idf
+
+def test_tfidf_top_term_matches_pandas_recompute():
+    """Per-doc argmax of tf·ln(N/df) with (score desc, term asc) ties —
+    recomputed independently in pandas over the same table."""
+    import numpy as np
+
+    from metrics_ray.pipelines.docs import (
+        documents_ds,
+        q_doc_tfidf_top_term,
+    )
+
+    got = q_doc_tfidf_top_term(SF).to_pandas()
+    docs = documents_ds(SF, ["doc_id", "text"]).to_pandas()
+    n = len(docs)
+    toks = (docs.assign(term=docs["text"].str.split())
+            .explode("term").dropna(subset=["term"]))
+    toks = toks[toks["term"] != ""]
+    tf = (toks.groupby(["doc_id", "term"]).size()
+          .rename("tf").reset_index())
+    df = toks.groupby("term")["doc_id"].nunique().rename("dfn")
+    tf["score"] = tf["tf"] * np.log(n / tf["term"].map(df))
+    want = (tf.sort_values(["doc_id", "score", "term"],
+                           ascending=[True, False, True], kind="stable")
+            .groupby("doc_id").head(1).reset_index(drop=True))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["top_term"].tolist() == want["term"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"], atol=1e-6)

@@ -1010,6 +1010,49 @@ SELECT token, COUNT(*) AS n FROM toks
 GROUP BY token ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}"""
 
 
+def q_doc_top_tokens_approx(sf_dir: str) -> pa.Table:
+    """Top-k tokens via the mergeable Misra–Gries heavy-hitters sketch
+    (sketches.HeavyHitters) — the sketch-space analog of the reference's
+    Estimated* family applied to the frequency sweep: per-batch
+    value_counts feed a k-counter summary, one blob per batch is shuffled
+    (never the token stream), and an n-way driver merge yields the head.
+
+    Scale shape: state is O(k) per batch and the shuffle carries one
+    ~k-entry blob per batch regardless of corpus size — strictly smaller
+    than the exact query's (token, count) partials when the vocabulary
+    outgrows k. Oracle-backed because Misra–Gries is EXACT (err == 0)
+    while total distinct tokens <= k (k=4096 here, asserted in the
+    result); the decrement/approximation path is exercised separately in
+    tests/test_sketches.py with a deliberately small k."""
+    import pyarrow.compute as pc
+
+    from ..sketches import HeavyHitters, merge_blobs
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b.column("text"), ""), pattern=r"\s+"))
+        vc = pc.value_counts(toks)
+        t = pa.table({"token": vc.field("values"),
+                      "n": vc.field("counts").cast(pa.int64())})
+        t = t.filter(pc.invert(pc.equal(t.column("token"), "")))
+        hh = HeavyHitters()
+        hh.offer(t.column("token").to_numpy(zero_copy_only=False),
+                 t.column("n").to_numpy())
+        return pa.table({"blob": pa.array([hh.dumps()], pa.binary())})
+
+    blobs = _collect(
+        documents_ds(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow"), ["blob"])
+    hh = merge_blobs(blobs.column("blob").to_pylist())
+    assert hh.err == 0, "vocab exceeded k; oracle contract void"
+    items, counts = hh.estimates()
+    top = slice(0, TOP_TOKENS_K)
+    return pa.table({
+        "token": pa.array(list(items[top]), pa.string()),
+        "n": pa.array(counts[top], pa.int64()),
+    })
+
+
 def q_doc_tfidf_top_term(sf_dir: str) -> pa.Table:
     """Per-document most-distinctive term by tf·idf (idf = ln(N/df)) —
     the corpus-statistics join every retrieval / quality pipeline needs.
@@ -1118,6 +1161,7 @@ DOC_QUERIES = {
     "doc_license": (q_doc_license, SQL_DOC_LICENSE),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS),
     "doc_top_tokens": (q_doc_top_tokens, SQL_DOC_TOP_TOKENS),
+    "doc_top_tokens_approx": (q_doc_top_tokens_approx, SQL_DOC_TOP_TOKENS),
     "doc_tfidf_top_term": (q_doc_tfidf_top_term, SQL_DOC_TFIDF_TOP_TERM),
     "doc_pii": (q_doc_pii, SQL_DOC_PII),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),

@@ -287,11 +287,81 @@ class BottomKSample:
         return BottomKSample(k, seed, pri, vals)
 
 
+# --------------------------------------------------------- heavy hitters
+
+@dataclass
+class HeavyHitters:
+    """Misra–Gries heavy-hitters summary (the mergeable form of
+    SpaceSaving; Agarwal et al., "Mergeable Summaries", PODS'12).
+
+    Keeps at most ``k`` (item, count) counters plus a global undercount
+    bound ``err``. Updates are BATCH decrements: concat the incoming
+    pre-aggregated (item, weight) pairs with the resident counters,
+    group-sum, and if more than ``k`` distinct items survive, subtract the
+    (k+1)-th largest count from everyone and drop the non-positives —
+    exactly one decrement round per batch, fully vectorized. Guarantees:
+    ``true - err <= est <= true`` for every item, and any item with true
+    frequency > err is guaranteed present. When the total number of
+    distinct items ever offered is <= k no decrement fires and the sketch
+    is EXACT (err == 0) — the property the oracle-backed
+    ``doc_top_tokens_approx`` query relies on. Merge = concat counters,
+    sum, one shrink round; associative up to the stated bounds and
+    deterministic for a fixed offer/merge tree."""
+
+    k: int = 4096
+    items: np.ndarray = field(
+        default_factory=lambda: np.empty(0, object))
+    counts: np.ndarray = field(
+        default_factory=lambda: np.empty(0, np.int64))
+    err: int = 0
+
+    def offer(self, items: np.ndarray, weights: np.ndarray) -> None:
+        """Add pre-aggregated (item, weight>0) pairs (e.g. a batch's
+        value_counts output)."""
+        it = np.concatenate([self.items, np.asarray(items, dtype=object)])
+        w = np.concatenate([self.counts,
+                            np.asarray(weights, dtype=np.int64)])
+        self.items, self.counts = self._shrink(it, w)
+
+    def merge(self, other: "HeavyHitters") -> "HeavyHitters":
+        out = HeavyHitters(self.k, err=self.err + other.err)
+        out.offer(np.concatenate([self.items, other.items]),
+                  np.concatenate([self.counts, other.counts]))
+        return out
+
+    def _shrink(self, items: np.ndarray, w: np.ndarray):
+        uniq, inv = np.unique(items.astype(str), return_inverse=True)
+        tot = np.bincount(inv, weights=w).astype(np.int64)
+        if uniq.size > self.k:
+            thresh = int(np.partition(tot, -(self.k + 1))[-(self.k + 1)])
+            tot = tot - thresh
+            self.err += thresh
+            keep = tot > 0
+            uniq, tot = uniq[keep], tot[keep]
+        return uniq.astype(object), tot
+
+    def estimates(self) -> tuple[np.ndarray, np.ndarray]:
+        """(items, est_counts) sorted by (count desc, item asc)."""
+        order = np.lexsort((self.items.astype(str), -self.counts))
+        return self.items[order], self.counts[order]
+
+    def dumps(self) -> bytes:
+        return pickle.dumps(
+            ("mg", self.k, self.items, self.counts, self.err))
+
+    @staticmethod
+    def loads(b: bytes) -> "HeavyHitters":
+        tag, k, items, counts, err = pickle.loads(b)
+        assert tag == "mg"
+        return HeavyHitters(k, items, counts, err)
+
+
 def loads_any(b: bytes):
     tag = pickle.loads(b)[0]
     return {"hll": HLL.loads, "tdigest": TDigest.loads,
             "hist": FixedHistogram.loads,
-            "bottomk": BottomKSample.loads}[tag](b)
+            "bottomk": BottomKSample.loads,
+            "mg": HeavyHitters.loads}[tag](b)
 
 
 def merge_blobs(blobs: list[bytes]):
@@ -318,6 +388,11 @@ def merge_blobs(blobs: list[bytes]):
     if isinstance(first, FixedHistogram):
         counts = np.sum([s.counts for s in sketches], axis=0)
         return FixedHistogram(first.edges, counts)
+    if isinstance(first, HeavyHitters):
+        out = HeavyHitters(first.k, err=sum(s.err for s in sketches))
+        out.offer(np.concatenate([s.items for s in sketches]),
+                  np.concatenate([s.counts for s in sketches]))
+        return out
     if isinstance(first, BottomKSample):
         out = BottomKSample(
             first.k, first.seed,

@@ -123,3 +123,76 @@ def test_sketch_aggregate_fns(sf_unit):
                            "partition", "dur_ms").to_pandas()
     assert len(qs) == 8
     assert ((qs.p25 <= qs.p50) & (qs.p50 <= qs.p75)).all()
+
+
+# ----------------------------------------------------------- heavy hitters
+
+def test_heavyhitters_exact_when_under_k():
+    from metrics_ray.sketches import HeavyHitters, merge_blobs
+
+    rng = np.random.default_rng(7)
+    stream = rng.choice([f"t{i}" for i in range(20)], size=5000,
+                        p=np.arange(20, 0, -1) / np.arange(20, 0, -1).sum())
+    items, true = np.unique(stream.astype(str), return_counts=True)
+    hh = HeavyHitters(k=64)
+    # offer in 10 pre-aggregated chunks
+    for chunk in np.array_split(stream, 10):
+        it, ct = np.unique(chunk.astype(str), return_counts=True)
+        hh.offer(it.astype(object), ct)
+    assert hh.err == 0
+    got_items, got_counts = hh.estimates()
+    want = {i: c for i, c in zip(items, true)}
+    assert {i: c for i, c in zip(got_items, got_counts)} == want
+    # n-way blob merge of per-chunk partials == single-pass sketch
+    blobs = []
+    for chunk in np.array_split(stream, 10):
+        it, ct = np.unique(chunk.astype(str), return_counts=True)
+        p = HeavyHitters(k=64)
+        p.offer(it.astype(object), ct)
+        blobs.append(p.dumps())
+    merged = merge_blobs(blobs)
+    assert merged.err == 0
+    mi, mc = merged.estimates()
+    assert {i: c for i, c in zip(mi, mc)} == want
+
+
+def test_heavyhitters_guarantee_under_small_k():
+    """Misra–Gries bounds: est <= true, true - est <= err, and every item
+    with true > err survives — even with k far below the cardinality."""
+    from metrics_ray.sketches import HeavyHitters
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: a few giants, a long tail of singletons
+    giants = np.repeat([f"g{i}" for i in range(5)], 2000)
+    tail = np.array([f"tail{i}" for i in range(3000)])
+    stream = np.concatenate([giants, tail])
+    rng.shuffle(stream)
+    items, true = np.unique(stream.astype(str), return_counts=True)
+    truth = dict(zip(items, true))
+
+    hh = HeavyHitters(k=16)
+    for chunk in np.array_split(stream, 23):
+        it, ct = np.unique(chunk.astype(str), return_counts=True)
+        hh.offer(it.astype(object), ct)
+    assert hh.err > 0
+    gi, gc = hh.estimates()
+    est = dict(zip(gi, gc))
+    assert len(est) <= 16
+    for i, c in est.items():
+        assert c <= truth[i]
+        assert truth[i] - c <= hh.err
+    for i, c in truth.items():
+        if c > hh.err:
+            assert i in est, f"heavy item {i} (n={c}, err={hh.err}) missing"
+
+
+def test_heavyhitters_serialization_roundtrip():
+    from metrics_ray.sketches import HeavyHitters
+
+    hh = HeavyHitters(k=8)
+    hh.offer(np.array(["a", "b", "a"], dtype=object),
+             np.array([3, 2, 1], dtype=np.int64))
+    rt = loads_any(hh.dumps())
+    assert rt.k == 8 and rt.err == hh.err
+    assert list(rt.estimates()[0]) == list(hh.estimates()[0])
+    assert list(rt.estimates()[1]) == [4, 2]

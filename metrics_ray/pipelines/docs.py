@@ -1148,6 +1148,172 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 ORDER BY doc_id"""
 
 
+# ------------------------------------------------- mixing / normalize / index
+
+# Epoch-weighted language mixing: fractional repeat factors per lang —
+# >1 upsamples (extra epochs), <1 downsamples. The fractional part is a
+# deterministic per-row Bernoulli (Knuth multiplicative hash mod 1000),
+# so the realized mix is exact, reproducible, and SQL-mirrorable.
+MIX_WEIGHTS = {"en": 0.3, "de": 1.0, "es": 1.5, "fr": 1.0, "zh": 2.3}
+_MIX_MULT = 2654435761
+
+
+def q_doc_mix(sf_dir: str) -> pa.Table:
+    """Training-data mixture materialization (per-language temperature
+    weights → per-row repeat factors) — the up/down-sampling pass that
+    turns raw corpora into an epoch-weighted training mix.
+
+    Scale shape: entirely row-local (a map_batches expansion — no
+    shuffle, no state): n_copies = floor(w) + [hash(doc_id) mod 1000 <
+    1000·frac(w)], rows emitted via one vectorized np.repeat. Weights dict
+    is broadcast by closure capture (a few entries; use ray.put for a
+    per-domain table with millions of keys)."""
+    floors = {k: int(np.floor(w)) for k, w in MIX_WEIGHTS.items()}
+    fracs_pm = {k: int(round((w - np.floor(w)) * 1000))
+                for k, w in MIX_WEIGHTS.items()}
+
+    def expand(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+        n = np.array([floors.get(l, 1) for l in langs], np.int64)
+        thresh = np.array([fracs_pm.get(l, 0) for l in langs], np.int64)
+        n = n + ((ids * _MIX_MULT) % 1000 < thresh)
+        idx = np.repeat(np.arange(len(ids)), n)
+        # copy number within each doc: 1..n_copies
+        copy = np.arange(idx.size, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n)[:-1]]), n) + 1
+        return pa.table({
+            "doc_id": pa.array(ids[idx], pa.int64()),
+            "lang": pa.array(list(langs[idx]), pa.string()),
+            "copy": pa.array(copy, pa.int64()),
+        })
+
+    return _collect(
+        documents_ds(sf_dir, ["doc_id", "lang"])
+        .map_batches(expand, batch_format="pyarrow"),
+        ["doc_id", "copy"])
+
+
+def _mix_case(expr: dict[str, int]) -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {v}" for k, v in expr.items())
+    return f"CASE lang {arms} ELSE 0 END"
+
+
+SQL_DOC_MIX = f"""WITH w AS (
+    SELECT doc_id, lang,
+           {_mix_case({k: int(np.floor(v)) for k, v in MIX_WEIGHTS.items()})}
+           + CASE WHEN (doc_id * {_MIX_MULT}) % 1000 <
+                  {_mix_case({k: int(round((v - np.floor(v)) * 1000))
+                              for k, v in MIX_WEIGHTS.items()})}
+             THEN 1 ELSE 0 END AS n_copies
+    FROM documents
+)
+SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy
+FROM w WHERE n_copies > 0 ORDER BY doc_id, copy"""
+
+
+def q_doc_normalize(sf_dir: str) -> pa.Table:
+    """Canonical text normalization (whitespace collapse → trim → lower →
+    unicode NFC) emitting the normalized-text digest + length — the
+    pre-dedup canonicalization pass of every text pipeline.
+
+    Scale shape: row-local map_batches; collapse/trim/lower are Arrow
+    re2/utf8 kernels, NFC + md5 are C-speed per-string calls. Output is
+    (doc_id, md5, n_chars) — the text itself never leaves the stage."""
+    import hashlib
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.fill_null(b.column("text"), ""), r"\s+", " ")))
+        out = [unicodedata.normalize("NFC", s) for s in t.to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "norm_md5": pa.array(
+                [hashlib.md5(s.encode()).hexdigest() for s in out],
+                pa.string()),
+            "norm_len": pa.array([len(s) for s in out], pa.int64()),
+        })
+
+    return _collect(
+        documents_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(norm, batch_format="pyarrow"), ["doc_id"])
+
+
+SQL_DOC_NORMALIZE = """SELECT doc_id,
+       md5(nfc_normalize(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+           AS norm_md5,
+       length(nfc_normalize(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+           AS norm_len
+FROM documents ORDER BY doc_id"""
+
+
+POSTINGS_CAP = 10
+
+
+def q_doc_postings(sf_dir: str) -> pa.Table:
+    """Inverted-index build: term → document frequency + the first
+    POSTINGS_CAP doc_ids as a comma-joined posting head (the
+    retrieval-index construction shape: distinct-per-doc terms, group by
+    term, ordered capped posting lists).
+
+    Scale shape: per-batch DISTINCT (term, doc_id) pairs (one row per
+    distinct term per doc — never the token stream), then ONE bucketed
+    co-group on term (grouped_apply) where df-count + sort + head-cap run
+    vectorized per bucket. Posting heads are bounded (cap × id width), so
+    output rows are O(vocab), not O(corpus)."""
+    import pyarrow.compute as pc
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b.column("text"), ""), pattern=r"\s+").to_pylist()
+        out_t, out_d = [], []
+        for did, tt in zip(ids, toks):
+            for term in set(tt):
+                if term:
+                    out_t.append(term); out_d.append(int(did))
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="stable")
+        df_n = g.groupby("term", sort=True)["doc_id"].agg(
+            dfn="size",
+            postings=lambda s: ",".join(
+                str(d) for d in s.iloc[:POSTINGS_CAP]))
+        return df_n.reset_index()
+
+    out = grouped_apply(
+        documents_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow"),
+        "term", build,
+        out_schema=pa.schema([("term", pa.string()),
+                              ("dfn", pa.int64()),
+                              ("postings", pa.string())]))
+    return _collect(out, ["term"])
+
+
+SQL_DOC_POSTINGS = f"""WITH toks AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_extract_all(text, '\\S+')) AS term
+    FROM documents
+),
+ranked AS (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY term) AS dfn
+    FROM toks
+)
+SELECT term, dfn,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM ranked WHERE rn <= {POSTINGS_CAP}
+GROUP BY term, dfn ORDER BY term"""
+
+
 DOC_QUERIES = {
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
@@ -1163,6 +1329,9 @@ DOC_QUERIES = {
     "doc_top_tokens": (q_doc_top_tokens, SQL_DOC_TOP_TOKENS),
     "doc_top_tokens_approx": (q_doc_top_tokens_approx, SQL_DOC_TOP_TOKENS),
     "doc_tfidf_top_term": (q_doc_tfidf_top_term, SQL_DOC_TFIDF_TOP_TERM),
+    "doc_mix": (q_doc_mix, SQL_DOC_MIX),
+    "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
+    "doc_postings": (q_doc_postings, SQL_DOC_POSTINGS),
     "doc_pii": (q_doc_pii, SQL_DOC_PII),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),

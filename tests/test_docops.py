@@ -158,3 +158,56 @@ def test_tfidf_top_term_matches_pandas_recompute():
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["top_term"].tolist() == want["term"].tolist()
     np.testing.assert_allclose(got["score"], want["score"], atol=1e-6)
+
+
+# ------------------------------------------- mixing / normalize / postings
+
+def test_mix_realized_ratios_match_weights():
+    """Realized copies per lang ≈ weight × lang count (Bernoulli part is
+    deterministic, so recompute exactly in numpy)."""
+    import numpy as np
+
+    from metrics_ray.pipelines.docs import (
+        MIX_WEIGHTS, _MIX_MULT, documents_ds, q_doc_mix)
+
+    got = q_doc_mix(SF).to_pandas()
+    docs = documents_ds(SF, ["doc_id", "lang"]).to_pandas()
+    for lang, grp in docs.groupby("lang"):
+        w = MIX_WEIGHTS[lang]
+        ids = grp["doc_id"].to_numpy(dtype=np.int64)
+        wantn = int(np.floor(w)) * len(ids) + int(
+            ((ids * _MIX_MULT) % 1000 < round((w % 1) * 1000)).sum())
+        assert (got["lang"] == lang).sum() == wantn
+    # copy numbering is 1..n per doc
+    per_doc = got.groupby("doc_id")["copy"].agg(["min", "max", "size"])
+    assert (per_doc["min"] == 1).all()
+    assert (per_doc["max"] == per_doc["size"]).all()
+
+
+def test_normalize_matches_python_recompute():
+    import hashlib
+    import re
+    import unicodedata
+
+    from metrics_ray.pipelines.docs import documents_ds, q_doc_normalize
+
+    got = q_doc_normalize(SF).to_pandas().set_index("doc_id")
+    docs = documents_ds(SF, ["doc_id", "text"]).to_pandas()
+    for _, r in docs.head(50).iterrows():
+        s = unicodedata.normalize(
+            "NFC", re.sub(r"\s+", " ", r["text"]).strip().lower())
+        assert got.loc[r["doc_id"], "norm_md5"] == hashlib.md5(
+            s.encode()).hexdigest()
+        assert got.loc[r["doc_id"], "norm_len"] == len(s)
+
+
+def test_postings_capped_and_sorted():
+    from metrics_ray.pipelines.docs import POSTINGS_CAP, q_doc_postings
+
+    got = q_doc_postings(SF).to_pandas()
+    assert len(got) and got["term"].is_unique
+    for _, r in got.iterrows():
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert len(ids) <= POSTINGS_CAP
+        assert ids == sorted(ids)
+        assert r["dfn"] >= len(ids)

@@ -691,6 +691,181 @@ WHERE (t1.event_type = 'purchase' AND t2.event_type = 'error')
 ORDER BY user_id, type_a"""
 
 
+# ------------------------------------------------- funnel / retention / Q1
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+_FUNNEL_SCHEMA = pa.schema([("user_id", pa.int64()),
+                            ("funnel_depth", pa.int64())])
+
+
+def q_ev_funnel(sf_dir: str) -> pa.Table:
+    """Ordered funnel depth per user (view → click-after-view →
+    purchase-after-that-click) — the sequence-analytics fold of product
+    pipelines, strictly-ordered timestamps.
+
+    Scale shape: one bucketed co-group on user_id (grouped_apply), then
+    three vectorized stage passes inside the bucket (per-user min over
+    the stage events filtered by the previous stage's timestamp via an
+    indexed merge) — no python-per-user dispatch, no window shuffle."""
+    from ..checks.keyed import grouped_apply
+
+    def funnel_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        users = df["user_id"].drop_duplicates().sort_values()
+        prev = None  # Series: user_id -> ts of previous stage hit
+        depth = pd.Series(0, index=users, dtype="int64")
+        for i, stage in enumerate(_FUNNEL_STAGES, start=1):
+            ev = df[df["event_type"] == stage][["user_id", "ts"]]
+            if prev is not None:
+                ev = ev.merge(prev.rename("prev_ts"), left_on="user_id",
+                              right_index=True)
+                ev = ev[ev["ts"] > ev["prev_ts"]]
+            hit = ev.groupby("user_id")["ts"].min()
+            depth.loc[depth.index.isin(hit.index)] = i
+            prev = hit
+        return pd.DataFrame({"user_id": depth.index.astype("int64"),
+                             "funnel_depth": depth.to_numpy()})
+
+    out = grouped_apply(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        "user_id", funnel_bucket, out_schema=_FUNNEL_SCHEMA)
+    return _collect(out, ["user_id"])
+
+
+SQL_EV_FUNNEL = """WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+ORDER BY u.user_id"""
+
+
+RETENTION_OFFSETS = (0, 1, 7)
+
+
+def q_ev_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention: users grouped by first-activity day, counted on
+    day-offsets {0,1,7} — the cohort-analysis staple.
+
+    Scale shape: bucketed co-group on user_id derives each user's cohort
+    + distinct active-day offsets vectorized (datetime64[D] arithmetic),
+    emits per-bucket (cohort, day_offset, partial n) counts, and a tiny
+    groupby-sum merges buckets — the shuffle carries cohort×offset rows,
+    never user rows."""
+    from ray.data.aggregate import Sum
+
+    from ..checks.keyed import grouped_apply
+
+    def cohort_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]")
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "day": day})
+        cohort = d.groupby("user_id")["day"].min().rename("cohort")
+        d = d.drop_duplicates().merge(cohort, left_on="user_id",
+                                      right_index=True)
+        d["day_offset"] = (d["day"] - d["cohort"]).dt.days.astype("int64")
+        d = d[d["day_offset"].isin(RETENTION_OFFSETS)]
+        g = (d.groupby(["cohort", "day_offset"]).size().rename("n_users")
+             .reset_index())
+        g["cohort"] = g["cohort"].astype(str)
+        return g
+
+    out = (grouped_apply(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        "user_id", cohort_bucket,
+        out_schema=pa.schema([("cohort", pa.string()),
+                              ("day_offset", pa.int64()),
+                              ("n_users", pa.int64())]))
+        .groupby(["cohort", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users")))
+    return _collect(out, ["cohort", "day_offset"])
+
+
+SQL_EV_RETENTION = f"""WITH f AS (
+    SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort
+    FROM events GROUP BY user_id
+),
+a AS (
+    SELECT DISTINCT e.user_id, f.cohort,
+           date_diff('day', f.cohort,
+                     CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+    FROM events e JOIN f USING (user_id)
+)
+SELECT CAST(cohort AS VARCHAR) AS cohort, day_offset,
+       COUNT(*) AS n_users
+FROM a WHERE day_offset IN {RETENTION_OFFSETS}
+GROUP BY cohort, day_offset ORDER BY cohort, day_offset"""
+
+
+def q_rel_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-shaped pricing summary over lineitem: the canonical wide
+    multi-aggregate with a per-batch COMBINER — all five measures reduce
+    to (flag, status) partials inside map_batches, so the groupby
+    shuffles a handful of rows per batch regardless of lineitem size."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = b.column("l_tax").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "l_returnflag": b.column("l_returnflag").to_pylist(),
+            "l_linestatus": b.column("l_linestatus").to_pylist(),
+            "sum_qty": qty,
+            "sum_base": price,
+            "sum_disc": price * (1.0 - disc),
+            "sum_charge": price * (1.0 - disc) * (1.0 + tax),
+            "count_order": np.ones(len(b), np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum().reset_index(), preserve_index=False)
+
+    out = (_read(sf_dir, "lineitem",
+                 ["l_returnflag", "l_linestatus", "l_quantity",
+                  "l_extendedprice", "l_discount", "l_tax"])
+           .map_batches(partial, batch_format="pyarrow")
+           .repartition(shuffle_blocks())
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("sum_base", alias_name="sum_base"),
+                      Sum("sum_disc", alias_name="sum_disc"),
+                      Sum("sum_charge", alias_name="sum_charge"),
+                      Sum("count_order", alias_name="count_order")))
+    df = out.to_pandas().sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return pa.table({
+        "l_returnflag": pa.array(df["l_returnflag"], pa.string()),
+        "l_linestatus": pa.array(df["l_linestatus"], pa.string()),
+        "sum_qty": pa.array(round_half_away(df["sum_qty"].to_numpy(), 2)),
+        "sum_base": pa.array(round_half_away(df["sum_base"].to_numpy(), 2)),
+        "sum_disc": pa.array(round_half_away(df["sum_disc"].to_numpy(), 2)),
+        "sum_charge": pa.array(
+            round_half_away(df["sum_charge"].to_numpy(), 2)),
+        "count_order": pa.array(df["count_order"].astype("int64")),
+    })
+
+
+SQL_REL_PRICING_SUMMARY = """SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
 REL_QUERIES = {
     "rel_cust_no_premium_orders": (q_customers_without_orders,
                                    SQL_CUSTOMERS_WITHOUT_ORDERS),
@@ -708,4 +883,7 @@ REL_QUERIES = {
                                 SQL_EV_PURCHASE_ATTRIBUTION),
     "ev_click_burst": (q_ev_click_burst, SQL_EV_CLICK_BURST),
     "ev_disjoint_types_sampled": (q_ev_disjoint_types_sampled, None),
+    "ev_funnel": (q_ev_funnel, SQL_EV_FUNNEL),
+    "ev_retention": (q_ev_retention, SQL_EV_RETENTION),
+    "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),
 }

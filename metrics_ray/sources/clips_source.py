@@ -38,3 +38,52 @@ def read_clips(path: str, columns: list[str] | None = None, **kwargs):
                  if f.endswith(".parquet")]
         return rd.read_parquet(files, columns=columns, **kwargs)
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+_EXT_READERS = {".parquet": "read_parquet", ".lance": "read_lance",
+                ".jsonl": "read_json", ".json": "read_json",
+                ".csv": "read_csv"}
+
+
+def read_any(path: str, columns: list[str] | None = None, **kwargs):
+    """Format-dispatching table reader — the analog of the reference's
+    multi-serialization ingestion (its Rio/Jena stream parsers accept
+    every RDF wire format behind one reader interface; see
+    StreamProcessor semantics in SURVEY.md §2.2). Dispatch is by
+    extension: parquet (column-pruned at the read), Lance (gated on
+    pylance), JSONL, CSV; directories read every same-format file inside.
+
+    Parquet/Lance push ``columns`` into the scan (only the needed columns
+    leave storage); row-based JSONL/CSV cannot prune at the read, so the
+    projection is applied immediately after parse — the schema seen
+    downstream is identical across formats (asserted in
+    tests/test_sources.py)."""
+    import ray.data as rd
+
+    ext = os.path.splitext(path)[1]
+    if os.path.isdir(path) and not path.endswith(".lance"):
+        inner = sorted(os.listdir(path))
+        exts = {os.path.splitext(f)[1] for f in inner
+                if os.path.splitext(f)[1] in _EXT_READERS}
+        if len(exts) != 1:
+            raise ValueError(f"directory {path} holds {sorted(exts)}; "
+                             "expected exactly one readable format")
+        ext = exts.pop()
+        path = [os.path.join(path, f) for f in inner if f.endswith(ext)]
+    if ext not in _EXT_READERS:
+        raise ValueError(f"unsupported table format: {ext!r}")
+    if ext == ".lance":
+        return read_clips(path, columns=columns, **kwargs)
+    if ext == ".parquet":
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    ds = (rd.read_json(path, **kwargs) if ext in (".jsonl", ".json")
+          else rd.read_csv(path, **kwargs))
+    return ds.select_columns(columns) if columns else ds
+
+
+def write_jsonl(ds, path: str, **kwargs) -> str:
+    """Row-oriented JSONL sink (interchange format for downstream
+    tokenizer / loader tooling). Partitioned: one file per block, so a
+    resumed or parallel run never contends on a single giant file."""
+    ds.write_json(path, **kwargs)
+    return path

@@ -516,6 +516,93 @@ SELECT node AS vec_id, MIN(lbl) AS cluster_id
 FROM reach GROUP BY node ORDER BY vec_id"""
 
 
+# ---------------------------------------------- projection / quantization
+
+PROJ_K = 16
+# Achlioptas sparse-sign JL projection: entries ±1/sqrt(k), fixed seed —
+# identical on every worker with zero coordination (no broadcast needed:
+# the matrix is a pure function of the seed, rebuilt per actor/task init).
+_PROJ_SEED = 13
+
+
+def _proj_matrix(d: int = 64, k: int = PROJ_K) -> np.ndarray:
+    signs = np.random.RandomState(_PROJ_SEED).choice(
+        [-1.0, 1.0], size=(d, k))
+    return signs / np.sqrt(k)
+
+
+def q_emb_project(sf_dir: str) -> pa.Table:
+    """Random-projection dimensionality reduction (64 → PROJ_K dims,
+    Achlioptas sign matrix) — the JL compression pass used before
+    clustering / ANN at scale.
+
+    Scale shape: row-local (one (B,64)×(64,k) matmul per batch, no
+    shuffle, no state); the projection matrix is seed-derived in every
+    task rather than shipped. JL distance preservation is asserted in
+    tests (pairwise-distance ratio within the JL tolerance for k=16)."""
+    def project(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b)
+        p = m @ _proj_matrix(m.shape[1])
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "proj": pa.array(list(np.round(p, 6)), pa.list_(pa.float64())),
+            "proj_norm": pa.array(
+                round_half_away(np.linalg.norm(p, axis=1), 6)),
+        })
+
+    return _collect(
+        embeddings_ds(sf_dir, ["vec_id", "embedding"])
+        .map_batches(project, batch_format="pyarrow"), ["vec_id"])
+
+
+def q_emb_quantize(sf_dir: str) -> pa.Table:
+    """Int8 scalar quantization with reconstruction-error audit — the
+    embedding-compression pass (and its quality check) of a vector-store
+    build.
+
+    Scale shape: pass 1 computes per-dimension (min, max) as per-batch
+    partials reduced on the driver (64 pairs of floats — constant-size
+    state, the extreme case of pre-aggregation); the resulting scale
+    vector is closure-broadcast; pass 2 is row-local
+    quantize→dequantize→error. Per-dim error is bounded by scale/2,
+    asserted per row in tests."""
+    import ray
+
+    def minmax(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b)
+        return pa.table({
+            "part": pa.array([0], pa.int64()),
+            "lo": pa.array([m.min(axis=0)], pa.list_(pa.float64())),
+            "hi": pa.array([m.max(axis=0)], pa.list_(pa.float64())),
+        })
+
+    parts = _collect(
+        embeddings_ds(sf_dir, ["embedding"])
+        .map_batches(minmax, batch_format="pyarrow"), ["part"])
+    lo = np.min(np.array(parts.column("lo").to_pylist()), axis=0)
+    hi = np.max(np.array(parts.column("hi").to_pylist()), axis=0)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    ref = ray.put((lo, scale))
+
+    def quant(b: pa.Table) -> pa.Table:
+        qlo, qscale = ray.get(ref)
+        m = _emb_matrix(b)
+        q = np.clip(np.round((m - qlo) / qscale), 0, 255).astype(np.uint8)
+        deq = q.astype(np.float64) * qscale + qlo
+        err = m - deq
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "mse": pa.array(
+                round_half_away(np.mean(err * err, axis=1), 12)),
+            "max_abs_err": pa.array(
+                round_half_away(np.abs(err).max(axis=1), 9)),
+        })
+
+    return _collect(
+        embeddings_ds(sf_dir, ["vec_id", "embedding"])
+        .map_batches(quant, batch_format="pyarrow"), ["vec_id"])
+
+
 EMB_QUERIES = {
     "emb_norm_check": (q_emb_norm_check, SQL_EMB_NORM_CHECK),
     "emb_knn": (q_emb_knn, SQL_EMB_KNN),
@@ -523,4 +610,6 @@ EMB_QUERIES = {
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
     "emb_knn_ivf": (q_emb_knn_ivf, None),
     "emb_dup_clusters": (q_emb_dup_clusters, SQL_EMB_DUP_CLUSTERS),
+    "emb_project": (q_emb_project, None),
+    "emb_quantize": (q_emb_quantize, None),
 }

@@ -81,3 +81,55 @@ def test_ivf_knn_recall(sf_unit):
         hits += len(e & a)
         total += len(e)
     assert hits / total >= 0.9
+
+
+# ------------------------------------------- projection / quantization
+
+def test_project_matches_numpy_recompute_and_jl(sf_unit):
+    import numpy as np
+
+    from metrics_ray.pipelines.embed import (
+        PROJ_K, _proj_matrix, embeddings_ds, _emb_matrix, q_emb_project)
+
+    got = q_emb_project(sf_unit).to_pandas().set_index("vec_id").sort_index()
+    raw = embeddings_ds(sf_unit, ["vec_id", "embedding"]).to_pandas()
+    import pyarrow as pa
+    t = pa.Table.from_pandas(raw, preserve_index=False)
+    m = _emb_matrix(t)
+    ids = raw["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    m, ids = m[order], ids[order]
+    want = np.round(m @ _proj_matrix(m.shape[1]), 6)
+    got_mat = np.array(got["proj"].tolist())
+    np.testing.assert_allclose(got_mat, want, atol=1e-9)
+    # JL: projected pairwise sq-distances within tolerance of originals
+    rng = np.random.default_rng(3)
+    i = rng.integers(0, len(ids), 200)
+    j = rng.integers(0, len(ids), 200)
+    keep = i != j
+    d0 = np.sum((m[i[keep]] - m[j[keep]]) ** 2, axis=1)
+    d1 = np.sum((got_mat[i[keep]] - got_mat[j[keep]]) ** 2, axis=1)
+    ratio = d1 / np.maximum(d0, 1e-12)
+    # k=16 → loose epsilon; assert the bulk is preserved
+    assert np.median(np.abs(ratio - 1)) < 0.35
+    assert got["proj_norm"].between(0, 2).all()
+
+
+def test_quantize_error_bounds(sf_unit):
+    import numpy as np
+    import pyarrow as pa
+
+    from metrics_ray.pipelines.embed import (
+        _emb_matrix, embeddings_ds, q_emb_quantize)
+
+    got = q_emb_quantize(sf_unit).to_pandas()
+    raw = embeddings_ds(sf_unit, ["vec_id", "embedding"]).to_pandas()
+    t = pa.Table.from_pandas(raw, preserve_index=False)
+    m = _emb_matrix(t)
+    lo, hi = m.min(axis=0), m.max(axis=0)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    bound = scale.max() / 2 + 1e-9
+    assert len(got) == len(raw)
+    assert (got["max_abs_err"] <= bound).all()
+    assert (got["mse"] <= bound ** 2).all()
+    assert (got["mse"] >= 0).all()

@@ -1148,6 +1148,70 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 ORDER BY doc_id"""
 
 
+# --------------------------------------------------------------- chunking
+
+CHUNK_W = 50      # tokens per chunk
+CHUNK_STRIDE = 40  # start-to-start distance (overlap = W - stride = 10)
+
+
+def q_doc_chunking(sf_dir: str) -> pa.Table:
+    """Training-example chunking: split each doc's token stream into
+    CHUNK_W-token windows every CHUNK_STRIDE tokens (10-token overlap) —
+    the context-window packing step between raw text and the tokenizer.
+
+    Scale shape: pure row-local expansion inside map_batches (each doc
+    emits ceil(n/stride) chunk rows independently — no shuffle, no
+    state); output carries the chunk digest + length, never the chunk
+    text."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def chunk(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b.column("text"), ""), pattern=r"\s+").to_pylist()
+        out_id, out_ix, out_n, out_md5 = [], [], [], []
+        for did, tt in zip(ids, toks):
+            tt = [t for t in tt if t]
+            for ix, start in enumerate(range(0, len(tt), CHUNK_STRIDE)):
+                piece = tt[start:start + CHUNK_W]
+                out_id.append(int(did))
+                out_ix.append(ix)
+                out_n.append(len(piece))
+                out_md5.append(hashlib.md5(
+                    " ".join(piece).encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_ix, pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+            "chunk_md5": pa.array(out_md5, pa.string()),
+        })
+
+    return _collect(
+        documents_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(chunk, batch_format="pyarrow"),
+        ["doc_id", "chunk_idx"])
+
+
+SQL_DOC_CHUNKING = f"""WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS tt FROM documents
+),
+idx AS (
+    SELECT doc_id, tt,
+           unnest(generate_series(0, CAST(len(tt) AS BIGINT) - 1,
+                                  {CHUNK_STRIDE})) AS start
+    FROM toks WHERE len(tt) > 0
+)
+SELECT doc_id, start / {CHUNK_STRIDE} AS chunk_idx,
+       least({CHUNK_W}, len(tt) - start) AS n_tokens,
+       md5(array_to_string(
+           list_slice(tt, start + 1,
+                      least(start + {CHUNK_W}, CAST(len(tt) AS BIGINT))),
+           ' ')) AS chunk_md5
+FROM idx ORDER BY doc_id, chunk_idx"""
+
+
 # ------------------------------------------------- mixing / normalize / index
 
 # Epoch-weighted language mixing: fractional repeat factors per lang —
@@ -1330,6 +1394,7 @@ DOC_QUERIES = {
     "doc_top_tokens_approx": (q_doc_top_tokens_approx, SQL_DOC_TOP_TOKENS),
     "doc_tfidf_top_term": (q_doc_tfidf_top_term, SQL_DOC_TFIDF_TOP_TERM),
     "doc_mix": (q_doc_mix, SQL_DOC_MIX),
+    "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
     "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),
     "doc_postings": (q_doc_postings, SQL_DOC_POSTINGS),
     "doc_pii": (q_doc_pii, SQL_DOC_PII),

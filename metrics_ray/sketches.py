@@ -287,6 +287,71 @@ class BottomKSample:
         return BottomKSample(k, seed, pri, vals)
 
 
+# ------------------------------------------------------------ Bloom filter
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) \
+        & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) \
+        & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+@dataclass
+class BloomFilter:
+    """Mergeable Bloom filter — the direct analog of the reference's RLBS
+    Bloom bank (EstimatedExtensionalConciseness.java:40-45: k=13,
+    M=5.5e6 bits, fp≈0.01), made associative: per-partition filters OR
+    together into the global filter, so membership state builds in one
+    streaming pass with byte-sized partials.
+
+    Double hashing (Kirsch–Mitzenmacher): the k probe positions are
+    h1 + i·h2 mod m derived from ONE vectorized hash64 pass — no per-key
+    python, no k rehashes. No false negatives ever; false-positive rate
+    ≈ (1 - e^{-kn/m})^k, tested in tests/test_sketches.py."""
+
+    m_bits: int = 1 << 20
+    k: int = 7
+    bits: np.ndarray = field(default_factory=lambda: np.empty(0, np.uint8))
+
+    def __post_init__(self):
+        if self.bits.size == 0:
+            self.bits = np.zeros(self.m_bits // 8, np.uint8)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        h1 = hash64(np.asarray(keys, dtype=object)).astype(np.uint64)
+        h2 = _splitmix64(h1) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m_bits))
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership: True = maybe present, False = DEFINITELY
+        absent."""
+        pos = self._positions(keys)
+        byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+        hit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m_bits == other.m_bits and self.k == other.k
+        return BloomFilter(self.m_bits, self.k, self.bits | other.bits)
+
+    def dumps(self) -> bytes:
+        return pickle.dumps(("bloom", self.m_bits, self.k, self.bits))
+
+    @staticmethod
+    def loads(b: bytes) -> "BloomFilter":
+        tag, m, k, bits = pickle.loads(b)
+        assert tag == "bloom"
+        return BloomFilter(m, k, bits)
+
+
 # --------------------------------------------------------- heavy hitters
 
 @dataclass
@@ -361,7 +426,8 @@ def loads_any(b: bytes):
     return {"hll": HLL.loads, "tdigest": TDigest.loads,
             "hist": FixedHistogram.loads,
             "bottomk": BottomKSample.loads,
-            "mg": HeavyHitters.loads}[tag](b)
+            "mg": HeavyHitters.loads,
+            "bloom": BloomFilter.loads}[tag](b)
 
 
 def merge_blobs(blobs: list[bytes]):
@@ -388,6 +454,9 @@ def merge_blobs(blobs: list[bytes]):
     if isinstance(first, FixedHistogram):
         counts = np.sum([s.counts for s in sketches], axis=0)
         return FixedHistogram(first.edges, counts)
+    if isinstance(first, BloomFilter):
+        bits = np.bitwise_or.reduce([s.bits for s in sketches])
+        return BloomFilter(first.m_bits, first.k, bits)
     if isinstance(first, HeavyHitters):
         out = HeavyHitters(first.k, err=sum(s.err for s in sketches))
         out.offer(np.concatenate([s.items for s in sketches]),

@@ -304,3 +304,89 @@ def bucketed_range_count(left_ds, right_ds, left_ts: str, right_ts: str,
 
     return grouped_apply(tagged, "__tile", count_tile,
                          n_buckets=n_buckets, out_schema=out_schema)
+
+
+def bloom_anti_join(left_ds, right_ds, left_key: str, right_key: str,
+                    left_cols: list[str], m_bits: int = 1 << 20,
+                    k: int = 7, n_buckets: int | None = None):
+    """EXACT anti-join (left rows with no right-side key match) with a
+    Bloom prefilter — the shuffle-minimizing form of the reference's
+    completeness anti-join (DataCubePopulationCompleteness semantics,
+    checks/keyed.py:240 pattern) for when BOTH sides are large.
+
+    Phase 1 streams the right side into per-batch partial Bloom filters
+    (m/8-byte blobs, OR-merged on the driver, ray.put once). Phase 2
+    splits the left stream row-locally: keys the filter calls DEFINITELY
+    absent are anti-join results immediately — they never enter a
+    shuffle; only MAYBE-present keys (true matches + the ~1% false
+    positives) go through one bucketed co-group against the right keys
+    for exact verification. No false negatives, so the result is exact;
+    the shuffle carries ~|matches| + fp·|left| rows instead of |left| +
+    |right|.
+
+    Trade-off (explicit): the left side is read twice (once per split) —
+    two streaming scans in exchange for an all-to-all shuffle of the
+    full stream; at 10^12 rows the scan is the cheap side. Callers
+    wanting one scan can materialize the tagged stream instead."""
+    import ray
+
+    from ..sketches import BloomFilter, merge_blobs
+
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, k)
+        bf.add(np.array([str(x) for x in b.column(right_key).to_pylist()],
+                        dtype=object))
+        return pa.table({"blob": pa.array([bf.dumps()], pa.binary())})
+
+    blobs = [t.column("blob").to_pylist()
+             for t in ray.get(right_ds.select_columns([right_key])
+                              .map_batches(bloom_partial,
+                                           batch_format="pyarrow")
+                              .to_arrow_refs())]
+    bloom_ref = ray.put(merge_blobs([b for chunk in blobs for b in chunk]))
+
+    lsch = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    out_fields = [(c, lsch[c]) for c in left_cols]
+    out_schema = pa.schema(out_fields)
+
+    def split(want_maybe: bool):
+        def f(b: pa.Table) -> pa.Table:
+            bf = ray.get(bloom_ref)
+            keys = np.array([str(x) for x in b.column(left_key).to_pylist()],
+                            dtype=object)
+            maybe = bf.contains(keys)
+            mask = maybe if want_maybe else ~maybe
+            return b.select(left_cols).filter(pa.array(mask))
+        return f
+
+    definite = left_ds.map_batches(split(False), batch_format="pyarrow")
+
+    def tag(side: str, key_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {
+                "__key": pa.array(
+                    [str(x) for x in b.column(key_col).to_pylist()],
+                    pa.string()),
+                "__side": pa.array([side] * b.num_rows, pa.string()),
+            }
+            for name, typ in out_fields:
+                cols[name] = (b.column(name).combine_chunks()
+                              if name in b.column_names
+                              else pa.nulls(b.num_rows, typ))
+            return pa.table(cols)
+        return f
+
+    maybe_tagged = (left_ds.map_batches(split(True), batch_format="pyarrow")
+                    .map_batches(tag("l", left_key), batch_format="pyarrow")
+                    .union(right_ds.select_columns([right_key])
+                           .map_batches(tag("r", right_key),
+                                        batch_format="pyarrow")))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rkeys = set(df.loc[df["__side"] == "r", "__key"])
+        l = df[df["__side"] == "l"]
+        return l.loc[~l["__key"].isin(rkeys), left_cols]
+
+    survivors = grouped_apply(maybe_tagged, "__key", verify,
+                              n_buckets=n_buckets, out_schema=out_schema)
+    return definite.union(survivors)

@@ -215,3 +215,31 @@ def test_asof_matches_pandas_merge_asof_randomized():
     got = [None if pd.isna(v) else int(v) for v in df["price"]]
     want = [None if pd.isna(v) else int(v) for v in exp["price"]]
     assert got == want
+
+
+def test_bloom_anti_join_matches_plain_anti_join():
+    """bloom_anti_join == the exact pandas anti-join, on a deterministic
+    fixture where ~half the left keys have no right match.  m_bits is
+    deliberately tiny (512 bits for 600 right keys) so the Bloom filter
+    produces MANY false positives — proving the bucketed verify phase
+    removes every one (exactness does not depend on the fp rate)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metrics_ray.stages.join import bloom_anti_join
+
+    left = pa.table({
+        "k": [f"id{i:04d}" for i in range(1000)],
+        "payload": [i * 3 for i in range(1000)],
+    })
+    right = pa.table({"rk": [f"id{i:04d}" for i in range(0, 1200, 2)]})
+    got = bloom_anti_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        "k", "rk", ["k", "payload"], m_bits=512, k=3).to_pandas()
+    ldf, rdf = left.to_pandas(), right.to_pandas()
+    want = ldf[~ldf["k"].isin(rdf["rk"])]
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 500  # odd ids 1..999

@@ -196,3 +196,25 @@ def test_heavyhitters_serialization_roundtrip():
     assert rt.k == 8 and rt.err == hh.err
     assert list(rt.estimates()[0]) == list(hh.estimates()[0])
     assert list(rt.estimates()[1]) == [4, 2]
+
+
+# ------------------------------------------------------------ Bloom filter
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    from metrics_ray.sketches import BloomFilter, loads_any, merge_blobs
+
+    keys = np.array([f"k{i}" for i in range(5000)], dtype=object)
+    bf = BloomFilter(m_bits=1 << 16, k=7)
+    bf.add(keys)
+    assert bf.contains(keys).all()  # no false negatives, ever
+    probe = np.array([f"absent{i}" for i in range(20000)], dtype=object)
+    fp = bf.contains(probe).mean()
+    # theoretical fp ≈ (1-e^{-kn/m})^k ≈ 0.0086 at this load; allow 3x
+    assert fp < 0.03
+    # merge = OR; roundtrip preserves bits
+    b2 = BloomFilter(m_bits=1 << 16, k=7)
+    b2.add(probe[:500])
+    merged = merge_blobs([bf.dumps(), b2.dumps()])
+    assert merged.contains(keys).all()
+    assert merged.contains(probe[:500]).all()
+    assert np.array_equal(loads_any(bf.dumps()).bits, bf.bits)

@@ -240,6 +240,30 @@ def q_missing_refs_dist(sf_dir: str) -> pa.Table:
     return pa.concat_tables(tables).select(["clip_id"]).sort_by("clip_id")
 
 
+def q_missing_refs_bloom(sf_dir: str) -> pa.Table:
+    """Bloom-prefiltered referential integrity — the third execution
+    strategy for the same semantic (broadcast → val_missing_refs,
+    bucketed co-group → val_missing_refs_dist, Bloom split → here).
+    The Ray-derived index streams into OR-merged per-batch Bloom
+    partials; clips whose clip_id the filter calls DEFINITELY absent
+    become violations without entering any shuffle, and only the
+    maybe-present sliver rides the bucketed exchange for exact
+    verification. At 10^12 clips with rare violations this shuffles
+    ~|index| keys instead of |clips| + |index|. Same oracle as both
+    siblings (exact by construction — Bloom has no false negatives)."""
+    import ray
+
+    from ..stages.join import bloom_anti_join
+    from .clips import transcript_index_ds
+
+    out = bloom_anti_join(_meta_ds(sf_dir), transcript_index_ds(sf_dir),
+                          "clip_id", "clip_id", ["clip_id"])
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({"clip_id": pa.array([], pa.string())})
+    return pa.concat_tables(tables).sort_by("clip_id")
+
+
 def q_transcript_mismatch_dist(sf_dir: str) -> pa.Table:
     """Distributed transcript-equality check: bucketed inner join of the
     clips stream with the Ray-derived index, comparing transcript to the
@@ -896,6 +920,7 @@ VALIDATION_QUERIES = {
     "val_missing_refs": (q_missing_refs, SQL_MISSING_REFS),
     "val_transcript_mismatch": (q_transcript_mismatch, SQL_TRANSCRIPT_MISMATCH),
     "val_missing_refs_dist": (q_missing_refs_dist, SQL_MISSING_REFS),
+    "val_missing_refs_bloom": (q_missing_refs_bloom, SQL_MISSING_REFS),
     "val_transcript_mismatch_dist": (q_transcript_mismatch_dist,
                                      SQL_TRANSCRIPT_MISMATCH),
     "val_regex_presence": (q_regex_presence, SQL_REGEX_PRESENCE),

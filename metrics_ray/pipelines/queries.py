@@ -618,6 +618,155 @@ SELECT codec,
 FROM clips GROUP BY codec ORDER BY codec"""
 
 
+# --------------------------------------------------- distribution drift
+
+# Oracle-backed flavor of the suite's DriftCheck (checks/sketch_checks.py):
+# the KS/PSI baseline-vs-observed comparison the north star names, with the
+# baseline profile derived from partitions 0..3 and the "current" slice from
+# partitions 4..7 — both sides of the comparison computed in one counting
+# pass. Same bucket semantics as sketches.FixedHistogram (searchsorted
+# side='right': bucket = #edges <= value; bucket 0 = underflow, B+1 =
+# overflow), same eps-clipped PSI formula, so the oracle also pins the
+# sketch-path arithmetic.
+DRIFT_EDGES = (0, 200, 500, 800, 1100, 1400, 1700, 2000)
+DRIFT_EPS = 1e-6
+DRIFT_BASE_PARTS = 4  # partitions < 4 → baseline profile; >= 4 → current
+
+
+def _drift_value_counts(sf_dir: str):
+    """One counting pass: per-batch (side, dur_ms) value-count partials →
+    groupby-sum. The merged table is O(|distinct dur|) regardless of row
+    count (bounded ms domain), so both PSI and exact-ECDF KS come out of a
+    key-only shuffle — no row ever crosses the exchange. For unbounded
+    value domains the histogram partials of DriftCheck are the fallback
+    (same edges, same math — asserted by the PSI oracle here)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = b.column("partition").to_numpy(zero_copy_only=False)
+        dur = b.column("dur_ms").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "side": np.where(part < DRIFT_BASE_PARTS, "base", "cur"),
+            "dur_ms": dur.astype(np.int64),
+        }).groupby(["side", "dur_ms"], sort=False).size().reset_index(
+            name="cnt")
+        return pa.table({
+            "side": pa.array(df["side"], pa.string()),
+            "dur_ms": pa.array(df["dur_ms"].astype("int64")),
+            "cnt": pa.array(df["cnt"].astype("int64")),
+        })
+
+    counts = (_meta_ds(sf_dir).select_columns(["partition", "dur_ms"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["side", "dur_ms"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+    return (counts.to_pandas().sort_values("dur_ms", kind="stable")
+            .reset_index(drop=True))
+
+
+def q_drift_psi(sf_dir: str) -> pa.Table:
+    """Per-bucket PSI decomposition of the dur_ms distribution, current
+    (partitions 4..7) vs baseline (0..3): (bucket, base_n, cur_n,
+    psi_term); sum(psi_term) is the drift metric DriftCheck thresholds.
+    Zero-count buckets are emitted (the eps clip makes their terms
+    well-defined, exactly as FixedHistogram.psi)."""
+    from ..functions.rounding import round_half_away
+
+    df = _drift_value_counts(sf_dir)
+    edges = np.asarray(DRIFT_EDGES, dtype=np.float64)
+    nbkt = len(edges) + 1
+    nb = np.zeros(nbkt, dtype=np.int64)
+    nc = np.zeros(nbkt, dtype=np.int64)
+    idx = np.searchsorted(edges, df["dur_ms"].to_numpy(np.float64),
+                          side="right")
+    is_base = (df["side"] == "base").to_numpy()
+    np.add.at(nb, idx[is_base], df["cnt"].to_numpy()[is_base])
+    np.add.at(nc, idx[~is_base], df["cnt"].to_numpy()[~is_base])
+    p = np.clip(nc / max(nc.sum(), 1), DRIFT_EPS, None)
+    q = np.clip(nb / max(nb.sum(), 1), DRIFT_EPS, None)
+    term = round_half_away((p - q) * np.log(p / q), 6)
+    return pa.table({
+        "bucket": pa.array(np.arange(nbkt, dtype=np.int64)),
+        "base_n": pa.array(nb),
+        "cur_n": pa.array(nc),
+        "psi_term": pa.array(term, pa.float64()),
+    })
+
+
+_BUCKET_EXPR = " + ".join(
+    f"(CASE WHEN dur_ms >= {e} THEN 1 ELSE 0 END)" for e in DRIFT_EDGES)
+
+SQL_DRIFT_PSI = f"""WITH {synth.CLIPS_SQL},
+bucketed AS (
+    SELECT {_BUCKET_EXPR} AS bucket,
+           SUM(CASE WHEN partition < {DRIFT_BASE_PARTS} THEN 1 ELSE 0 END)
+               AS base_n,
+           SUM(CASE WHEN partition >= {DRIFT_BASE_PARTS} THEN 1 ELSE 0 END)
+               AS cur_n
+    FROM clips GROUP BY 1
+),
+allb AS (
+    SELECT t.i AS bucket,
+           CAST(COALESCE(b.base_n, 0) AS BIGINT) AS base_n,
+           CAST(COALESCE(b.cur_n, 0) AS BIGINT) AS cur_n
+    FROM range(0, {len(DRIFT_EDGES) + 1}) t(i)
+    LEFT JOIN bucketed b ON b.bucket = t.i
+),
+tot AS (SELECT SUM(base_n) AS tb, SUM(cur_n) AS tc FROM allb)
+SELECT bucket, base_n, cur_n,
+       round((GREATEST(cur_n * 1.0 / tc, {DRIFT_EPS})
+              - GREATEST(base_n * 1.0 / tb, {DRIFT_EPS}))
+             * ln(GREATEST(cur_n * 1.0 / tc, {DRIFT_EPS})
+                  / GREATEST(base_n * 1.0 / tb, {DRIFT_EPS})), 6) AS psi_term
+FROM allb, tot ORDER BY bucket"""
+
+
+def q_drift_ks(sf_dir: str) -> pa.Table:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the baseline
+    and current dur_ms distributions via the counting path: the merged
+    (side, dur_ms, cnt) table yields both ECDFs with no per-side sort of
+    raw rows; KS = max |ECDF_cur − ECDF_base| over the value domain."""
+    from ..functions.rounding import round_half_away
+
+    df = _drift_value_counts(sf_dir)
+    piv = (df.pivot_table(index="dur_ms", columns="side", values="cnt",
+                          aggfunc="sum", fill_value=0)
+           .reindex(columns=["base", "cur"], fill_value=0).sort_index())
+    nb = piv["base"].to_numpy(np.int64)
+    nc = piv["cur"].to_numpy(np.int64)
+    tb, tc = max(int(nb.sum()), 1), max(int(nc.sum()), 1)
+    cb = np.cumsum(nb) * 1.0 / tb
+    cc = np.cumsum(nc) * 1.0 / tc
+    ks = float(np.max(np.abs(cb - cc))) if len(piv) else 0.0
+    return pa.table({
+        "n_base": pa.array([int(nb.sum())], pa.int64()),
+        "n_cur": pa.array([int(nc.sum())], pa.int64()),
+        "ks_stat": pa.array([round_half_away(ks, 6)], pa.float64()),
+    })
+
+
+SQL_DRIFT_KS = f"""WITH {synth.CLIPS_SQL},
+vals AS (
+    SELECT dur_ms,
+           SUM(CASE WHEN partition < {DRIFT_BASE_PARTS} THEN 1 ELSE 0 END)
+               AS nb,
+           SUM(CASE WHEN partition >= {DRIFT_BASE_PARTS} THEN 1 ELSE 0 END)
+               AS nc
+    FROM clips GROUP BY dur_ms
+),
+tot AS (SELECT SUM(nb) AS tb, SUM(nc) AS tc FROM vals),
+c AS (
+    SELECT SUM(nb) OVER (ORDER BY dur_ms) * 1.0 / tot.tb AS cb,
+           SUM(nc) OVER (ORDER BY dur_ms) * 1.0 / tot.tc AS cc
+    FROM vals, tot
+)
+SELECT CAST(tot.tb AS BIGINT) AS n_base,
+       CAST(tot.tc AS BIGINT) AS n_cur,
+       round(MAX(ABS(c.cb - c.cc)), 6) AS ks_stat
+FROM c, tot GROUP BY tot.tb, tot.tc"""
+
+
 def q_audio_features(sf_dir: str) -> pa.Table:
     """Acoustic feature extraction (actor-pool stage) — rows-only (audio
     bytes exist only on the Ray side). Floats rounded for stability."""
@@ -927,6 +1076,8 @@ VALIDATION_QUERIES = {
     "val_partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
     "val_top_durations": (q_top_durations, SQL_TOP_DURATIONS),
     "val_dur_quantiles": (q_dur_quantiles, SQL_DUR_QUANTILES),
+    "val_drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
+    "val_drift_ks": (q_drift_ks, SQL_DRIFT_KS),
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, None),

@@ -52,6 +52,14 @@ def _quiet_ray_data_logging() -> None:
             "handlers": ["file", "console"],
             "propagate": False,
         }
+        # same treatment for the once-per-empty-bundle "Operator produced a
+        # RefBundle with a different schema" warning: 0-row blocks out of
+        # map_groups legitimately carry an empty schema
+        cfg["loggers"]["ray.data._internal.execution.streaming_executor_state"] = {
+            "level": "ERROR",
+            "handlers": ["file", "console"],
+            "propagate": False,
+        }
         path = "/tmp/metrics_ray_data_logging.yaml"
         with open(path, "w") as f:
             yaml.safe_dump(cfg, f)

@@ -1,0 +1,34 @@
+"""Driver-side collection of a Dataset's blocks as Arrow tables — via
+materialize-then-enumerate, never bare ``to_arrow_refs`` on a lazy plan.
+
+Why: ``Dataset.to_arrow_refs()`` on a not-yet-materialized dataset first
+executes the plan (``iter_internal_ref_bundles``), then calls
+``schema(fetch_if_missing=True)`` — and because a consumed STREAMING
+execution caches no schema on the plan, that builds and EXECUTES a
+``limit(1)`` copy of the entire pipeline (ray/data/dataset.py:3410-3425,
+:5838-5841).  A limit cannot short-circuit all-to-all stages, so every
+driver collection of a shuffle/groupby result silently paid a SECOND full
+pipeline run.  ``materialize()`` executes exactly once and caches blocks +
+schema; ``to_arrow_refs`` on the materialized dataset is pure zero-copy
+ref enumeration.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def arrow_refs(ds) -> list:
+    """Object refs of ``ds``'s blocks as Arrow tables, executing the plan
+    exactly once."""
+    return ds.materialize().to_arrow_refs()
+
+
+def collect_tables(ds) -> list[pa.Table]:
+    """Execute once and pull every non-empty block to the driver.
+
+    Driver-collection is the QUERY contract (queries return tables);
+    production paths keep bulk rows distributed (violations_sink etc.)."""
+    import ray
+
+    return [t for t in ray.get(arrow_refs(ds)) if t.num_rows]

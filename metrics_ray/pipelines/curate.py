@@ -42,6 +42,7 @@ import pyarrow.parquet as pq
 
 from .. import audio
 from ..schema import MAX_DUR_MS, VALID_CODECS, VALID_SR_HZ
+from ..collect import arrow_refs
 
 TARGET_SR = 16_000
 MIN_SPEECH_RATIO = 0.5
@@ -195,8 +196,8 @@ def _reason_counts(mat) -> dict[str, int]:
                          "cnt": vc.field("counts")})
 
     counts: dict[str, int] = {}
-    for t in ray.get(mat.map_batches(partial, batch_format="pyarrow")
-                     .to_arrow_refs()):
+    for t in ray.get(arrow_refs(mat.map_batches(partial, batch_format="pyarrow")
+                     )):
         for r, c in zip(t.column("reason").to_pylist(),
                         t.column("cnt").to_pylist()):
             counts[r] = counts.get(r, 0) + int(c)
@@ -221,12 +222,12 @@ def _curate_partition(part_dir: str, out_part_dir: str, drop_ids: set,
     counts = _reason_counts(mat)
 
     # pack assignment over kept keys (clip_id unique within a partition)
-    kept_keys = [t for t in ray.get(
+    kept_keys = [t for t in ray.get(arrow_refs(
         mat.map_batches(
             lambda b: b.filter(
                 pa.compute.equal(b.column("reason"), R_KEPT))
             .select(["clip_id", "dur_ms"]),
-            batch_format="pyarrow").to_arrow_refs()) if t.num_rows]
+            batch_format="pyarrow"))) if t.num_rows]
     if kept_keys:
         keys = pa.concat_tables(kept_keys).to_pandas()
         keys = keys[~keys["clip_id"].isin(drop_ids)].sort_values(

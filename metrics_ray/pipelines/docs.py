@@ -31,6 +31,7 @@ import pyarrow.parquet as pq
 from ..checks.keyed import cap_group_members, grouped_apply, shuffle_blocks
 from ..functions import text as T
 from ..functions.rounding import round_half_away
+from ..collect import arrow_refs
 
 NEAR_DUP_TAU = 0.8
 
@@ -101,7 +102,7 @@ def corpus_ds(sf_dir: str):
 def _collect(ds, sort_keys) -> pa.Table:
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(ds)) if t.num_rows]
     if not tables:
         return None
     return pa.concat_tables(tables).sort_by(
@@ -914,8 +915,8 @@ def q_doc_contamination(sf_dir: str) -> pa.Table:
             out |= _word_grams(t)
         return pa.table({"gram": pa.array(sorted(out), pa.string())})
 
-    parts = ray.get(eval_ds.map_batches(
-        grams_batch, batch_format="pyarrow").to_arrow_refs())
+    parts = ray.get(arrow_refs(eval_ds.map_batches(
+        grams_batch, batch_format="pyarrow")))
     # Ray may forward 0-row blocks with the upstream schema untouched —
     # only blocks the batch fn actually produced carry the gram column
     eval_grams = frozenset(

@@ -28,6 +28,7 @@ import pyarrow as pa
 from ..checks.keyed import cap_group_members, grouped_apply, shuffle_blocks
 from ..sketches import hash64
 from ..functions.rounding import round_half_away
+from ..collect import arrow_refs
 
 NEAR_TAU = 0.98
 KNN_K = 5
@@ -95,7 +96,7 @@ vcorpus AS (
 def _collect(ds, sort_keys) -> pa.Table | None:
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(ds)) if t.num_rows]
     if not tables:
         return None
     return pa.concat_tables(tables).sort_by(
@@ -278,7 +279,7 @@ def corpus_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     buckets, IVF trains on a distributed hash-sample (sample_matrix)."""
     import ray
 
-    tables = [t for t in ray.get(vcorpus_ds(sf_dir).to_arrow_refs())
+    tables = [t for t in ray.get(arrow_refs(vcorpus_ds(sf_dir)))
               if t.num_rows]
     t = pa.concat_tables(tables)
     ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -307,8 +308,8 @@ def sample_matrix(ds, rate_inv: int = 4, seed: int = 0x1F3D) -> np.ndarray:
     import ray
 
     tables = [t for t in
-              ray.get(ds.map_batches(samp, batch_format="pyarrow")
-                      .to_arrow_refs()) if t.num_rows]
+              ray.get(arrow_refs(ds.map_batches(samp, batch_format="pyarrow")
+                      )) if t.num_rows]
     M = _emb_matrix(pa.concat_tables(tables))
     return M / np.linalg.norm(M, axis=1, keepdims=True)
 

@@ -38,6 +38,7 @@ from ..schema import (
 )
 from ..suite import default_ctx, metadata_checks
 from .clips import clips_dataset, ensure_clips_parquet, clips_factory, transcript_index_df
+from ..collect import arrow_refs
 
 _SORT = [("clip_id", "ascending"), ("code", "ascending")]
 
@@ -172,7 +173,7 @@ def q_clipid_dups(sf_dir: str) -> pa.Table:
     viol = exact_duplicate_keys(_meta_ds(sf_dir))
     import ray
 
-    tables = [t for t in ray.get(viol.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(viol)) if t.num_rows]
     if not tables:
         return pa.table({"clip_id": pa.array([], pa.string()),
                          "n_rows": pa.array([], pa.int64())})
@@ -234,7 +235,7 @@ def q_missing_refs_dist(sf_dir: str) -> pa.Table:
 
     out = bucketed_anti_join(_meta_ds(sf_dir), transcript_index_ds(sf_dir),
                              key="clip_id")
-    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
     if not tables:
         return pa.table({"clip_id": pa.array([], pa.string())})
     return pa.concat_tables(tables).select(["clip_id"]).sort_by("clip_id")
@@ -258,7 +259,7 @@ def q_missing_refs_bloom(sf_dir: str) -> pa.Table:
 
     out = bloom_anti_join(_meta_ds(sf_dir), transcript_index_ds(sf_dir),
                           "clip_id", "clip_id", ["clip_id"])
-    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
     if not tables:
         return pa.table({"clip_id": pa.array([], pa.string())})
     return pa.concat_tables(tables).sort_by("clip_id")
@@ -287,7 +288,7 @@ def q_transcript_mismatch_dist(sf_dir: str) -> pa.Table:
         left_key="clip_id", right_key="clip_id",
         left_cols=["clip_id", "transcript"], right_cols=["ref_transcript"],
         post=post, out_schema=pa.schema([("clip_id", pa.string())]))
-    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
     if not tables:
         return pa.table({"clip_id": pa.array([], pa.string())})
     return pa.concat_tables(tables).sort_by("clip_id")
@@ -486,7 +487,7 @@ def q_stratified_sample(sf_dir: str) -> pa.Table:
         fraction=0.2, row_key="clip_id")
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(ds)) if t.num_rows]
     if not tables:
         return pa.table({"clip_id": pa.array([], pa.string()),
                          "partition": pa.array([], pa.int32())})
@@ -511,7 +512,7 @@ def q_ev_user_sample(sf_dir: str) -> pa.Table:
         ds, key="user_id", k=5, row_key="event_id",
         out_schema=pa.schema([("user_id", pa.int64()),
                               ("event_id", pa.int64())]))
-    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
     if not tables:
         return pa.table({"user_id": pa.array([], pa.int64()),
                          "event_id": pa.array([], pa.int64())})
@@ -555,7 +556,7 @@ def q_top_durations(sf_dir: str) -> pa.Table:
     top = ds.sort(key=["dur_ms", "clip_id"],
                   descending=[True, False]).limit(20)
     t = pa.concat_tables(
-        [t for t in __import__("ray").get(top.to_arrow_refs()) if t.num_rows])
+        [t for t in __import__("ray").get(arrow_refs(top)) if t.num_rows])
     return t.select(["clip_id", "dur_ms"])
 
 
@@ -722,6 +723,70 @@ SELECT bucket, base_n, cur_n,
 FROM allb, tot ORDER BY bucket"""
 
 
+def q_drift_codec(sf_dir: str) -> pa.Table:
+    """Categorical drift: per-category PSI decomposition of the codec
+    distribution, current (partitions 4..7) vs baseline (0..3) — the
+    categorical sibling of q_drift_psi (no binning: each observed codec
+    value is its own cell; eps-clip covers categories absent from one
+    side). Counting pass shuffles (side, codec, cnt) partials only —
+    O(|codecs|) regardless of rows."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = b.column("partition").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "side": np.where(part < DRIFT_BASE_PARTS, "base", "cur"),
+            "codec": b.column("codec").to_pylist(),
+        }).groupby(["side", "codec"], sort=False).size().reset_index(
+            name="cnt")
+        return pa.table({
+            "side": pa.array(df["side"], pa.string()),
+            "codec": pa.array(df["codec"], pa.string()),
+            "cnt": pa.array(df["cnt"].astype("int64")),
+        })
+
+    counts = (_meta_ds(sf_dir).select_columns(["partition", "codec"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["side", "codec"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+    piv = (counts.to_pandas()
+           .pivot_table(index="codec", columns="side", values="cnt",
+                        aggfunc="sum", fill_value=0)
+           .reindex(columns=["base", "cur"], fill_value=0).sort_index())
+    nb = piv["base"].to_numpy(np.int64)
+    nc = piv["cur"].to_numpy(np.int64)
+    p = np.clip(nc / max(nc.sum(), 1), DRIFT_EPS, None)
+    q = np.clip(nb / max(nb.sum(), 1), DRIFT_EPS, None)
+    term = round_half_away((p - q) * np.log(p / q), 6)
+    return pa.table({
+        "codec": pa.array(piv.index.to_numpy(), pa.string()),
+        "base_n": pa.array(nb),
+        "cur_n": pa.array(nc),
+        "psi_term": pa.array(term, pa.float64()),
+    })
+
+
+SQL_DRIFT_CODEC = f"""WITH {synth.CLIPS_SQL},
+cells AS (
+    SELECT codec,
+           SUM(CASE WHEN partition < {DRIFT_BASE_PARTS} THEN 1 ELSE 0 END)
+               AS base_n,
+           SUM(CASE WHEN partition >= {DRIFT_BASE_PARTS} THEN 1 ELSE 0 END)
+               AS cur_n
+    FROM clips GROUP BY codec
+),
+tot AS (SELECT SUM(base_n) AS tb, SUM(cur_n) AS tc FROM cells)
+SELECT codec, CAST(base_n AS BIGINT) AS base_n, CAST(cur_n AS BIGINT) AS cur_n,
+       round((GREATEST(cur_n * 1.0 / tc, {DRIFT_EPS})
+              - GREATEST(base_n * 1.0 / tb, {DRIFT_EPS}))
+             * ln(GREATEST(cur_n * 1.0 / tc, {DRIFT_EPS})
+                  / GREATEST(base_n * 1.0 / tb, {DRIFT_EPS})), 6) AS psi_term
+FROM cells, tot ORDER BY codec"""
+
+
 def q_drift_ks(sf_dir: str) -> pa.Table:
     """EXACT two-sample Kolmogorov–Smirnov statistic between the baseline
     and current dur_ms distributions via the counting path: the merged
@@ -779,7 +844,7 @@ def q_audio_features(sf_dir: str) -> pa.Table:
     feats = extract_audio_features(ds, batch_size=128)
     import ray
 
-    tables = [t for t in ray.get(feats.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(feats)) if t.num_rows]
     t = pa.concat_tables(tables)
     return pa.table({
         "clip_id": t.column("clip_id"),
@@ -828,7 +893,7 @@ def q_audio_chunks(sf_dir: str) -> pa.Table:
                       Sum("total_chunk_ms", alias_name="total_chunk_ms")))
     import ray
 
-    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
     if not tables:
         return pa.table({"clip_id": pa.array([], pa.string()),
                          "n_chunks": pa.array([], pa.int64()),
@@ -854,7 +919,7 @@ def q_audio_silence(sf_dir: str) -> pa.Table:
                           batch_size=128)
     import ray
 
-    tables = [t for t in ray.get(prof.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(prof)) if t.num_rows]
     t = pa.concat_tables(tables)
     return pa.table({
         "clip_id": t.column("clip_id"),
@@ -878,7 +943,7 @@ def q_audio_resample(sf_dir: str) -> pa.Table:
            .select_columns(["clip_id", "sr_hz", "n_samples"]))
     import ray
 
-    tables = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(res)) if t.num_rows]
     if not tables:
         return pa.table({"clip_id": pa.array([], pa.string()),
                          "sr_hz": pa.array([], pa.int32()),
@@ -895,7 +960,7 @@ def q_clip_packing(sf_dir: str) -> pa.Table:
     out = pack_clips(_meta_ds(sf_dir))
     import ray
 
-    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
     if not tables:
         return pa.table({"partition": pa.array([], pa.int32()),
                          "clip_id": pa.array([], pa.string()),
@@ -969,7 +1034,7 @@ def q_img_format_mismatch(sf_dir: str) -> pa.Table:
     out = _images_dataset(sf_dir).map_batches(find, batch_format="pyarrow")
     import ray
 
-    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
     if not tables:
         return pa.table({"img_id": pa.array([], pa.string()),
                          "declared": pa.array([], pa.string()),
@@ -1002,7 +1067,7 @@ def q_img_features(sf_dir: str) -> pa.Table:
         ImageFeatureExtractor(), batch_format="pyarrow", batch_size=128)
     import ray
 
-    tables = [t for t in ray.get(feats.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(feats)) if t.num_rows]
     t = pa.concat_tables(tables)
     return pa.table({
         "img_id": t.column("img_id"),
@@ -1046,7 +1111,7 @@ def q_content_dedup(sf_dir: str) -> pa.Table:
     path = ensure_clips_parquet(sf_dir)
     ds = clips_factory(path)(["bytes", "transcript", "clip_id", "partition"])
     viol = content_duplicates(ds)
-    tables = [t for t in ray.get(viol.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(viol)) if t.num_rows]
     if not tables:
         return pa.table({"clip_id": pa.array([], pa.string())})
     return (pa.concat_tables(tables).select(["clip_id"]).sort_by("clip_id"))
@@ -1078,6 +1143,7 @@ VALIDATION_QUERIES = {
     "val_dur_quantiles": (q_dur_quantiles, SQL_DUR_QUANTILES),
     "val_drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
     "val_drift_ks": (q_drift_ks, SQL_DRIFT_KS),
+    "val_drift_codec": (q_drift_codec, SQL_DRIFT_CODEC),
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, None),

@@ -37,6 +37,7 @@ import pyarrow as pa
 
 from ..checks.keyed import bucketed_anti_join, shuffle_blocks
 from ..functions.rounding import round_half_away
+from ..collect import arrow_refs
 
 SESSION_GAP_S = 1800
 
@@ -51,7 +52,7 @@ def _read(sf_dir: str, table: str, columns=None):
 def _collect(ds, sort_keys) -> pa.Table | None:
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(arrow_refs(ds)) if t.num_rows]
     if not tables:
         return None
     return pa.concat_tables(tables).sort_by(

@@ -33,6 +33,7 @@ import pyarrow as pa
 
 from .checks.base import BatchCheck, CheckContext
 from .schema import METRIC_SCHEMA, VIOLATION_SCHEMA
+from .collect import arrow_refs
 
 TAGGED_SCHEMA = pa.schema(
     [
@@ -534,7 +535,7 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
 
     def collect_keyed(kv_ds):
         tables = [t.cast(keyed_schema)
-                  for t in ray.get(kv_ds.to_arrow_refs())
+                  for t in ray.get(arrow_refs(kv_ds))
                   if t.num_rows]
         return (pa.concat_tables(tables) if tables
                 else keyed_schema.empty_table())

@@ -42,6 +42,7 @@ import pyarrow as pa
 
 from ..checks.keyed import grouped_apply
 from ..sketches import hash64
+from ..collect import arrow_refs
 
 
 def broadcast_enrich(ds, sides: list[tuple], defaults: dict | None = None):
@@ -339,10 +340,10 @@ def bloom_anti_join(left_ds, right_ds, left_key: str, right_key: str,
         return pa.table({"blob": pa.array([bf.dumps()], pa.binary())})
 
     blobs = [t.column("blob").to_pylist()
-             for t in ray.get(right_ds.select_columns([right_key])
+             for t in ray.get(arrow_refs(right_ds.select_columns([right_key])
                               .map_batches(bloom_partial,
                                            batch_format="pyarrow")
-                              .to_arrow_refs())]
+                              ))]
     bloom_ref = ray.put(merge_blobs([b for chunk in blobs for b in chunk]))
 
     lsch = dict(zip(left_ds.schema().names, left_ds.schema().types))

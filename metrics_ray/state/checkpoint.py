@@ -46,6 +46,7 @@ from ..runner import (
     _metric_rows,
 )
 from ..schema import VIOLATION_SCHEMA
+from ..collect import arrow_refs
 
 
 class CheckpointStore:
@@ -245,7 +246,7 @@ def checkpointed_validate(
             keyed_schema = pa.schema(
                 [f for f in VIOLATION_SCHEMA if f.name != "check_id"])
             tables = [t.cast(keyed_schema)
-                      for t in ray.get(fn(factory).to_arrow_refs())
+                      for t in ray.get(arrow_refs(fn(factory)))
                       if t.num_rows]
             kvt = (pa.concat_tables(tables) if tables
                    else keyed_schema.empty_table())

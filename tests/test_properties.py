@@ -1,0 +1,232 @@
+"""Property-based (hypothesis) tests for the mergeable sketches — the
+engine's distributed-state backbone (north star: "actor pools holding
+mergeable sketches ... merged via groupby-aggregate").
+
+Each property is the exact guarantee the suite architecture RELIES on,
+checked over arbitrary inputs and arbitrary stream partitionings instead
+of hand-picked fixtures:
+
+  * partition invariance — adding a stream in any split + merging the
+    partials must equal the single-pass sketch (what makes per-batch /
+    per-partition partials + groupby-merge correct at any block layout);
+  * error bounds — the estimator guarantees the checks threshold on
+    (HLL relative error, Misra–Gries undercount, t-digest rank error,
+    Bloom no-false-negatives).
+
+Pure library-level tests: no Ray session needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from metrics_ray.sketches import (
+    HLL,
+    BloomFilter,
+    BottomKSample,
+    FixedHistogram,
+    HeavyHitters,
+    TDigest,
+    hash64,
+    merge_blobs,
+)
+
+# keep runtime bounded: these run inside the full suite on every commit
+_SETTINGS = dict(max_examples=30, deadline=None)
+
+keys_st = st.lists(st.text(min_size=0, max_size=12), min_size=0, max_size=300)
+floats_st = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=400)
+
+
+def _splits(data, cut_fracs):
+    """Partition ``data`` at the given fractional cut points."""
+    cuts = sorted({int(f * len(data)) for f in cut_fracs})
+    parts, prev = [], 0
+    for c in cuts + [len(data)]:
+        parts.append(data[prev:c])
+        prev = c
+    return parts
+
+
+def _obj(vals):
+    return np.array(vals, dtype=object)
+
+
+# ------------------------------------------------------------------- HLL
+
+@given(keys_st, st.lists(st.floats(0, 1), max_size=4))
+@settings(**_SETTINGS)
+def test_hll_partition_invariance(vals, cut_fracs):
+    one = HLL()
+    if vals:
+        one.add_hashes(hash64(_obj(vals)))
+    merged = HLL()
+    for part in _splits(vals, cut_fracs):
+        p = HLL()
+        if part:
+            p.add_hashes(hash64(_obj(part)))
+        merged = merged.merge(p)
+    assert np.array_equal(one.registers, merged.registers)
+
+
+@given(st.integers(min_value=100, max_value=5000), st.integers(0, 2**32))
+@settings(max_examples=15, deadline=None)
+def test_hll_estimate_accuracy(n, offset):
+    h = HLL()
+    h.add_hashes(hash64(np.arange(offset, offset + n, dtype=np.int64)))
+    est = h.estimate()
+    assert abs(est - n) / n < 0.05, (n, est)
+
+
+# --------------------------------------------------------------- bottom-k
+
+@given(keys_st, st.lists(st.floats(0, 1), max_size=4),
+       st.integers(min_value=1, max_value=64))
+@settings(**_SETTINGS)
+def test_bottomk_partition_invariance(vals, cut_fracs, k):
+    one = BottomKSample(k=k)
+    if vals:
+        one.add(_obj(vals))
+    merged = BottomKSample(k=k)
+    for part in _splits(vals, cut_fracs):
+        p = BottomKSample(k=k)
+        if part:
+            p.add(_obj(part))
+        merged = merged.merge(p)
+    assert sorted(map(str, one.sample())) == sorted(map(str, merged.sample()))
+    assert merged.n <= k
+
+
+@given(keys_st)
+@settings(**_SETTINGS)
+def test_bottomk_merge_idempotent(vals):
+    a = BottomKSample(k=16)
+    if vals:
+        a.add(_obj(vals))
+    again = a.merge(a)  # re-merging a checkpointed partial must be harmless
+    assert sorted(map(str, a.sample())) == sorted(map(str, again.sample()))
+
+
+# -------------------------------------------------------------- histogram
+
+@given(floats_st, st.lists(st.floats(0, 1), max_size=4))
+@settings(**_SETTINGS)
+def test_histogram_partition_invariance(vals, cut_fracs):
+    edges = np.array([-1e5, -100.0, 0.0, 100.0, 1e5])
+    one = FixedHistogram(edges)
+    one.add(np.array(vals))
+    merged = FixedHistogram(edges)
+    for part in _splits(vals, cut_fracs):
+        p = FixedHistogram(edges)
+        p.add(np.array(part))
+        merged = merged.merge(p)
+    assert np.array_equal(one.counts, merged.counts)
+    assert abs(one.psi(merged)) < 1e-12
+    assert one.ks(merged) == 0.0
+
+
+# ---------------------------------------------------------------- t-digest
+
+@given(floats_st, st.floats(min_value=0.05, max_value=0.95))
+@settings(**_SETTINGS)
+def test_tdigest_rank_error(vals, q):
+    td = TDigest()
+    td.add(np.array(vals))
+    est = td.quantile(q)
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    # rank guarantee: the estimate lies within the value band of q±7.5%
+    # (delta=100 gives ~1-2% typical; the band covers interpolation slack
+    # on tiny inputs too)
+    lo = v[max(0, int(np.floor((q - 0.075) * (len(v) - 1))))]
+    hi = v[min(len(v) - 1, int(np.ceil((q + 0.075) * (len(v) - 1))))]
+    assert lo - 1e-9 <= est <= hi + 1e-9, (q, est, lo, hi)
+
+
+@given(floats_st, st.lists(st.floats(0, 1), max_size=4))
+@settings(max_examples=15, deadline=None)
+def test_tdigest_merge_close_to_single_pass(vals, cut_fracs):
+    one = TDigest()
+    one.add(np.array(vals))
+    merged = TDigest()
+    for part in _splits(vals, cut_fracs):
+        p = TDigest()
+        p.add(np.array(part))
+        merged = merged.merge(p)
+    assert merged.n == one.n
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    spread = max(float(v[-1] - v[0]), 1e-9)
+    for q in (0.25, 0.5, 0.75):
+        # both are valid digests of the same data: their estimates agree
+        # to a small fraction of the data spread
+        assert abs(one.quantile(q) - merged.quantile(q)) <= 0.2 * spread
+
+# ------------------------------------------------------------------ bloom
+
+@given(keys_st, keys_st, st.lists(st.floats(0, 1), max_size=3))
+@settings(**_SETTINGS)
+def test_bloom_no_false_negatives_any_partitioning(added, probed, cut_fracs):
+    merged = BloomFilter(m_bits=1 << 12, k=5)
+    for part in _splits(added, cut_fracs):
+        p = BloomFilter(m_bits=1 << 12, k=5)
+        if part:
+            p.add(_obj(part))
+        merged = merged.merge(p)
+    if added:
+        assert merged.contains(_obj(added)).all()  # never a false negative
+    if probed:
+        hits = merged.contains(_obj(probed))
+        misses = [p for p, hit in zip(probed, hits) if not hit]
+        assert not (set(misses) & set(added))
+
+
+# ----------------------------------------------------------- heavy hitters
+
+@given(st.lists(st.sampled_from("abcdefghij"), min_size=1, max_size=500),
+       st.integers(min_value=2, max_value=8),
+       st.lists(st.floats(0, 1), max_size=3))
+@settings(**_SETTINGS)
+def test_heavy_hitters_bounds_any_partitioning(stream, k, cut_fracs):
+    import collections
+
+    true = collections.Counter(stream)
+    merged = HeavyHitters(k=k)
+    for part in _splits(stream, cut_fracs):
+        if not part:
+            continue
+        items, counts = np.unique(np.array(part, dtype=object), return_counts=True)
+        p = HeavyHitters(k=k)
+        p.offer(items, counts.astype(np.int64))
+        merged = merged.merge(p)
+    items, ests = merged.estimates()
+    for item, est in zip(items, ests):
+        t = true[str(item)]
+        assert est <= t <= est + merged.err, (item, est, t, merged.err)
+    # any item more frequent than the undercount bound must be present
+    present = set(map(str, items))
+    for item, t in true.items():
+        if t > merged.err:
+            assert item in present, (item, t, merged.err)
+
+
+# -------------------------------------------------------------- merge_blobs
+
+@given(keys_st, st.lists(st.floats(0, 1), min_size=1, max_size=4))
+@settings(max_examples=15, deadline=None)
+def test_merge_blobs_equals_pairwise_fold(vals, cut_fracs):
+    parts = []
+    for part in _splits(vals, cut_fracs):
+        h = HLL()
+        if part:
+            h.add_hashes(hash64(_obj(part)))
+        parts.append(h)
+    blobs = [p.dumps() for p in parts]
+    nway = merge_blobs(blobs)
+    fold = parts[0]
+    for p in parts[1:]:
+        fold = fold.merge(p)
+    assert np.array_equal(nway.registers, fold.registers)

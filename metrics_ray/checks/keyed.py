@@ -28,12 +28,13 @@ _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
 def shuffle_blocks(n: int | None = None) -> int:
-    """Shuffle parallelism for the keyed exchanges. groupby/map_groups
-    inherits the upstream block count, so a small pre-aggregated stream
-    sliced into hundreds of near-empty blocks pays per-task overhead for
-    nothing; coalescing to ~2×CPU blocks keeps every core busy without the
-    long tail. (On a multi-node cluster total_cpus scales with the cluster,
-    so this grows with the hardware, not the data.)"""
+    """Shuffle parallelism for the keyed exchanges — passed as
+    ``groupby(key, num_partitions=...)`` so the sort-reduce side lands on
+    ~2×CPU output partitions directly (one all-to-all; round 2 replaced
+    the earlier repartition-then-groupby chain, which paid a SECOND
+    exchange just to coalesce blocks). On a multi-node cluster total_cpus
+    scales with the cluster, so this grows with the hardware, not the
+    data."""
     if n is not None:
         return n
     import ray
@@ -50,9 +51,10 @@ def grouped_apply(ds, key, fn, n_buckets: int | None = None,
     The per-KEY ``groupby(key).map_groups(fn)`` shape pays a python call +
     DataFrame construction per group — ruinous for high-cardinality keys
     (one group per clip_id/band). Identical keys only need to be
-    CO-LOCATED, not individually dispatched: hash-bucket the key, shuffle
-    B buckets, and let ``fn`` do vectorized pandas group-ops inside each
-    bucket. B = shuffle_blocks() keeps every core busy; per-bucket memory
+    CO-LOCATED, not individually dispatched: hash-bucket the key, one
+    sort exchange into B = shuffle_blocks() partitions (groupby
+    num_partitions — no separate repartition), and let ``fn`` do
+    vectorized pandas group-ops inside each bucket. Per-bucket memory
     = rows/B, tunable for skew."""
     B = np.uint64(n_buckets or shuffle_blocks())
 
@@ -78,8 +80,7 @@ def grouped_apply(ds, key, fn, n_buckets: int | None = None,
         return out
 
     return (ds.map_batches(tag, batch_format="pyarrow")
-            .repartition(shuffle_blocks())
-            .groupby("__bucket")
+            .groupby("__bucket", num_partitions=shuffle_blocks())
             .map_groups(apply, batch_format=batch_format))
 
 
@@ -362,5 +363,5 @@ def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
             "detail": "bucketed",
         }), schema=KEYED_VIOLATION_SCHEMA, preserve_index=False)
 
-    return (tagged.repartition(shuffle_blocks()).groupby("bucket")
+    return (tagged.groupby("bucket", num_partitions=shuffle_blocks())
             .map_groups(reduce_bucket, batch_format="pandas"))

@@ -992,8 +992,8 @@ def q_doc_top_tokens(sf_dir: str) -> pa.Table:
 
     ds = (documents_ds(sf_dir, ["text"])
           .map_batches(partial_counts, batch_format="pyarrow")
-          .repartition(shuffle_blocks())
-          .groupby("token").aggregate(Sum("n", alias_name="n"))
+          .groupby("token", num_partitions=shuffle_blocks())
+          .aggregate(Sum("n", alias_name="n"))
           .sort(key=["n", "token"], descending=[True, False])
           .limit(TOP_TOKENS_K))
     rows = ds.take_all()
@@ -1089,8 +1089,8 @@ def q_doc_tfidf_top_term(sf_dir: str) -> pa.Table:
     df_tbl = _collect(
         documents_ds(sf_dir, ["text"])
         .map_batches(df_partials, batch_format="pyarrow")
-        .repartition(shuffle_blocks())
-        .groupby("token").aggregate(Sum("dfn", alias_name="dfn")),
+        .groupby("token", num_partitions=shuffle_blocks())
+        .aggregate(Sum("dfn", alias_name="dfn")),
         ["token"])
     idf = {t: float(np.log(n_docs / d))
            for t, d in zip(df_tbl.column("token").to_pylist(),

@@ -110,7 +110,7 @@ def q_ev_type_stats(sf_dir: str) -> pa.Table:
 
     pre = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
         partial, batch_format="pyarrow")
-    out = pre.repartition(shuffle_blocks()).groupby("event_type").aggregate(
+    out = pre.groupby("event_type", num_partitions=shuffle_blocks()).aggregate(
         Sum("n_events", alias_name="n_events"),
         Sum("total_value", alias_name="total_value"))
     df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
@@ -145,7 +145,7 @@ def q_ev_daily_counts(sf_dir: str) -> pa.Table:
 
     pre = _read(sf_dir, "events", ["ts"]).map_batches(
         partial, batch_format="pyarrow")
-    out = pre.repartition(shuffle_blocks()).groupby("day").aggregate(Sum("n_events", alias_name="n_events"))
+    out = pre.groupby("day", num_partitions=shuffle_blocks()).aggregate(Sum("n_events", alias_name="n_events"))
     df = out.to_pandas().sort_values("day").reset_index(drop=True)
     return pa.table({
         "day": pa.array(df["day"], pa.string()),
@@ -196,7 +196,7 @@ def q_segment_revenue(sf_dir: str) -> pa.Table:
 
     pre = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         enrich, batch_format="pyarrow")
-    out = pre.repartition(shuffle_blocks()).groupby("segment").aggregate(
+    out = pre.groupby("segment", num_partitions=shuffle_blocks()).aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("revenue", alias_name="revenue"))
     df = out.to_pandas().sort_values("segment").reset_index(drop=True)
@@ -238,7 +238,7 @@ def q_ev_sliding_counts(sf_dir: str) -> pa.Table:
 
     pre = _read(sf_dir, "events", ["ts"]).map_batches(
         windows, batch_format="pyarrow")
-    out = pre.repartition(shuffle_blocks()).groupby("window_start").aggregate(
+    out = pre.groupby("window_start", num_partitions=shuffle_blocks()).aggregate(
         Sum("n_events", alias_name="n_events"))
     df = out.to_pandas().sort_values("window_start").reset_index(drop=True)
     return pa.table({
@@ -342,7 +342,7 @@ def q_nation_revenue(sf_dir: str) -> pa.Table:
         })
 
     out = (enriched.map_batches(partial, batch_format="pyarrow")
-           .repartition(shuffle_blocks()).groupby("nation").aggregate(
+           .groupby("nation", num_partitions=shuffle_blocks()).aggregate(
                Sum("n_orders", alias_name="n_orders"),
                Sum("revenue", alias_name="revenue")))
     df = out.to_pandas().sort_values("nation").reset_index(drop=True)
@@ -393,7 +393,7 @@ def q_priority_revenue(sf_dir: str) -> pa.Table:
         out_schema=pa.schema([("priority", pa.string()),
                               ("n_items", pa.int64()),
                               ("revenue", pa.float64())]))
-    out = joined.repartition(shuffle_blocks()).groupby("priority").aggregate(
+    out = joined.groupby("priority", num_partitions=shuffle_blocks()).aggregate(
         Sum("n_items", alias_name="n_items"),
         Sum("revenue", alias_name="revenue"))
     df = out.to_pandas().sort_values("priority").reset_index(drop=True)
@@ -835,8 +835,8 @@ def q_rel_pricing_summary(sf_dir: str) -> pa.Table:
                  ["l_returnflag", "l_linestatus", "l_quantity",
                   "l_extendedprice", "l_discount", "l_tax"])
            .map_batches(partial, batch_format="pyarrow")
-           .repartition(shuffle_blocks())
-           .groupby(["l_returnflag", "l_linestatus"])
+           .groupby(["l_returnflag", "l_linestatus"],
+                    num_partitions=shuffle_blocks())
            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
                       Sum("sum_base", alias_name="sum_base"),
                       Sum("sum_disc", alias_name="sum_disc"),

@@ -604,8 +604,77 @@ def q_emb_quantize(sf_dir: str) -> pa.Table:
         .map_batches(quant, batch_format="pyarrow"), ["vec_id"])
 
 
+def q_emb_drift(sf_dir: str) -> pa.Table:
+    """Embedding-space centroid drift: cosine between the mean vectors of
+    the two dataset halves (vec_id parity) — the vector sibling of the
+    dur_ms/codec PSI drift family (DriftCheck's baseline-vs-observed
+    comparison applied to an embedding column). cos≈1 means no drift.
+
+    Scale shape: per-batch (side, dim, partial_sum, n) rows — 2×d rows
+    per batch regardless of batch size (the combiner), one tiny
+    groupby-sum, d-dim driver math. Cosine of SUM vectors == cosine of
+    MEAN vectors (positive scaling invariance), so no division happens
+    before the merge — bitwise-stable under any batch layout."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        vec_id = b.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        m = _emb_matrix(b).astype(np.float64)
+        rows = {"side": [], "dim": [], "s": [], "n": []}
+        for side in (0, 1):
+            sel = (vec_id % 2) == side
+            if not sel.any():
+                continue
+            s = m[sel].sum(axis=0)
+            rows["side"].extend([side] * m.shape[1])
+            rows["dim"].extend(range(1, m.shape[1] + 1))
+            rows["s"].extend(s.tolist())
+            rows["n"].extend([int(sel.sum())] * m.shape[1])
+        return pa.table({
+            "side": pa.array(rows["side"], pa.int64()),
+            "dim": pa.array(rows["dim"], pa.int64()),
+            "s": pa.array(rows["s"], pa.float64()),
+            "n": pa.array(rows["n"], pa.int64()),
+        })
+
+    out = (embeddings_ds(sf_dir, ["vec_id", "embedding"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["side", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    df = out.to_pandas().sort_values(["side", "dim"]).reset_index(drop=True)
+    sb = df[df["side"] == 0]["s"].to_numpy(np.float64)
+    sc = df[df["side"] == 1]["s"].to_numpy(np.float64)
+    nb = int(df[df["side"] == 0]["n"].max()) if (df["side"] == 0).any() else 0
+    nc = int(df[df["side"] == 1]["n"].max()) if (df["side"] == 1).any() else 0
+    denom = np.sqrt((sb * sb).sum()) * np.sqrt((sc * sc).sum())
+    cos = float((sb * sc).sum() / denom) if denom else 0.0
+    return pa.table({
+        "n_base": pa.array([nb], pa.int64()),
+        "n_cur": pa.array([nc], pa.int64()),
+        "cos_means": pa.array([round_half_away(cos, 6)], pa.float64()),
+    })
+
+
+SQL_EMB_DRIFT = """WITH dims AS (
+    SELECT vec_id % 2 AS side, i AS dim,
+           CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+), sums AS (
+    SELECT side, dim, SUM(v) AS s, COUNT(*) AS n FROM dims GROUP BY side, dim
+)
+SELECT CAST((SELECT MAX(n) FROM sums WHERE side = 0) AS BIGINT) AS n_base,
+       CAST((SELECT MAX(n) FROM sums WHERE side = 1) AS BIGINT) AS n_cur,
+       round(SUM(a.s * b.s) /
+             (sqrt(SUM(a.s * a.s)) * sqrt(SUM(b.s * b.s))), 6) AS cos_means
+FROM sums a JOIN sums b USING (dim) WHERE a.side = 0 AND b.side = 1"""
+
+
 EMB_QUERIES = {
     "emb_norm_check": (q_emb_norm_check, SQL_EMB_NORM_CHECK),
+    "emb_drift": (q_emb_drift, SQL_EMB_DRIFT),
     "emb_knn": (q_emb_knn, SQL_EMB_KNN),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),

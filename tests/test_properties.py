@@ -230,3 +230,29 @@ def test_merge_blobs_equals_pairwise_fold(vals, cut_fracs):
     for p in parts[1:]:
         fold = fold.merge(p)
     assert np.array_equal(nway.registers, fold.registers)
+
+
+# ------------------------------------------------- DuckDB rounding parity
+
+@given(st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=50),
+       st.integers(min_value=0, max_value=9))
+@settings(max_examples=40, deadline=None)
+def test_round_half_away_matches_duckdb(vals, nd):
+    """The oracle-parity foundation: every float column the driver
+    hash-compares goes through round_half_away on the engine side and
+    round() on the DuckDB side — they must agree bit-for-bit for
+    arbitrary doubles and digit counts."""
+    import duckdb
+
+    from metrics_ray.functions.rounding import round_half_away
+
+    got = [round_half_away(v, nd) for v in vals]
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute(
+        f"SELECT round(x, {nd}) FROM (SELECT UNNEST(?::DOUBLE[]) AS x)",
+        [vals]).fetchall()]
+    con.close()
+    assert got == want, (nd, [(v, g, w) for v, g, w in zip(vals, got, want)
+                              if g != w][:3])

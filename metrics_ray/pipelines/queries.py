@@ -1042,6 +1042,92 @@ def q_img_format_mismatch(sf_dir: str) -> pa.Table:
     return pa.concat_tables(tables).sort_by("img_id")
 
 
+def _videos_dataset(sf_dir: str):
+    import os as _os
+    from functools import partial as _partial
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.video import derive_videos_batch
+    from .clips import documents_count
+
+    n = documents_count(sf_dir)
+    blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"],
+                         override_num_blocks=blocks)
+    return ds.map_batches(_partial(derive_videos_batch, n_docs=n),
+                          batch_format="pyarrow", batch_size=256)
+
+
+def q_vid_frame_mismatch(sf_dir: str) -> pa.Table:
+    """Declared vs ACTUAL frame count (real container parse — the video
+    MisreportedContentType): rows where the header's frame count differs
+    from the number of complete frames in the payload (over-declared
+    headers and truncated tails). The engine walks real length prefixes;
+    the oracle reproduces the fixed-geometry corruption arithmetic."""
+    from ..stages.video import frame_offsets, parse_header
+
+    def find(b: pa.Table) -> pa.Table:
+        rows = {"vid_id": [], "declared": [], "actual": []}
+        for vid, payload in zip(b.column("vid_id").to_pylist(),
+                                b.column("bytes").to_pylist()):
+            decl = parse_header(payload)[0]
+            actual = len(frame_offsets(payload))
+            if actual != decl:
+                rows["vid_id"].append(vid)
+                rows["declared"].append(decl)
+                rows["actual"].append(actual)
+        return pa.table({
+            "vid_id": pa.array(rows["vid_id"], pa.string()),
+            "declared": pa.array(rows["declared"], pa.int64()),
+            "actual": pa.array(rows["actual"], pa.int64()),
+        })
+
+    out = _videos_dataset(sf_dir).map_batches(find, batch_format="pyarrow")
+    import ray
+
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
+    if not tables:
+        return pa.table({"vid_id": pa.array([], pa.string()),
+                         "declared": pa.array([], pa.int64()),
+                         "actual": pa.array([], pa.int64())})
+    return pa.concat_tables(tables).sort_by("vid_id")
+
+
+def _sql_vid_frame_mismatch() -> str:
+    from ..stages import video as V
+
+    return f"""WITH {V.VIDEOS_SQL.strip()}
+SELECT vid_id, CAST(declared_frames AS BIGINT) AS declared,
+       CAST(actual_frames AS BIGINT) AS actual
+FROM videos WHERE declared_frames != actual_frames ORDER BY vid_id"""
+
+
+def q_vid_frame_stats(sf_dir: str) -> pa.Table:
+    """Strided frame sampling + per-video luma stats
+    (stages/video.VideoFrameSampler — only sampled frames are decoded) —
+    rows-only (payload bytes are Ray-only)."""
+    import pyarrow.compute as pc
+
+    from ..stages.video import VideoFrameSampler
+
+    feats = _videos_dataset(sf_dir).map_batches(
+        VideoFrameSampler(stride=2), batch_format="pyarrow", batch_size=128)
+    import ray
+
+    tables = [t for t in ray.get(arrow_refs(feats)) if t.num_rows]
+    t = pa.concat_tables(tables)
+    return pa.table({
+        "vid_id": t.column("vid_id"),
+        "declared_frames": t.column("declared_frames"),
+        "actual_frames": t.column("actual_frames"),
+        "n_sampled": t.column("n_sampled"),
+        "luma_mean": pc.round(t.column("luma_mean"), ndigits=6),
+    }).sort_by("vid_id")
+
+
 SQL_IMG_FORMAT_MISMATCH = """WITH images AS (
     SELECT
         printf('img-%08d', doc_id) AS img_id,
@@ -1159,6 +1245,8 @@ VALIDATION_QUERIES = {
     "val_curation": (q_curation, None),
     "img_format_mismatch": (q_img_format_mismatch, SQL_IMG_FORMAT_MISMATCH),
     "img_features": (q_img_features, None),
+    "vid_frame_mismatch": (q_vid_frame_mismatch, _sql_vid_frame_mismatch()),
+    "vid_frame_stats": (q_vid_frame_stats, None),
     "val_partition_distinct": (q_partition_distinct, None),
     **DOC_QUERIES,
     **EMB_QUERIES,

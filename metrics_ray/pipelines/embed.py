@@ -588,7 +588,10 @@ def q_emb_quantize(sf_dir: str) -> pa.Table:
     def quant(b: pa.Table) -> pa.Table:
         qlo, qscale = ray.get(ref)
         m = _emb_matrix(b)
-        q = np.clip(np.round((m - qlo) / qscale), 0, 255).astype(np.uint8)
+        # round-half-away (DuckDB ROUND semantics) so the whole
+        # quantize→dequantize→error chain is oracle-mirrorable in SQL
+        q = np.clip(round_half_away((m - qlo) / qscale, 0),
+                    0, 255).astype(np.uint8)
         deq = q.astype(np.float64) * qscale + qlo
         err = m - deq
         return pa.table({
@@ -602,6 +605,31 @@ def q_emb_quantize(sf_dir: str) -> pa.Table:
     return _collect(
         embeddings_ds(sf_dir, ["vec_id", "embedding"])
         .map_batches(quant, batch_format="pyarrow"), ["vec_id"])
+
+
+# Arithmetic mirror of q_emb_quantize: same per-dim (lo, scale), same
+# half-away rounding (round_half_away == DuckDB ROUND, property-tested),
+# same clip → dequantize → error chain, all in DOUBLE (the engine casts
+# the float32 storage to float64 before any arithmetic).
+SQL_EMB_QUANTIZE = """WITH ex AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+), s AS (
+    SELECT d, min(v) AS lo,
+           CASE WHEN max(v) > min(v)
+                THEN (max(v) - min(v)) / 255.0 ELSE 1.0 END AS scale
+    FROM ex GROUP BY d
+), err AS (
+    SELECT vec_id,
+           v - (LEAST(GREATEST(round((v - lo) / scale, 0), 0), 255)
+                * scale + lo) AS e
+    FROM ex JOIN s USING (d)
+)
+SELECT vec_id, round(avg(e * e), 12) AS mse,
+       round(max(abs(e)), 9) AS max_abs_err
+FROM err GROUP BY vec_id ORDER BY vec_id"""
 
 
 def q_emb_drift(sf_dir: str) -> pa.Table:
@@ -681,5 +709,5 @@ EMB_QUERIES = {
     "emb_knn_ivf": (q_emb_knn_ivf, None),
     "emb_dup_clusters": (q_emb_dup_clusters, SQL_EMB_DUP_CLUSTERS),
     "emb_project": (q_emb_project, None),
-    "emb_quantize": (q_emb_quantize, None),
+    "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
 }

@@ -474,31 +474,45 @@ def q_decode_violations_sampled(sf_dir: str) -> pa.Table:
             .sort_by([("clip_id", "ascending"), ("code", "ascending")]))
 
 
+STRATIFIED_FRACTION = 0.2
+_SAMPLE_THR = int(STRATIFIED_FRACTION * float(2**64 - 1))
+
+
 def q_stratified_sample(sf_dir: str) -> pa.Table:
     """Proportional per-stratum sample of the clips table (the
     ByStratified analog): deterministic 20% Bernoulli-by-hash on clip_id
     — expected 20% of EVERY partition without computing partition sizes
-    or shuffling. Rows-only (hash sampling is not SQL-expressible);
-    determinism and per-stratum proportions asserted in tests."""
+    or shuffling. The md5 priority is DuckDB-mirrorable
+    (``md5_number_lower``), so the sampled SET — not just its
+    statistics — is oracle-verified bit-for-bit."""
     from ..stages.sampling import stratified_sample
 
     ds = stratified_sample(
         _meta_ds(sf_dir).select_columns(["clip_id", "partition"]),
-        fraction=0.2, row_key="clip_id")
+        fraction=STRATIFIED_FRACTION, row_key="clip_id", priority="md5")
     import ray
 
     tables = [t for t in ray.get(arrow_refs(ds)) if t.num_rows]
     if not tables:
         return pa.table({"clip_id": pa.array([], pa.string()),
                          "partition": pa.array([], pa.int32())})
-    return pa.concat_tables(tables).sort_by([("clip_id", "ascending")])
+    return pa.concat_tables(tables).sort_by(
+        [("clip_id", "ascending"), ("partition", "ascending")])
+
+
+SQL_STRATIFIED_SAMPLE = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id, partition FROM clips
+WHERE md5_number_lower(clip_id) <= {_SAMPLE_THR}
+ORDER BY clip_id, partition"""
 
 
 def q_ev_user_sample(sf_dir: str) -> pa.Table:
     """Per-key bounded sample over the events stream (the ByTld per-key
     reservoir analog): at most 5 events per user, selected by
-    deterministic hash priority on event_id. Rows-only; the <= k bound,
-    determinism, and per-key uniformity are asserted in tests."""
+    deterministic hash priority on event_id. The md5 priority mirrors
+    DuckDB's ``md5_number_lower``, so the oracle certifies the exact
+    per-key selection (window rank over the same priority); the <= k
+    bound and determinism are additionally asserted in tests."""
     import os
 
     import ray
@@ -509,7 +523,7 @@ def q_ev_user_sample(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "event_id"])
     out = per_key_sample(
-        ds, key="user_id", k=5, row_key="event_id",
+        ds, key="user_id", k=5, row_key="event_id", priority="md5",
         out_schema=pa.schema([("user_id", pa.int64()),
                               ("event_id", pa.int64())]))
     tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
@@ -518,6 +532,13 @@ def q_ev_user_sample(sf_dir: str) -> pa.Table:
                          "event_id": pa.array([], pa.int64())})
     return pa.concat_tables(tables).sort_by(
         [("user_id", "ascending"), ("event_id", "ascending")])
+
+
+SQL_EV_USER_SAMPLE = """SELECT user_id, event_id FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY md5_number_lower(CAST(event_id AS VARCHAR)), event_id) <= 5
+ORDER BY user_id, event_id"""
 
 
 def q_partition_distinct(sf_dir: str) -> pa.Table:
@@ -1191,7 +1212,16 @@ def q_curation(sf_dir: str) -> pa.Table:
 
 
 def q_content_dedup(sf_dir: str) -> pa.Table:
-    """Exact content duplicates ((bytes, transcript) identity) — rows-only."""
+    """Exact content duplicates ((bytes, transcript) identity). The
+    engine groups on a 128-bit digest of the raw payload+transcript and
+    reports every member past the first (min clip_id keeper); the oracle
+    mirrors the fixture's duplicate construction (synth.py k%139==41:
+    replica rows copy (bytes, transcript) verbatim under a fresh clip-9*
+    id, which always sorts after its clip-0* keeper) — payload bytes
+    exist only on the Ray side, so the SQL asserts the seeded duplicate
+    groups, the same fixture-mirror pattern as the img/vid corruption
+    oracles. Any accidental (non-seeded) byte collision would fail the
+    compare; none exists (payloads are seeded per clip_id)."""
     import ray
 
     path = ensure_clips_parquet(sf_dir)
@@ -1201,6 +1231,11 @@ def q_content_dedup(sf_dir: str) -> pa.Table:
     if not tables:
         return pa.table({"clip_id": pa.array([], pa.string())})
     return (pa.concat_tables(tables).select(["clip_id"]).sort_by("clip_id"))
+
+
+SQL_CONTENT_DEDUP = """SELECT printf('clip-9%07d', doc_id % 10000000) AS clip_id
+FROM documents WHERE doc_id % 139 = 41 AND doc_id > 0
+ORDER BY clip_id"""
 
 
 from .docs import DOC_QUERIES  # noqa: E402  (registered below)
@@ -1234,9 +1269,9 @@ VALIDATION_QUERIES = {
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, None),
     "val_decode_violations_sampled": (q_decode_violations_sampled, None),
-    "val_stratified_sample": (q_stratified_sample, None),
-    "ev_user_sample": (q_ev_user_sample, None),
-    "val_content_dedup": (q_content_dedup, None),
+    "val_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "ev_user_sample": (q_ev_user_sample, SQL_EV_USER_SAMPLE),
+    "val_content_dedup": (q_content_dedup, SQL_CONTENT_DEDUP),
     "val_audio_features": (q_audio_features, None),
     "val_audio_chunks": (q_audio_chunks, None),
     "val_audio_silence": (q_audio_silence, None),

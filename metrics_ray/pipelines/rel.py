@@ -654,7 +654,6 @@ GROUP BY p.event_id ORDER BY p.event_id"""
 
 HIGH_VALUE_T = 150.0
 DISJOINT_RULES = (("purchase", "error"), ("signup", "click"))
-DISJOINT_SAMPLE_SEED = 0xD15C0
 
 
 def _disjoint_types_ds(sf_dir: str, entity_fraction: float | None):
@@ -666,7 +665,7 @@ def _disjoint_types_ds(sf_dir: str, entity_fraction: float | None):
     import pyarrow.compute as pc
 
     from ..checks.keyed import grouped_apply
-    from ..sketches import hash64
+    from ..stages.sampling import md5_lower64
 
     thr = (None if entity_fraction is None else
            np.uint64(int(min(max(entity_fraction, 0.0), 1.0)
@@ -675,9 +674,9 @@ def _disjoint_types_ds(sf_dir: str, entity_fraction: float | None):
     def distinct_types(b: pa.Table) -> pa.Table:
         b = b.filter(pc.greater_equal(b.column("value"), HIGH_VALUE_T))
         if thr is not None and b.num_rows:
-            ids = np.array(b.column("user_id").to_pylist(), dtype=object)
-            pri = hash64(ids) ^ np.uint64(
-                DISJOINT_SAMPLE_SEED * 0x9E3779B97F4A7C15 % (1 << 64))
+            # md5 priority == DuckDB md5_number_lower(CAST(user_id AS
+            # VARCHAR)) — the sampled entity universe is oracle-checked
+            pri = md5_lower64(b.column("user_id").to_pylist())
             b = b.take(pa.array(np.nonzero(pri <= thr)[0]))
         df = (b.select(["user_id", "event_type"]).to_pandas()
               .drop_duplicates())
@@ -744,6 +743,22 @@ def q_ev_disjoint_types_sampled(sf_dir: str) -> pa.Table:
 SQL_EV_DISJOINT_TYPES = f"""WITH t AS (
     SELECT DISTINCT user_id, event_type FROM events
     WHERE value >= {HIGH_VALUE_T}
+)
+SELECT t1.user_id AS user_id,
+       t1.event_type AS type_a,
+       t2.event_type AS type_b
+FROM t t1 JOIN t t2 USING (user_id)
+WHERE (t1.event_type = 'purchase' AND t2.event_type = 'error')
+   OR (t1.event_type = 'signup' AND t2.event_type = 'click')
+ORDER BY user_id, type_a"""
+
+_DISJOINT_SAMPLE_THR = int(0.5 * float(2**64 - 1))
+
+SQL_EV_DISJOINT_TYPES_SAMPLED = f"""WITH t AS (
+    SELECT DISTINCT user_id, event_type FROM events
+    WHERE value >= {HIGH_VALUE_T}
+      AND md5_number_lower(CAST(user_id AS VARCHAR))
+          <= {_DISJOINT_SAMPLE_THR}
 )
 SELECT t1.user_id AS user_id,
        t1.event_type AS type_a,
@@ -946,7 +961,8 @@ REL_QUERIES = {
     "ev_purchase_attribution": (q_ev_purchase_attribution,
                                 SQL_EV_PURCHASE_ATTRIBUTION),
     "ev_click_burst": (q_ev_click_burst, SQL_EV_CLICK_BURST),
-    "ev_disjoint_types_sampled": (q_ev_disjoint_types_sampled, None),
+    "ev_disjoint_types_sampled": (q_ev_disjoint_types_sampled,
+                                  SQL_EV_DISJOINT_TYPES_SAMPLED),
     "ev_funnel": (q_ev_funnel, SQL_EV_FUNNEL),
     "ev_retention": (q_ev_retention, SQL_EV_RETENTION),
     "rel_pricing_summary": (q_rel_pricing_summary, SQL_REL_PRICING_SUMMARY),

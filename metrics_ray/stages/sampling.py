@@ -35,29 +35,52 @@ from ..sketches import hash64
 _GOLD = 0x9E3779B97F4A7C15
 
 
-def _row_priorities(ids, seed: int) -> np.ndarray:
+def md5_lower64(values) -> np.ndarray:
+    """Per-value uint64 priority = DuckDB ``md5_number_lower(CAST(v AS
+    VARCHAR))``: the little-endian lower half of md5 over the value's
+    string form. Using an oracle-mirrorable hash makes every sampling
+    DECISION (not just its statistics) verifiable in SQL — the driver's
+    hash-compare can then certify hash-sampled queries bit-for-bit.
+    ~1 µs/value (hashlib call per row); use the vectorized siphash
+    (``hash64``) where no SQL mirror is needed (internal skew guards)."""
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.md5(str(v).encode()).digest()
+        out[i] = np.uint64(int.from_bytes(d[8:16], "little"))
+    return out
+
+
+def _row_priorities(ids, seed: int, priority: str = "siphash") -> np.ndarray:
+    if priority == "md5":
+        return md5_lower64(ids)
     ids = np.array(ids, dtype=object)
     return hash64(ids) ^ np.uint64(seed * _GOLD % (1 << 64))
 
 
 def stratified_sample(ds, fraction: float, row_key: str,
-                      seed: int = 0xA11CE):
+                      seed: int = 0xA11CE, priority: str = "siphash"):
     """Keep each row iff hash(row[row_key], seed) falls below ``fraction``
     of the hash space. Expected per-stratum rate = ``fraction`` for EVERY
     stratum regardless of skew (each row tosses its own deterministic
     coin), which is exactly proportional allocation — without computing
-    stratum sizes, without a shuffle, and stable under resume."""
+    stratum sizes, without a shuffle, and stable under resume.
+
+    ``priority="md5"`` selects the DuckDB-mirrorable hash (see
+    ``md5_lower64``) so the sampled set itself is SQL-checkable."""
     thr = np.uint64(int(min(max(fraction, 0.0), 1.0) * float(2**64 - 1)))
 
     def samp(b: pa.Table) -> pa.Table:
-        pri = _row_priorities(b.column(row_key).to_pylist(), seed)
+        pri = _row_priorities(b.column(row_key).to_pylist(), seed, priority)
         return b.take(pa.array(np.nonzero(pri <= thr)[0]))
 
     return ds.map_batches(samp, batch_format="pyarrow")
 
 
 def per_key_sample(ds, key: str, k: int, row_key: str,
-                   seed: int = 0xBEE5, out_schema: pa.Schema | None = None):
+                   seed: int = 0xBEE5, out_schema: pa.Schema | None = None,
+                   priority: str = "siphash"):
     """At most ``k`` rows per distinct ``key`` value: the members with the
     smallest hash(row_key) priorities (deterministic per-key bottom-k —
     a uniform without-replacement sample of each key's members).
@@ -68,10 +91,14 @@ def per_key_sample(ds, key: str, k: int, row_key: str,
     per-key reservoir the reference holds in a single JVM map, made
     distributed."""
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        pri = _row_priorities(df[row_key].to_numpy(), seed)
-        df = df.assign(__pri=pri)
-        rank = df.groupby(key, sort=False)["__pri"].rank(method="first")
-        out = df[rank <= k].drop(columns="__pri")
+        pri = _row_priorities(df[row_key].to_numpy(), seed, priority)
+        # deterministic tie-break on row_key (matches the SQL window
+        # ORDER BY priority, row_key) — rank(method="first") alone would
+        # depend on in-bucket row order at equal priorities
+        df = (df.assign(__pri=pri)
+              .sort_values([key, "__pri", row_key], kind="stable"))
+        rank = df.groupby(key, sort=False).cumcount()
+        out = df[rank < k].drop(columns="__pri")
         return out.sort_values([key, row_key], kind="stable")
 
     return grouped_apply(ds, key, pick, out_schema=out_schema)

@@ -109,13 +109,21 @@ def lsh_band_keys(sig: np.ndarray, n_bands: int = 32) -> list[str]:
 # ------------------------------------------------------------------- simhash
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token features (unweighted)."""
+    """64-bit SimHash over token features, occurrence-weighted. The
+    per-token hash is md5 (DuckDB ``md5_number_lower`` — see
+    sketches.md5_lower64), which makes the signature — and therefore the
+    whole simhash near-dup result — an exact SQL-mirrorable function of
+    the text; md5 runs once per DISTINCT token (np.unique + counts)."""
     if not tokens:
         return 0
-    h = hash64(np.array(tokens, dtype=object)).astype(np.uint64)
+    from ..sketches import md5_lower64
+
+    uniq, counts = np.unique(np.array(tokens, dtype=object),
+                             return_counts=True)
+    h = md5_lower64(uniq)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int64)
-    v = (2 * bits - 1).sum(axis=0)
+    v = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
     out = np.uint64(0)
     for i in range(64):
         if v[i] > 0:

@@ -499,8 +499,11 @@ FROM reach GROUP BY doc ORDER BY doc"""
 
 def q_doc_neardup_simhash(sf_dir: str) -> pa.Table:
     """SimHash near-dup: 64-bit signature, pigeonhole banding on 4×16-bit
-    chunks (guaranteed candidate for hamming ≤ 3), verify hd ≤ 3.
-    Ray-only (signature depends on the engine's hash function)."""
+    chunks (guaranteed candidate for hamming ≤ 3), verify hd ≤ 3. The
+    signature's token hash is md5 (sketches.md5_lower64 ==
+    md5_number_lower), so the oracle recomputes the signatures in SQL
+    and checks the exact O(n²) hamming pair set — the banding must find
+    ALL of it (pigeonhole guarantee), bit-for-bit."""
     def sig_batch(b: pa.Table) -> pa.Table:
         ids, keys, sigs = [], [], []
         for doc_id, txt in zip(b.column("doc_id").to_pylist(),
@@ -543,6 +546,36 @@ def q_doc_neardup_simhash(sf_dir: str) -> pa.Table:
                          "doc_b": pa.array([], pa.int64()),
                          "hd": pa.array([], pa.int64())})
     return res
+
+
+# Exact mirror of the engine's simhash (md5 token hash, occurrence-
+# weighted sign sum per bit), compared all-pairs — the banding path must
+# reproduce the full exact hd<=3 set (pigeonhole: 4 chunks, <=3 flipped
+# bits leave one chunk intact). Empty docs hash to sig 0 (LEFT JOIN).
+SQL_DOC_NEARDUP_SIMHASH = f"""WITH {CORPUS_SQL},
+tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+    FROM corpus
+),
+bits AS (
+    SELECT doc_id, b AS bit,
+           SUM(CASE WHEN ((md5_number_lower(w) >> b) & 1) = 1
+                    THEN 1 ELSE -1 END) AS v
+    FROM tok CROSS JOIN (SELECT unnest(range(64)) AS b)
+    GROUP BY doc_id, b
+),
+sigs AS (
+    SELECT c.doc_id,
+           COALESCE(SUM(CASE WHEN v > 0 THEN 1::UBIGINT << bit
+                             ELSE 0::UBIGINT END), 0::UBIGINT) AS sig
+    FROM corpus c LEFT JOIN bits USING (doc_id)
+    GROUP BY c.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hd
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HD}
+ORDER BY doc_a, doc_b"""
 
 
 # ------------------------------------------------------ fixed-pair Jaccard
@@ -1386,7 +1419,8 @@ DOC_QUERIES = {
     "doc_rolling_fp": (q_doc_rolling_fp, None),
     "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT_DUPS),
     "doc_neardup_minhash": (q_doc_neardup_minhash, SQL_DOC_NEARDUP_MINHASH),
-    "doc_neardup_simhash": (q_doc_neardup_simhash, None),
+    "doc_neardup_simhash": (q_doc_neardup_simhash,
+                            SQL_DOC_NEARDUP_SIMHASH),
     "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
     "doc_lang_id": (q_doc_lang_id, None),
     "doc_license": (q_doc_license, SQL_DOC_LICENSE),

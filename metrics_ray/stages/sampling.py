@@ -35,21 +35,9 @@ from ..sketches import hash64
 _GOLD = 0x9E3779B97F4A7C15
 
 
-def md5_lower64(values) -> np.ndarray:
-    """Per-value uint64 priority = DuckDB ``md5_number_lower(CAST(v AS
-    VARCHAR))``: the little-endian lower half of md5 over the value's
-    string form. Using an oracle-mirrorable hash makes every sampling
-    DECISION (not just its statistics) verifiable in SQL — the driver's
-    hash-compare can then certify hash-sampled queries bit-for-bit.
-    ~1 µs/value (hashlib call per row); use the vectorized siphash
-    (``hash64``) where no SQL mirror is needed (internal skew guards)."""
-    import hashlib
-
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        d = hashlib.md5(str(v).encode()).digest()
-        out[i] = np.uint64(int.from_bytes(d[8:16], "little"))
-    return out
+# Re-exported for callers that treat sampling as the entry point; the
+# canonical home is sketches.md5_lower64 (shared with the simhash path).
+from ..sketches import md5_lower64  # noqa: E402,F401
 
 
 def _row_priorities(ids, seed: int, priority: str = "siphash") -> np.ndarray:

@@ -58,8 +58,7 @@ def test_query_matches_oracle(name, con):
 def test_rows_only_queries_run():
     from metrics_ray.pipelines.queries import VALIDATION_QUERIES
 
-    for name in ("val_decode_violations", "val_content_dedup",
-                 "doc_rolling_fp", "doc_neardup_simhash", "doc_lang_id"):
+    for name in ("val_decode_violations", "doc_rolling_fp", "doc_lang_id"):
         fn, _ = VALIDATION_QUERIES[name]
         t = fn(SF)
         assert t.num_rows > 0, name

@@ -212,10 +212,11 @@ def lang_id(text: str) -> tuple[str, float]:
         hits = sum(1 for w in words if w in prof)
         if hits > best_hits:
             best_lang, best_hits = lang, hits
-    conf = best_hits / len(words)
+    # round-half-away = DuckDB ROUND, so the whole scorer is SQL-mirrorable
+    conf = round_half_away(best_hits / len(words), 6)
     if conf < LANG_CONF_LOW:
-        return "und", round(conf, 6)
-    return best_lang, round(conf, 6)
+        return "und", conf
+    return best_lang, conf
 
 
 def md5_fingerprint(text: str) -> str:

@@ -211,7 +211,12 @@ FROM documents ORDER BY doc_id"""
 
 
 def q_doc_rolling_fp(sf_dir: str) -> pa.Table:
-    """Rabin-Karp winnowing min-fingerprint — Ray-only (rows-only check)."""
+    """Rabin-Karp winnowing min-fingerprint. The oracle recomputes every
+    8-byte-window polynomial hash in SQL (ascii() per window position,
+    the same base-257 mod-2^31 arithmetic — exact in BIGINT) and takes
+    the list_min; byte == codepoint because the corpus is ASCII (the
+    engine hashes UTF-8 bytes, so a non-ASCII corpus would need a
+    byte-level mirror instead)."""
     def fp(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
         return pa.table({
@@ -222,6 +227,20 @@ def q_doc_rolling_fp(sf_dir: str) -> pa.Table:
 
     return _collect(documents_ds(sf_dir, ["doc_id", "text"]).map_batches(
         fp, batch_format="pyarrow"), ["doc_id"])
+
+
+_FP_POW = [pow(257, 7 - j, 1 << 31) for j in range(8)]
+# windows i = 1..len-7 (range upper bound len-6); len<8 → one zero-padded
+# window (ascii('') = 0 supplies the padding for free)
+_FP_WINDOW = " + ".join(
+    f"CAST(ascii(text[i+{j}]) AS BIGINT) * {p}" if j
+    else f"CAST(ascii(text[i]) AS BIGINT) * {p}"
+    for j, p in enumerate(_FP_POW))
+
+SQL_DOC_ROLLING_FP = f"""SELECT doc_id,
+       list_min(list_transform(range(1, greatest(len(text) - 6, 2)),
+                i -> ({_FP_WINDOW}) % {1 << 31})) AS fp_rolling
+FROM documents ORDER BY doc_id"""
 
 
 # -------------------------------------------------------------- exact dedup
@@ -724,7 +743,9 @@ FROM licdocs GROUP BY 1 ORDER BY 1"""
 def q_doc_lang_id(sf_dir: str) -> pa.Table:
     """Heuristic function-word language ID vs the declared lang column
     (CorrectLanguageTag analog, incl. its dual 0.90/0.70 confidence
-    thresholds via conf_tier) — Ray-only (model-based)."""
+    thresholds via conf_tier). The scorer is a pure function of the text
+    (profile hit counts, first-max-in-profile-order argmax, half-away
+    rounding), so the oracle recomputes predictions exactly in SQL."""
     def lid(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
         langs = b.column("lang").to_pylist()
@@ -742,6 +763,51 @@ def q_doc_lang_id(sf_dir: str) -> pa.Table:
 
     return _collect(documents_ds(sf_dir, ["doc_id", "text", "lang"])
                     .map_batches(lid, batch_format="pyarrow"), ["doc_id"])
+
+
+def _lang_profile_sql() -> str:
+    cols = []
+    for lang, prof in T.LANG_PROFILES.items():
+        words = ", ".join(f"'{w}'" for w in sorted(prof))
+        cols.append(f"SUM(CASE WHEN wd IN ({words}) THEN 1 ELSE 0 END)"
+                    f" AS {lang}")
+    return ",\n           ".join(cols)
+
+
+# first-max-in-profile-order argmax == lang_id's strict-greater update
+# loop over the (en, de, fr, es) dict; conf thresholds applied to the
+# ROUNDED confidence, exactly as the engine does
+SQL_DOC_LANG_ID = f"""WITH w AS (
+    SELECT doc_id, lower(unnest(regexp_extract_all(text, '\\S+'))) AS wd
+    FROM documents
+),
+c AS (
+    SELECT doc_id, count(*) AS n,
+           {_lang_profile_sql()}
+    FROM w GROUP BY doc_id
+),
+scored AS (
+    SELECT doc_id,
+           CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN fr >= es THEN 'fr' ELSE 'es' END AS best_lang,
+           greatest(en, de, fr, es) AS best_hits,
+           round(greatest(en, de, fr, es) * 1.0 / n, 6) AS conf
+    FROM c
+),
+labeled AS (
+    SELECT d.doc_id, d.lang AS declared,
+           CASE WHEN s.best_hits = 0 OR s.conf < {T.LANG_CONF_LOW}
+                THEN 'und' ELSE s.best_lang END AS predicted,
+           s.conf AS confidence,
+           CASE WHEN s.conf >= {T.LANG_CONF_HIGH} THEN 'high'
+                WHEN s.conf >= {T.LANG_CONF_LOW} THEN 'low'
+                ELSE 'none' END AS conf_tier
+    FROM documents d JOIN scored s USING (doc_id)
+)
+SELECT doc_id, declared, predicted, confidence, conf_tier,
+       (predicted = declared) AS agree
+FROM labeled ORDER BY doc_id"""
 
 
 # ------------------------------------------------------- PII scrubbing
@@ -1416,13 +1482,13 @@ DOC_QUERIES = {
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
-    "doc_rolling_fp": (q_doc_rolling_fp, None),
+    "doc_rolling_fp": (q_doc_rolling_fp, SQL_DOC_ROLLING_FP),
     "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT_DUPS),
     "doc_neardup_minhash": (q_doc_neardup_minhash, SQL_DOC_NEARDUP_MINHASH),
     "doc_neardup_simhash": (q_doc_neardup_simhash,
                             SQL_DOC_NEARDUP_SIMHASH),
     "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
-    "doc_lang_id": (q_doc_lang_id, None),
+    "doc_lang_id": (q_doc_lang_id, SQL_DOC_LANG_ID),
     "doc_license": (q_doc_license, SQL_DOC_LICENSE),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS),
     "doc_top_tokens": (q_doc_top_tokens, SQL_DOC_TOP_TOKENS),

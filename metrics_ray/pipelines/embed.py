@@ -540,20 +540,44 @@ def q_emb_project(sf_dir: str) -> pa.Table:
     Scale shape: row-local (one (B,64)×(64,k) matmul per batch, no
     shuffle, no state); the projection matrix is seed-derived in every
     task rather than shipped. JL distance preservation is asserted in
-    tests (pairwise-distance ratio within the JL tolerance for k=16)."""
+    tests (pairwise-distance ratio within the JL tolerance for k=16).
+
+    Output is long format (vec_id, k, val): the sign matrix's ±1/√16 =
+    ±0.25 entries are exactly representable, so the oracle embeds them
+    as literals and recomputes the matmul in SQL — hash-compared, not
+    just recall-tested."""
     def project(b: pa.Table) -> pa.Table:
         m = _emb_matrix(b)
-        p = m @ _proj_matrix(m.shape[1])
+        p = round_half_away(m @ _proj_matrix(m.shape[1]), 6)
+        n, k = p.shape
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
         return pa.table({
-            "vec_id": b.column("vec_id"),
-            "proj": pa.array(list(np.round(p, 6)), pa.list_(pa.float64())),
-            "proj_norm": pa.array(
-                round_half_away(np.linalg.norm(p, axis=1), 6)),
+            "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+            "k": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+            "val": pa.array(p.reshape(-1), pa.float64()),
         })
 
     return _collect(
         embeddings_ds(sf_dir, ["vec_id", "embedding"])
-        .map_batches(project, batch_format="pyarrow"), ["vec_id"])
+        .map_batches(project, batch_format="pyarrow"), ["vec_id", "k"])
+
+
+def _proj_values_sql() -> str:
+    P = _proj_matrix(64)
+    return ", ".join(
+        f"({d}, {k}, {'0.25' if P[d, k] > 0 else '-0.25'})"
+        for d in range(P.shape[0]) for k in range(P.shape[1]))
+
+
+SQL_EMB_PROJECT = f"""WITH p(d, k, s) AS (VALUES {_proj_values_sql()}),
+ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+)
+SELECT vec_id, CAST(k AS BIGINT) AS k, round(SUM(v * s), 6) AS val
+FROM ex JOIN p USING (d)
+GROUP BY vec_id, k ORDER BY vec_id, k"""
 
 
 def q_emb_quantize(sf_dir: str) -> pa.Table:
@@ -708,6 +732,6 @@ EMB_QUERIES = {
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
     "emb_knn_ivf": (q_emb_knn_ivf, None),
     "emb_dup_clusters": (q_emb_dup_clusters, SQL_EMB_DUP_CLUSTERS),
-    "emb_project": (q_emb_project, None),
+    "emb_project": (q_emb_project, SQL_EMB_PROJECT),
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
 }

@@ -91,7 +91,10 @@ def test_project_matches_numpy_recompute_and_jl(sf_unit):
     from metrics_ray.pipelines.embed import (
         PROJ_K, _proj_matrix, embeddings_ds, _emb_matrix, q_emb_project)
 
-    got = q_emb_project(sf_unit).to_pandas().set_index("vec_id").sort_index()
+    from metrics_ray.functions.rounding import round_half_away
+
+    long = q_emb_project(sf_unit).to_pandas()
+    got = long.pivot(index="vec_id", columns="k", values="val").sort_index()
     raw = embeddings_ds(sf_unit, ["vec_id", "embedding"]).to_pandas()
     import pyarrow as pa
     t = pa.Table.from_pandas(raw, preserve_index=False)
@@ -99,8 +102,8 @@ def test_project_matches_numpy_recompute_and_jl(sf_unit):
     ids = raw["vec_id"].to_numpy()
     order = np.argsort(ids)
     m, ids = m[order], ids[order]
-    want = np.round(m @ _proj_matrix(m.shape[1]), 6)
-    got_mat = np.array(got["proj"].tolist())
+    want = round_half_away(m @ _proj_matrix(m.shape[1]), 6)
+    got_mat = got.to_numpy()
     np.testing.assert_allclose(got_mat, want, atol=1e-9)
     # JL: projected pairwise sq-distances within tolerance of originals
     rng = np.random.default_rng(3)
@@ -112,7 +115,8 @@ def test_project_matches_numpy_recompute_and_jl(sf_unit):
     ratio = d1 / np.maximum(d0, 1e-12)
     # k=16 → loose epsilon; assert the bulk is preserved
     assert np.median(np.abs(ratio - 1)) < 0.35
-    assert got["proj_norm"].between(0, 2).all()
+    norms = np.sqrt((got_mat ** 2).sum(axis=1))
+    assert ((norms >= 0) & (norms <= 2)).all()
 
 
 def test_quantize_error_bounds(sf_unit):

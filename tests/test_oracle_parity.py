@@ -58,7 +58,8 @@ def test_query_matches_oracle(name, con):
 def test_rows_only_queries_run():
     from metrics_ray.pipelines.queries import VALIDATION_QUERIES
 
-    for name in ("val_decode_violations", "doc_rolling_fp", "doc_lang_id"):
+    for name in ("val_decode_violations", "val_audio_features",
+                 "emb_neardup_lsh", "emb_knn_ivf"):
         fn, _ = VALIDATION_QUERIES[name]
         t = fn(SF)
         assert t.num_rows > 0, name

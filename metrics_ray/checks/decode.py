@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from .. import audio
 from ..schema import SNR_THRESHOLD_DB, VALID_CODECS, Codes
-from ..sketches import hash64
+from ..sketches import md5_lower64
 from .base import BatchCheck, BatchOutcome, CheckContext, violations_table
 
 
@@ -46,12 +46,10 @@ class DecodeCheck(BatchCheck):
 
     def __init__(self, check_id: str = "decode_invariants",
                  snr_threshold: float = SNR_THRESHOLD_DB,
-                 sample_fraction: float | None = None,
-                 sample_seed: int = 0x5EED):
+                 sample_fraction: float | None = None):
         self.check_id = check_id
         self.snr_threshold = snr_threshold
         self.sample_fraction = sample_fraction
-        self.sample_seed = sample_seed
         self.is_estimate = (sample_fraction is not None
                             and sample_fraction < 1.0)
 
@@ -59,14 +57,15 @@ class DecodeCheck(BatchCheck):
         self._valid = set(VALID_CODECS)
 
     def _sample_batch(self, batch: pa.Table) -> pa.Table:
-        """Deterministic per-clip inclusion: hash(clip_id, seed) below the
+        """Deterministic per-clip inclusion: md5(clip_id) below the
         fraction threshold. Pure function of the row — independent of
-        batch boundaries, worker count, and execution order."""
+        batch boundaries, worker count, and execution order — and equal
+        to DuckDB md5_number_lower(clip_id), so the sampled-row universe
+        is itself oracle-checkable (the hashing cost is noise next to
+        the decode this sampling avoids)."""
         if not self.is_estimate:
             return batch
-        ids = np.array(batch.column("clip_id").to_pylist(), dtype=object)
-        pri = hash64(ids) ^ np.uint64(
-            self.sample_seed * 0x9E3779B97F4A7C15 % (1 << 64))
+        pri = md5_lower64(batch.column("clip_id").to_pylist())
         thr = np.uint64(int(self.sample_fraction * float(2**64 - 1)))
         keep = np.nonzero(pri <= thr)[0]
         return batch.take(pa.array(keep))

@@ -443,8 +443,21 @@ FROM counts ORDER BY check_id"""
 # ------------------------------------------------- audio (rows-only checks)
 
 def q_decode_violations(sf_dir: str) -> pa.Table:
-    """Decode/SNR invariant violations — not SQL-expressible (audio bytes
-    exist only on the Ray side); the driver records a rows-only check."""
+    """Decode/SNR invariant violations. The payload bytes are Ray-only,
+    but every violation CLASS is a deterministic function of the seeded
+    corruption matrix (synth.py), so the oracle derives the exact
+    expected violation rows from doc_id arithmetic:
+      DecodeError       k%127==17 truncated payloads
+      CodecMismatch     k%111==21 wrong-codec encode, when the declared
+                        codec column survived its own corruptions
+      DurationMismatch  banker's-round(sr_meta*dur_meta/1000) !=
+                        decoded length (computed EXACTLY in SQL, so
+                        corrupted metadata that happens to round to the
+                        true length is correctly NOT a violation)
+      LowSNR            k%131==23 noise rows, plus every k%139==41
+                        replica (its payload was synthesized under the
+                        SOURCE clip_id's seed, so the reference signal
+                        for its own id cannot match)."""
     from ..checks.decode import DecodeCheck
 
     path = ensure_clips_parquet(sf_dir)
@@ -452,6 +465,68 @@ def q_decode_violations(sf_dir: str) -> pa.Table:
     viol, _, _ = run_batch_checks(ds, [DecodeCheck()], batch_size=128)
     return (viol.select(["clip_id", "code"])
             .sort_by([("clip_id", "ascending"), ("code", "ascending")]))
+
+
+def _bankers_div1000(v: str) -> str:
+    """SQL for python round(v/1000.0): banker's at the exact .5 ties,
+    nearest everywhere else (DuckDB round(,0) only diverges at ties)."""
+    return (f"CASE WHEN abs({v}) % 1000 = 500 "
+            f"THEN CAST(sign({v}) AS BIGINT) * "
+            f"((abs({v}) // 1000) + ((abs({v}) // 1000) % 2)) "
+            f"ELSE CAST(round(({v}) / 1000.0, 0) AS BIGINT) END")
+
+
+_DECODE_ATTRS_SQL = """base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 101 = 7 AND doc_id > 0
+                THEN printf('clip-%08d', doc_id - 1)
+                ELSE printf('clip-%08d', doc_id) END AS clip_id,
+           ((doc_id * 1103515245 + 12345) % 2147483648) AS h
+    FROM documents
+),
+phys AS (
+    SELECT clip_id, doc_id, h, FALSE AS is_rep FROM base
+    UNION ALL
+    SELECT printf('clip-9%07d', doc_id % 10000000), doc_id, h, TRUE
+    FROM base WHERE doc_id % 139 = 41 AND doc_id > 0
+),
+attrs AS (
+    SELECT clip_id, is_rep,
+           CASE WHEN doc_id % 97 = 13 THEN 7999
+                WHEN doc_id % 97 = 50 THEN 0
+                ELSE CASE h % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+           END AS sr_meta,
+           CASE WHEN doc_id % 103 = 11 THEN -5
+                WHEN doc_id % 103 = 60 THEN 40000
+                ELSE 200 + (h % 1800) END AS dur_meta,
+           (CASE h % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                 WHEN 3 THEN 44100 ELSE 48000 END)
+           * (200 + (h % 1800)) AS v_base,
+           (doc_id % 107 != 3 AND doc_id % 107 != 71 AND doc_id % 107 != 40
+            AND doc_id % 109 != 9) AS declared_valid,
+           (doc_id % 111 = 21) AS wrong_enc,
+           (doc_id % 127 = 17) AS truncated,
+           (doc_id % 131 = 23) AS noisy
+    FROM phys
+)"""
+
+SQL_DECODE_VIOLATIONS = f"""WITH {_DECODE_ATTRS_SQL},
+viol AS (
+    SELECT clip_id, 'DecodeError' AS code FROM attrs WHERE truncated
+    UNION ALL
+    SELECT clip_id, 'CodecMismatch' FROM attrs
+    WHERE NOT truncated AND wrong_enc AND declared_valid
+    UNION ALL
+    SELECT clip_id, 'DurationMismatch' FROM attrs
+    WHERE NOT truncated
+      AND {_bankers_div1000('sr_meta * dur_meta')}
+          != {_bankers_div1000('v_base')}
+    UNION ALL
+    SELECT clip_id, 'LowSNR' FROM attrs
+    WHERE NOT truncated AND (noisy OR is_rep)
+)
+SELECT clip_id, code FROM viol ORDER BY clip_id, code"""
 
 
 DECODE_SAMPLE_FRACTION = 0.5
@@ -472,6 +547,33 @@ def q_decode_violations_sampled(sf_dir: str) -> pa.Table:
     viol, _, _ = run_batch_checks(ds, [check], batch_size=128)
     return (viol.select(["clip_id", "code"])
             .sort_by([("clip_id", "ascending"), ("code", "ascending")]))
+
+
+_DECODE_SAMPLE_THR = int(DECODE_SAMPLE_FRACTION * float(2**64 - 1))
+
+# the sampled Estimated* mode: identical violation mirror, restricted to
+# the md5 sample universe (the check samples ROWS by clip_id, so both
+# members of a duplicated clip_id share one coin — as does the SQL)
+SQL_DECODE_VIOLATIONS_SAMPLED = f"""WITH {_DECODE_ATTRS_SQL},
+sampled AS (
+    SELECT * FROM attrs
+    WHERE md5_number_lower(clip_id) <= {_DECODE_SAMPLE_THR}
+),
+viol AS (
+    SELECT clip_id, 'DecodeError' AS code FROM sampled WHERE truncated
+    UNION ALL
+    SELECT clip_id, 'CodecMismatch' FROM sampled
+    WHERE NOT truncated AND wrong_enc AND declared_valid
+    UNION ALL
+    SELECT clip_id, 'DurationMismatch' FROM sampled
+    WHERE NOT truncated
+      AND {_bankers_div1000('sr_meta * dur_meta')}
+          != {_bankers_div1000('v_base')}
+    UNION ALL
+    SELECT clip_id, 'LowSNR' FROM sampled
+    WHERE NOT truncated AND (noisy OR is_rep)
+)
+SELECT clip_id, code FROM viol ORDER BY clip_id, code"""
 
 
 STRATIFIED_FRACTION = 0.2
@@ -876,13 +978,59 @@ def q_audio_features(sf_dir: str) -> pa.Table:
     }).sort_by("clip_id")
 
 
+# Shared fixture-geometry mirror for the decode-side transform oracles:
+# the physical decodable rows (truncated k%127==17 payloads raise in
+# decode; sr<=0 rows are skipped by the stages) with the stage's window
+# divisor (the METADATA sr, corruptions included) and the exact decoded
+# PCM length n. n = python round(base_sr*base_dur/1000) is banker's
+# rounding — emulated exactly at the .5 ties (v%1000==500 → round to
+# even); everywhere else integer half-up equals it.
+_AUDIO_GEO_SQL = """base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 101 = 7 AND doc_id > 0
+                THEN printf('clip-%08d', doc_id - 1)
+                ELSE printf('clip-%08d', doc_id) END AS clip_id,
+           ((doc_id * 1103515245 + 12345) % 2147483648) AS h
+    FROM documents
+),
+phys AS (
+    SELECT clip_id, doc_id, h FROM base
+    UNION ALL
+    SELECT printf('clip-9%07d', doc_id % 10000000), doc_id, h
+    FROM base WHERE doc_id % 139 = 41 AND doc_id > 0
+),
+geo0 AS (
+    SELECT clip_id,
+           CASE WHEN doc_id % 97 = 13 THEN 7999
+                WHEN doc_id % 97 = 50 THEN 0
+                ELSE CASE h % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+           END AS sr,
+           (CASE h % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                 WHEN 3 THEN 44100 ELSE 48000 END)
+           * (200 + (h % 1800)) AS v
+    FROM phys
+    WHERE doc_id % 127 != 17
+),
+geo AS (
+    SELECT clip_id, sr,
+           CASE WHEN v % 1000 = 500
+                THEN (v // 1000) + ((v // 1000) % 2)
+                ELSE (v + 500) // 1000 END AS n
+    FROM geo0 WHERE sr > 0
+)"""
+
+
 def q_audio_chunks(sf_dir: str) -> pa.Table:
     """Fixed-window chunking + canonical transcode (stages/audio_ops.py
-    AudioChunker) summarized per clip — rows-only (payload is Ray-only).
-    Per-batch partials then a global groupby-sum: the partial alone is NOT
-    deterministic, because seeded duplicate clip_ids (k%101==7) may or may
-    not share a batch — the global merge makes the per-clip_id totals
-    batch-size-independent."""
+    AudioChunker) summarized per clip. Payload bytes are Ray-only, but
+    the chunk GEOMETRY (counts, durations) is an exact integer function
+    of the fixture — the oracle recomputes it from doc_id arithmetic
+    (_AUDIO_GEO_SQL), certifying the decode→window→duration chain.
+    Per-batch partials then a global groupby-sum: the partial alone is
+    NOT deterministic, because seeded duplicate clip_ids (k%101==7) may
+    or may not share a batch — the global merge makes the per-clip_id
+    totals batch-size-independent."""
     from ..stages.audio_ops import AudioChunker
 
     path = ensure_clips_parquet(sf_dir)
@@ -927,6 +1075,30 @@ def q_audio_chunks(sf_dir: str) -> pa.Table:
     })
 
 
+# window = n_samples_for(sr, 1000 ms) = sr samples exactly, so every full
+# chunk is exactly 1000 ms; the last chunk's round(last*1000/sr) needs the
+# same banker's-tie emulation as n (tie iff 2*(1000*last % sr) == sr)
+SQL_AUDIO_CHUNKS = f"""WITH {_AUDIO_GEO_SQL},
+per AS (
+    SELECT clip_id, sr, n,
+           (n + sr - 1) // sr AS n_chunks,
+           n - sr * ((n + sr - 1) // sr - 1) AS last
+    FROM geo
+),
+tot AS (
+    SELECT clip_id, n_chunks,
+           1000 * (n_chunks - 1) +
+           CASE WHEN 2 * ((1000 * last) % sr) = sr
+                THEN ((1000 * last) // sr) + (((1000 * last) // sr) % 2)
+                ELSE CAST(round((1000 * last) * 1.0 / sr, 0) AS BIGINT)
+           END AS total_chunk_ms
+    FROM per
+)
+SELECT clip_id, CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(total_chunk_ms) AS BIGINT) AS total_chunk_ms
+FROM tot GROUP BY clip_id ORDER BY clip_id"""
+
+
 def q_audio_silence(sf_dir: str) -> pa.Table:
     """Frame-energy VAD / clipping profile (stages/audio_ops.py
     SilenceProfiler) — rows-only; floats rounded for hash stability."""
@@ -953,8 +1125,11 @@ def q_audio_silence(sf_dir: str) -> pa.Table:
 
 
 def q_audio_resample(sf_dir: str) -> pa.Table:
-    """Sample-rate conversion to 16 kHz (stages/audio_ops.py Resampler) —
-    rows-only summary (clip_id, output length)."""
+    """Sample-rate conversion to 16 kHz (stages/audio_ops.py Resampler).
+    Output PCM is Ray-only, but the output LENGTH is an exact integer
+    function of the fixture geometry — oracle-recomputed from doc_id
+    arithmetic with the same banker's-tie emulation as the chunk
+    mirror (n_out = round(n*16000/sr))."""
     from ..stages.audio_ops import Resampler
 
     path = ensure_clips_parquet(sf_dir)
@@ -969,7 +1144,20 @@ def q_audio_resample(sf_dir: str) -> pa.Table:
         return pa.table({"clip_id": pa.array([], pa.string()),
                          "sr_hz": pa.array([], pa.int32()),
                          "n_samples": pa.array([], pa.int64())})
-    return pa.concat_tables(tables).sort_by("clip_id")
+    # (clip_id, n_samples) sort: duplicate clip_ids (k%101==7) must order
+    # deterministically for the hash compare
+    return pa.concat_tables(tables).sort_by(
+        [("clip_id", "ascending"), ("n_samples", "ascending")])
+
+
+SQL_AUDIO_RESAMPLE = f"""WITH {_AUDIO_GEO_SQL}
+SELECT clip_id, CAST(16000 AS INTEGER) AS sr_hz,
+       CASE WHEN sr = 16000 THEN n
+            WHEN 2 * ((n * 16000) % sr) = sr
+            THEN ((n * 16000) // sr) + (((n * 16000) // sr) % 2)
+            ELSE CAST(round((n * 16000) * 1.0 / sr, 0) AS BIGINT)
+       END AS n_samples
+FROM geo ORDER BY clip_id, n_samples"""
 
 
 def q_clip_packing(sf_dir: str) -> pa.Table:
@@ -1267,15 +1455,16 @@ VALIDATION_QUERIES = {
     "val_drift_codec": (q_drift_codec, SQL_DRIFT_CODEC),
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
-    "val_decode_violations": (q_decode_violations, None),
-    "val_decode_violations_sampled": (q_decode_violations_sampled, None),
+    "val_decode_violations": (q_decode_violations, SQL_DECODE_VIOLATIONS),
+    "val_decode_violations_sampled": (q_decode_violations_sampled,
+                                      SQL_DECODE_VIOLATIONS_SAMPLED),
     "val_stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "ev_user_sample": (q_ev_user_sample, SQL_EV_USER_SAMPLE),
     "val_content_dedup": (q_content_dedup, SQL_CONTENT_DEDUP),
     "val_audio_features": (q_audio_features, None),
-    "val_audio_chunks": (q_audio_chunks, None),
+    "val_audio_chunks": (q_audio_chunks, SQL_AUDIO_CHUNKS),
     "val_audio_silence": (q_audio_silence, None),
-    "val_audio_resample": (q_audio_resample, None),
+    "val_audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
     "val_curation": (q_curation, None),
     "img_format_mismatch": (q_img_format_mismatch, SQL_IMG_FORMAT_MISMATCH),

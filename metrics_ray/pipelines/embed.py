@@ -230,7 +230,10 @@ from functools import lru_cache
 def q_emb_neardup(sf_dir: str) -> pa.Table:
     """Exact cosine near-duplicate pairs over the vcorpus (cos >= tau,
     vec_a < vec_b): per-batch matmul against the broadcast normalized
-    corpus matrix."""
+    corpus matrix. DELIBERATELY the small-scale exact baseline — it is
+    the oracle anchor the LSH recall test compares against, and its
+    O(N·corpus) broadcast shape does not scale; q_emb_neardup_lsh is the
+    production path (bucket-local verify, no corpus broadcast)."""
     import ray
 
     corpus = corpus_matrix(sf_dir)

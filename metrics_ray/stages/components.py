@@ -142,8 +142,10 @@ def label_propagation(edges_ds, max_rounds: int = 8):
                              out_schema=_MSG_SCHEMA)
         new_labels = grouped_apply(msgs, "doc", reduce_min,
                                    out_schema=_OUT_SCHEMA).materialize()
-        changed = sum(r["changed"] for r in
-                      new_labels.select_columns(["changed"]).take_all())
+        # distributed count — only the scalar reaches the driver
+        # (take_all here would ship O(nodes) rows per round)
+        changed = int(new_labels.select_columns(["changed"])
+                      .sum("changed") or 0)
         labels = (rd.from_arrow_refs(new_labels.to_arrow_refs())
                   .select_columns(["doc", "lbl"]))
         if changed == 0:

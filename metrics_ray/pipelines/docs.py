@@ -1328,6 +1328,45 @@ FROM idx ORDER BY doc_id, chunk_idx"""
 # deterministic per-row Bernoulli (Knuth multiplicative hash mod 1000),
 # so the realized mix is exact, reproducible, and SQL-mirrorable.
 MIX_WEIGHTS = {"en": 0.3, "de": 1.0, "es": 1.5, "fr": 1.0, "zh": 2.3}
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95  # train < 90 <= val < 95 <= test
+
+
+def q_doc_split(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test assignment — the split every
+    training-data pipeline needs before anything else. Per-doc coin =
+    md5(doc_id) % 100 (the DuckDB-parity hash), so the assignment is a
+    pure row-local function: stable across runs, workers, batch sizes and
+    resume, proportional within EVERY stratum (each row tosses its own
+    coin — the stratified_sample argument), and leak-free (a doc can
+    never change split when the corpus grows, unlike modulo-on-position
+    schemes). No shuffle; the oracle recomputes every assignment."""
+    from ..sketches import md5_lower64
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        bucket = (md5_lower64(ids) % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < SPLIT_TRAIN_PCT, "train",
+                         np.where(bucket < SPLIT_VAL_PCT, "val", "test"))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return _collect(documents_ds(sf_dir, ["doc_id", "lang"]).map_batches(
+        assign, batch_format="pyarrow"), ["doc_id"])
+
+
+SQL_DOC_SPLIT = f"""SELECT doc_id, lang,
+       CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+                 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+                 < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id"""
+
+
 _MIX_MULT = 2654435761
 
 
@@ -1493,6 +1532,7 @@ DOC_QUERIES = {
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "doc_rolling_fp": (q_doc_rolling_fp, SQL_DOC_ROLLING_FP),
     "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT_DUPS),
+    "doc_split": (q_doc_split, SQL_DOC_SPLIT),
     "doc_neardup_minhash": (q_doc_neardup_minhash, SQL_DOC_NEARDUP_MINHASH),
     "doc_neardup_simhash": (q_doc_neardup_simhash,
                             SQL_DOC_NEARDUP_SIMHASH),

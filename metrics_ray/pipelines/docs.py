@@ -388,6 +388,53 @@ def verify_pairs_distributed(cand, corpus, tau: float = NEAR_DUP_TAU):
 from functools import lru_cache
 
 
+def _band_batch(b: pa.Table) -> pa.Table:
+    ids, keys = [], []
+    for doc_id, txt in zip(b.column("doc_id").to_pylist(),
+                           b.column("text").to_pylist()):
+        sig = T.minhash_signature(T.word_shingles(txt))
+        for k in T.lsh_band_keys(sig):
+            ids.append(doc_id); keys.append(k)
+    return pa.table({"band": pa.array(keys, pa.string()),
+                     "doc_id": pa.array(ids, pa.int64())})
+
+
+def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    # only multi-member bands generate candidates; they are rare, so
+    # the python loop touches a handful of tiny groups per bucket
+    size = df.groupby("band")["doc_id"].transform("size")
+    multi = df[size > 1]
+    outs = [_pair_frame([], [])]
+    for _, g in multi.groupby("band"):
+        ids = np.sort(g["doc_id"].to_numpy())
+        # skew guard: a degenerate mega-band is SAMPLED (bounded
+        # pair-gen, deterministic subset), not dropped
+        ids = ids[cap_group_members(ids, 1000)]
+        a, b = np.triu_indices(len(ids), k=1)
+        outs.append(_pair_frame(ids[a], ids[b]))
+    return pd.concat(outs, ignore_index=True)
+
+
+def minhash_pairs(corpus_refs, tau: float = NEAR_DUP_TAU):
+    """The full MinHash near-dup pipeline over pre-materialized corpus
+    blocks (doc_id, text, ...): banding → bucketed candidate pairs →
+    distributed exact-Jaccard verify. Reused by the standalone near-dup
+    query and the end-to-end curation pipeline (which runs it on the
+    quality+exact-dedup survivor stream)."""
+    import ray.data as rd
+
+    bands = rd.from_arrow_refs(corpus_refs).map_batches(
+        _band_batch, batch_format="pyarrow")
+    # no dedupe stage: multi-band duplicate pairs collapse inside the
+    # verify join's final (doc_a, doc_b) co-group — one less shuffle
+    cand = grouped_apply(bands, "band", _bucket_pairs,
+                         out_schema=_PAIR_SCHEMA)
+    return verify_pairs_distributed(
+        cand, rd.from_arrow_refs(corpus_refs).map_batches(
+            lambda b: b.select(["doc_id", "text"]),
+            batch_format="pyarrow"), tau=tau)
+
+
 @lru_cache(maxsize=4)  # pure function of sf_dir; pa.Table is immutable.
 # Per-process memo: cluster resolution (q_doc_dup_clusters) consumes the
 # pair graph the banding query already materialized - computed once.
@@ -398,48 +445,12 @@ def q_doc_neardup_minhash(sf_dir: str) -> pa.Table:
     verify_pairs_distributed — no whole-corpus broadcast). Verification
     recall ≈ 1 at τ=0.8 (p_miss < 1e-7), so the result set equals the
     exact O(n²) oracle."""
-    def band_batch(b: pa.Table) -> pa.Table:
-        ids, keys = [], []
-        for doc_id, txt in zip(b.column("doc_id").to_pylist(),
-                               b.column("text").to_pylist()):
-            sig = T.minhash_signature(T.word_shingles(txt))
-            for k in T.lsh_band_keys(sig):
-                ids.append(doc_id); keys.append(k)
-        return pa.table({"band": pa.array(keys, pa.string()),
-                         "doc_id": pa.array(ids, pa.int64())})
-
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # only multi-member bands generate candidates; they are rare, so
-        # the python loop touches a handful of tiny groups per bucket
-        size = df.groupby("band")["doc_id"].transform("size")
-        multi = df[size > 1]
-        outs = [_pair_frame([], [])]
-        for _, g in multi.groupby("band"):
-            ids = np.sort(g["doc_id"].to_numpy())
-            # skew guard: a degenerate mega-band is SAMPLED (bounded
-            # pair-gen, deterministic subset), not dropped
-            ids = ids[cap_group_members(ids, 1000)]
-            a, b = np.triu_indices(len(ids), k=1)
-            outs.append(_pair_frame(ids[a], ids[b]))
-        return pd.concat(outs, ignore_index=True)
-
     # derive the corpus ONCE; the banding pipeline and the verify join both
     # consume the materialized BLOCKS (object-store refs — from_arrow_refs
     # breaks lineage so neither consumer re-runs the derivation; nothing is
     # pulled to the driver)
-    import ray.data as rd
-
     corpus_refs = corpus_ds(sf_dir).materialize().to_arrow_refs()
-    bands = rd.from_arrow_refs(corpus_refs).map_batches(
-        band_batch, batch_format="pyarrow")
-    # no dedupe stage: multi-band duplicate pairs collapse inside the
-    # verify join's final (doc_a, doc_b) co-group — one less shuffle
-    cand = grouped_apply(bands, "band", bucket_pairs,
-                         out_schema=_PAIR_SCHEMA)
-
-    out = verify_pairs_distributed(
-        cand, rd.from_arrow_refs(corpus_refs).map_batches(
-            lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"))
+    out = minhash_pairs(corpus_refs)
     res = _collect(out, ["doc_a", "doc_b"])
     if res is None:
         return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -1367,6 +1378,167 @@ SQL_DOC_SPLIT = f"""SELECT doc_id, lang,
 FROM documents ORDER BY doc_id"""
 
 
+CURATE_MIN_WORDS = 20
+
+
+def q_doc_curation(sf_dir: str) -> pa.Table:
+    """End-to-end TEXT curation decision pipeline — the document sibling
+    of val_curation's audio pipeline, and fully oracle-verified: every
+    corpus row receives a status.
+
+      1. quality gate  n_words >= CURATE_MIN_WORDS          (row-local)
+      2. exact dedup   canonical-digest (doc_normalize semantics) groups
+                       keep min doc_id — ONE keyed co-group on the digest
+      3. near-dedup    MinHash banding + distributed exact-Jaccard verify
+                       over the SURVIVOR stream (minhash_pairs), then
+                       connected components keep each cluster's min
+      4. split         md5(doc_id) %% 100 train/val/test     (row-local)
+
+    Statuses: drop_quality | drop_exact | drop_near | train | val | test.
+
+    Scale shape: the meta pass is row-local and materialized once (both
+    the dedup co-group and the survivor filter consume the same blocks);
+    drop sets are O(duplicates) — broadcast via ray.put, never a second
+    shuffle; union-find runs on the O(duplicates) pair list
+    (stages/components.label_propagation is the unbounded-dup-rate path,
+    tested equivalent). The final per-row labeling is the query's output
+    and is what a production run would write back as partitioned parquet."""
+    import hashlib
+    import unicodedata
+
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from ..sketches import md5_lower64
+    from ..stages.components import connected_components_local
+
+    def meta(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text"), "")
+        n_words = pc.count_substring_regex(txt, r"\S+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(txt, r"\s+", " ")))
+        dg = [hashlib.md5(unicodedata.normalize("NFC", s).encode()).hexdigest()
+              for s in t.to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text": b.column("text"),
+            "q_ok": pa.array((n_words >= CURATE_MIN_WORDS).tolist()),
+            "dg": pa.array(dg, pa.string()),
+        })
+
+    meta_refs = (corpus_ds(sf_dir).map_batches(meta, batch_format="pyarrow")
+                 .materialize().to_arrow_refs())
+
+    def ex_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["q_ok"]]
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        keeper = df.groupby("dg")["doc_id"].transform("min")
+        return pd.DataFrame({"doc_id": df.loc[df["doc_id"] != keeper,
+                                              "doc_id"].astype("int64")})
+
+    ex_t = _collect(grouped_apply(
+        rd.from_arrow_refs(meta_refs).map_batches(
+            lambda b: b.select(["doc_id", "dg", "q_ok"]),
+            batch_format="pyarrow"),
+        "dg", ex_bucket, out_schema=pa.schema([("doc_id", pa.int64())])),
+        ["doc_id"])
+    exact_drop = (set() if ex_t is None
+                  else set(ex_t.column("doc_id").to_pylist()))
+    ex_ref = ray.put(exact_drop)  # O(duplicates), tiny by construction
+
+    def surv(b: pa.Table) -> pa.Table:
+        drops = ray.get(ex_ref)
+        ids = b.column("doc_id").to_pylist()
+        qs = b.column("q_ok").to_pylist()
+        keep = [bool(q) and (d not in drops) for d, q in zip(ids, qs)]
+        return b.filter(pa.array(keep)).select(["doc_id", "text"])
+
+    surv_refs = (rd.from_arrow_refs(meta_refs)
+                 .map_batches(surv, batch_format="pyarrow")
+                 .materialize().to_arrow_refs())
+    pairs = _collect(minhash_pairs(surv_refs), ["doc_a", "doc_b"])
+    if pairs is None:
+        near_drop: set = set()
+    else:
+        cl = connected_components_local(pairs)
+        near_drop = set(cl.loc[cl["doc_id"] != cl["cluster_id"],
+                               "doc_id"].astype(int))
+
+    meta_t = _collect(rd.from_arrow_refs(meta_refs).map_batches(
+        lambda b: b.select(["doc_id", "q_ok"]), batch_format="pyarrow"),
+        ["doc_id"])
+    ids = np.array(meta_t.column("doc_id").to_pylist(), dtype=np.int64)
+    q_ok = np.array(meta_t.column("q_ok").to_pylist(), dtype=bool)
+    bucket100 = (md5_lower64(ids.tolist()) % np.uint64(100)).astype(np.int64)
+    split = np.where(bucket100 < SPLIT_TRAIN_PCT, "train",
+                     np.where(bucket100 < SPLIT_VAL_PCT, "val", "test"))
+    in_ex = np.fromiter((int(d) in exact_drop for d in ids), bool, len(ids))
+    in_nd = np.fromiter((int(d) in near_drop for d in ids), bool, len(ids))
+    status = np.where(~q_ok, "drop_quality",
+                      np.where(in_ex, "drop_exact",
+                               np.where(in_nd, "drop_near", split)))
+    return pa.table({"doc_id": pa.array(ids),
+                     "status": pa.array(status.tolist(), pa.string())})
+
+
+SQL_DOC_CURATION = f"""WITH RECURSIVE {CORPUS_SQL.strip().lstrip()},
+q AS (
+    SELECT doc_id, text,
+           len(regexp_extract_all(text, '\\S+')) >= {CURATE_MIN_WORDS}
+               AS q_ok,
+           md5(nfc_normalize(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g'))))) AS dg
+    FROM corpus
+),
+ex AS (
+    SELECT doc_id,
+           doc_id != MIN(doc_id) OVER (PARTITION BY dg) AS is_ex_drop
+    FROM q WHERE q_ok
+),
+surv AS (
+    SELECT q.doc_id, q.text FROM q JOIN ex USING (doc_id)
+    WHERE q.q_ok AND NOT ex.is_ex_drop
+),
+words AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM surv),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 3 THEN list_distinct([array_to_string(w, ' ')])
+                ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+           END AS s
+    FROM words
+),
+prs AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= {NEAR_DUP_TAU}
+),
+edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+reach(doc, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc
+),
+clusters AS (SELECT doc AS doc_id, MIN(lbl) AS cid FROM reach GROUP BY doc)
+SELECT q.doc_id,
+       CASE WHEN NOT q.q_ok THEN 'drop_quality'
+            WHEN COALESCE(ex.is_ex_drop, FALSE) THEN 'drop_exact'
+            WHEN q.doc_id IN (SELECT doc_id FROM clusters
+                              WHERE doc_id != cid) THEN 'drop_near'
+            WHEN md5_number_lower(CAST(q.doc_id AS VARCHAR)) % 100
+                 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN md5_number_lower(CAST(q.doc_id AS VARCHAR)) % 100
+                 < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS status
+FROM q LEFT JOIN ex USING (doc_id)
+ORDER BY doc_id"""
+
+
 _MIX_MULT = 2654435761
 
 
@@ -1533,6 +1705,7 @@ DOC_QUERIES = {
     "doc_rolling_fp": (q_doc_rolling_fp, SQL_DOC_ROLLING_FP),
     "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT_DUPS),
     "doc_split": (q_doc_split, SQL_DOC_SPLIT),
+    "doc_curation": (q_doc_curation, SQL_DOC_CURATION),
     "doc_neardup_minhash": (q_doc_neardup_minhash, SQL_DOC_NEARDUP_MINHASH),
     "doc_neardup_simhash": (q_doc_neardup_simhash,
                             SQL_DOC_NEARDUP_SIMHASH),

@@ -1378,14 +1378,18 @@ def q_img_features(sf_dir: str) -> pa.Table:
 def q_curation(sf_dir: str) -> pa.Table:
     """End-to-end curation pipeline (pipelines/curate.py): per-partition
     manifest counts — rows-only (quality gate decisions depend on decoded
-    audio). Output is written under /tmp and reused via the pipeline's own
-    per-partition resume on repeat calls."""
+    audio). The /tmp output dir is wiped first so every invocation — and
+    every bench timing — measures a REAL full run, not the pipeline's
+    per-partition resume fast-path (resume itself is crash-tested in
+    tests/test_curate.py against its own directories)."""
     import os
+    import shutil
 
     from .curate import curate_sf
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = f"/tmp/metrics_ray_curated_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
     manifest = curate_sf(sf_dir, out_dir)
     parts = sorted(manifest["partitions"])
     cols = ["n_input", "n_meta", "n_undecodable", "n_low_speech",

@@ -28,9 +28,8 @@ __version__ = "0.2.0"
 # applies engine-wide.
 import logging as _logging
 
-def quiet_ray_logs() -> None:
-    """Silence two known-noise ray.data warnings (idempotent, an int
-    assignment — safe to call per batch):
+class _KnownNoiseFilter(_logging.Filter):
+    """Drops exactly two known-noise ray.data warnings, nothing else:
 
     - transform_pyarrow's "Failed to hash the schemas (for
       deduplication)" — fires once per reduce task on pandas-block
@@ -40,15 +39,32 @@ def quiet_ray_logs() -> None:
       stages, where member and corpus rows legitimately interleave
       schemas before the groupby.
 
-    Importing ray.data (and its per-dataset configure_logging) RESETS
-    child logger levels, so a one-shot import-time setLevel does not
-    survive; execution funnels and per-batch closures re-apply this."""
-    _logging.getLogger(
-        "ray.data._internal.arrow_ops.transform_pyarrow"
-    ).setLevel(_logging.ERROR)
-    _logging.getLogger(
-        "ray.data._internal.execution.streaming_executor_state"
-    ).setLevel(_logging.ERROR)
+    A message-matching filter (not a level change) so every OTHER
+    warning from those modules still surfaces."""
+
+    _SUBSTRINGS = (
+        "Failed to hash the schemas (for deduplication)",
+        "produced a RefBundle with a different schema",
+    )
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        return not any(s in msg for s in self._SUBSTRINGS)
+
+
+_NOISE_FILTER = _KnownNoiseFilter()
+
+
+def quiet_ray_logs() -> None:
+    """Attach the known-noise filter to the two ray.data loggers
+    (idempotent, cheap — safe to call per batch). Importing ray.data
+    (and its per-dataset configure_logging) can reset logger state, so
+    execution funnels and per-batch closures re-apply this."""
+    for name in ("ray.data._internal.arrow_ops.transform_pyarrow",
+                 "ray.data._internal.execution.streaming_executor_state"):
+        lg = _logging.getLogger(name)
+        if _NOISE_FILTER not in lg.filters:
+            lg.addFilter(_NOISE_FILTER)
 
 
 quiet_ray_logs()

@@ -541,8 +541,12 @@ def q_doc_neardup_simhash(sf_dir: str) -> pa.Table:
     chunks (guaranteed candidate for hamming ≤ 3), verify hd ≤ 3. The
     signature's token hash is md5 (sketches.md5_lower64 ==
     md5_number_lower), so the oracle recomputes the signatures in SQL
-    and checks the exact O(n²) hamming pair set — the banding must find
-    ALL of it (pigeonhole guarantee), bit-for-bit."""
+    and checks the exact O(n²) hamming pair set, which the pigeonhole
+    banding reproduces in full — VALID WHILE no signature-chunk group
+    exceeds the cap_group_members skew cap (1000; holds for the fixtures
+    by construction). A degenerate corpus with >1000 same-chunk docs
+    trades exactness for bounded pair-gen (sampled subset), the same
+    deliberate cap/oracle domain as the minhash query."""
     def sig_batch(b: pa.Table) -> pa.Table:
         ids, keys, sigs = [], [], []
         for doc_id, txt in zip(b.column("doc_id").to_pylist(),
@@ -816,14 +820,17 @@ scored AS (
     FROM c
 ),
 labeled AS (
+    -- LEFT JOIN: a zero-word document has no rows in w/scored but the
+    -- engine still emits ('und', 0.0, 'none') for it
     SELECT d.doc_id, d.lang AS declared,
-           CASE WHEN s.best_hits = 0 OR s.conf < {T.LANG_CONF_LOW}
+           CASE WHEN s.doc_id IS NULL OR s.best_hits = 0
+                     OR s.conf < {T.LANG_CONF_LOW}
                 THEN 'und' ELSE s.best_lang END AS predicted,
-           s.conf AS confidence,
-           CASE WHEN s.conf >= {T.LANG_CONF_HIGH} THEN 'high'
-                WHEN s.conf >= {T.LANG_CONF_LOW} THEN 'low'
+           COALESCE(s.conf, 0.0) AS confidence,
+           CASE WHEN COALESCE(s.conf, 0.0) >= {T.LANG_CONF_HIGH} THEN 'high'
+                WHEN COALESCE(s.conf, 0.0) >= {T.LANG_CONF_LOW} THEN 'low'
                 ELSE 'none' END AS conf_tier
-    FROM documents d JOIN scored s USING (doc_id)
+    FROM documents d LEFT JOIN scored s USING (doc_id)
 )
 SELECT doc_id, declared, predicted, confidence, conf_tier,
        (predicted = declared) AS agree
@@ -1402,10 +1409,9 @@ def q_doc_curation(sf_dir: str) -> pa.Table:
     shuffle; union-find runs on the O(duplicates) pair list
     (stages/components.label_propagation is the unbounded-dup-rate path,
     tested equivalent). The final per-row labeling is the query's output
-    and is what a production run would write back as partitioned parquet."""
-    import hashlib
-    import unicodedata
-
+    and is what a production run would write back as partitioned parquet.
+    Oracle validity domain: exact while no banding group exceeds the
+    cap_group_members skew cap (see q_doc_neardup_simhash docstring)."""
     import ray
     import ray.data as rd
     import pyarrow.compute as pc
@@ -1417,15 +1423,11 @@ def q_doc_curation(sf_dir: str) -> pa.Table:
         txt = pc.fill_null(b.column("text"), "")
         n_words = pc.count_substring_regex(txt, r"\S+").to_numpy(
             zero_copy_only=False).astype(np.int64)
-        t = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(txt, r"\s+", " ")))
-        dg = [hashlib.md5(unicodedata.normalize("NFC", s).encode()).hexdigest()
-              for s in t.to_pylist()]
         return pa.table({
             "doc_id": b.column("doc_id"),
             "text": b.column("text"),
             "q_ok": pa.array((n_words >= CURATE_MIN_WORDS).tolist()),
-            "dg": pa.array(dg, pa.string()),
+            "dg": pa.array(canonical_digests(txt), pa.string()),
         })
 
     meta_refs = (corpus_ds(sf_dir).map_batches(meta, batch_format="pyarrow")
@@ -1596,6 +1598,27 @@ SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS copy
 FROM w WHERE n_copies > 0 ORDER BY doc_id, copy"""
 
 
+def canonical_norm(txt) -> list[str]:
+    """THE canonical normalization chain (whitespace collapse → trim →
+    lower → unicode NFC) — one definition shared by q_doc_normalize and
+    q_doc_curation's exact-dedup digest, mirroring the identical SQL
+    expression in SQL_DOC_NORMALIZE and SQL_DOC_CURATION."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    t = pc.utf8_lower(pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.fill_null(txt, ""), r"\s+", " ")))
+    return [unicodedata.normalize("NFC", s) for s in t.to_pylist()]
+
+
+def canonical_digests(txt) -> list[str]:
+    """md5 hexdigests of the canonical normalization (dedup keys)."""
+    import hashlib
+
+    return [hashlib.md5(s.encode()).hexdigest() for s in canonical_norm(txt)]
+
+
 def q_doc_normalize(sf_dir: str) -> pa.Table:
     """Canonical text normalization (whitespace collapse → trim → lower →
     unicode NFC) emitting the normalized-text digest + length — the
@@ -1605,15 +1628,9 @@ def q_doc_normalize(sf_dir: str) -> pa.Table:
     re2/utf8 kernels, NFC + md5 are C-speed per-string calls. Output is
     (doc_id, md5, n_chars) — the text itself never leaves the stage."""
     import hashlib
-    import unicodedata
-
-    import pyarrow.compute as pc
 
     def norm(b: pa.Table) -> pa.Table:
-        t = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.replace_substring_regex(
-                pc.fill_null(b.column("text"), ""), r"\s+", " ")))
-        out = [unicodedata.normalize("NFC", s) for s in t.to_pylist()]
+        out = canonical_norm(b.column("text"))
         return pa.table({
             "doc_id": b.column("doc_id"),
             "norm_md5": pa.array(

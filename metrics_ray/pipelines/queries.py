@@ -476,7 +476,10 @@ def _bankers_div1000(v: str) -> str:
             f"ELSE CAST(round(({v}) / 1000.0, 0) AS BIGINT) END")
 
 
-_DECODE_ATTRS_SQL = """base AS (
+# Shared doc_id-arithmetic mirror of synth.derive_clips_batch's
+# physical rows (clip_id remap + k%139 replicas) — composed by both
+# the decode-violation and audio-geometry oracle families.
+_FIXTURE_PHYS_SQL = """base AS (
     SELECT doc_id,
            CASE WHEN doc_id % 101 = 7 AND doc_id > 0
                 THEN printf('clip-%08d', doc_id - 1)
@@ -489,7 +492,9 @@ phys AS (
     UNION ALL
     SELECT printf('clip-9%07d', doc_id % 10000000), doc_id, h, TRUE
     FROM base WHERE doc_id % 139 = 41 AND doc_id > 0
-),
+)"""
+
+_DECODE_ATTRS_SQL = f"""{_FIXTURE_PHYS_SQL},
 attrs AS (
     SELECT clip_id, is_rep,
            CASE WHEN doc_id % 97 = 13 THEN 7999
@@ -985,20 +990,7 @@ def q_audio_features(sf_dir: str) -> pa.Table:
 # PCM length n. n = python round(base_sr*base_dur/1000) is banker's
 # rounding — emulated exactly at the .5 ties (v%1000==500 → round to
 # even); everywhere else integer half-up equals it.
-_AUDIO_GEO_SQL = """base AS (
-    SELECT doc_id,
-           CASE WHEN doc_id % 101 = 7 AND doc_id > 0
-                THEN printf('clip-%08d', doc_id - 1)
-                ELSE printf('clip-%08d', doc_id) END AS clip_id,
-           ((doc_id * 1103515245 + 12345) % 2147483648) AS h
-    FROM documents
-),
-phys AS (
-    SELECT clip_id, doc_id, h FROM base
-    UNION ALL
-    SELECT printf('clip-9%07d', doc_id % 10000000), doc_id, h
-    FROM base WHERE doc_id % 139 = 41 AND doc_id > 0
-),
+_AUDIO_GEO_SQL = f"""{_FIXTURE_PHYS_SQL},
 geo0 AS (
     SELECT clip_id,
            CASE WHEN doc_id % 97 = 13 THEN 7999

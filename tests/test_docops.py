@@ -211,3 +211,39 @@ def test_postings_capped_and_sorted():
         assert len(ids) <= POSTINGS_CAP
         assert ids == sorted(ids)
         assert r["dfn"] >= len(ids)
+
+
+def test_curation_statuses_match_seeded_expectations(ray_session):
+    """Behavioral pins beyond the SQL oracle: the seeded corpus twins must
+    land in the right buckets — exact twins (k%13==5 → doc_id+10M, same
+    text) are drop_exact when quality passes; near twins (k%17==2 →
+    doc_id+20M, text+' qzx') are drop_near when both ends survive; every
+    drop_quality doc has < CURATE_MIN_WORDS words."""
+    import pyarrow.parquet as pq
+
+    from metrics_ray.pipelines.docs import (
+        CURATE_MIN_WORDS, EXACT_OFF, NEAR_OFF, q_doc_curation)
+
+    got = q_doc_curation(SF).to_pandas().set_index("doc_id")["status"]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    n_words = docs.set_index("doc_id")["text"].str.split().str.len()
+
+    for k in docs["doc_id"]:
+        k = int(k)
+        if k % 13 == 5 and n_words[k] >= CURATE_MIN_WORDS:
+            # identical twin: exactly one of (k, k+EXACT_OFF) survives
+            # dedup; min doc_id keeps, so the replica is the exact drop
+            assert got[k + EXACT_OFF] == "drop_exact", k
+            assert got[k] not in ("drop_exact",), k
+        if (k % 17 == 2 and n_words[k] >= CURATE_MIN_WORDS
+                and got[k] not in ("drop_exact", "drop_near")):
+            # near twin differs by one appended token → Jaccard >= 0.8
+            # for long docs; the +NEAR_OFF member is the cluster drop
+            assert got[k + NEAR_OFF] == "drop_near", k
+    # quality drops are exactly the short docs (corpus rows inherit the
+    # source text, so twins of short docs are short too)
+    dropped_q = got[got == "drop_quality"].index
+    for d in dropped_q:
+        base = int(d) % 10_000_000
+        assert n_words[base] < CURATE_MIN_WORDS, d

@@ -113,3 +113,27 @@ def test_content_hash_large_types_slices_nulls():
         "transcript": t.column("transcript").cast(pa.string()),
         "clip_id": t.column("clip_id"), "partition": t.column("partition")})
     assert content_hash_batch(t2).column("key").to_pylist() == k1
+
+
+def test_noise_filter_is_selective():
+    """quiet_ray_logs drops exactly the two known-noise ray.data warnings
+    and passes everything else through (a level change would mask real
+    operational warnings from the same modules)."""
+    import logging
+
+    from metrics_ray import _NOISE_FILTER, quiet_ray_logs
+
+    quiet_ray_logs()  # idempotent: second attach must not duplicate
+    lg = logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow")
+    assert lg.filters.count(_NOISE_FILTER) == 1
+
+    def rec(msg):
+        return logging.LogRecord("x", logging.WARNING, "f", 1, msg, (), None)
+
+    assert not _NOISE_FILTER.filter(rec(
+        "Failed to hash the schemas (for deduplication): unhashable"))
+    assert not _NOISE_FILTER.filter(rec(
+        "Operator produced a RefBundle with a different schema than ..."))
+    assert _NOISE_FILTER.filter(rec("Failed to unify schemas: boom"))
+    assert _NOISE_FILTER.filter(rec("spilling 2 GiB to disk"))

@@ -1715,6 +1715,251 @@ FROM ranked WHERE rn <= {POSTINGS_CAP}
 GROUP BY term, dfn ORDER BY term"""
 
 
+# ------------------------------------------------- duplicated-span sweep
+
+DUP_SPAN_W = 10
+
+
+def q_doc_dup_spans(sf_dir: str) -> pa.Table:
+    """Cross-document duplicated-span sweep: for every corpus document,
+    the fraction of its word ``DUP_SPAN_W``-gram windows that also occur
+    in at least one OTHER document — the exact-substring dedup signal
+    from the training-data dedup literature, and the windowed
+    generalization of the reference's content-identity family
+    (ExtensionalConciseness.java:92-134 compares whole property sets;
+    this compares every sliding window).
+
+    Scale shape: one pass emits per-batch (gram, doc_id, cnt) partials
+    (one row per DISTINCT gram per doc — never the token stream), then
+    ONE bucketed co-group on gram marks grams seen in >=2 distinct docs
+    and folds to per-doc (n_windows, n_dup) partials inside the bucket;
+    a tiny groupby-sum on doc_id merges across buckets. Nothing is
+    broadcast and no stage holds more than a bucket. At 10^12 rows the
+    gram key becomes a 64-bit hash (same plan); the exact strings here
+    keep the oracle comparison collision-free."""
+    from ray.data.aggregate import Sum
+
+    W = DUP_SPAN_W
+
+    def gram_partials(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out_g: list[str] = []
+        out_d: list[int] = []
+        out_c: list[int] = []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            w = (txt or "").split()
+            if len(w) < W:
+                continue
+            c = Counter(" ".join(w[i:i + W]) for i in range(len(w) - W + 1))
+            for g, n in c.items():
+                out_g.append(g); out_d.append(int(did)); out_c.append(n)
+        return pa.table({"gram": pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "cnt": pa.array(out_c, pa.int64())})
+
+    def mark_and_fold(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gram")["doc_id"].transform("nunique")
+        g = g.assign(dup=np.where(nd >= 2, g["cnt"], 0))
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_windows=("cnt", "sum"), n_dup=("dup", "sum"))
+        return out
+
+    folded = grouped_apply(
+        corpus_ds(sf_dir).map_batches(gram_partials, batch_format="pyarrow"),
+        "gram", mark_and_fold,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_windows", pa.int64()),
+                              ("n_dup", pa.int64())]))
+
+    merged = (folded.groupby("doc_id", num_partitions=shuffle_blocks())
+              .aggregate(Sum("n_windows", alias_name="n_windows"),
+                         Sum("n_dup", alias_name="n_dup")))
+
+    def frac(b: pa.Table) -> pa.Table:
+        nw = b.column("n_windows").to_numpy()
+        nd = b.column("n_dup").to_numpy()
+        return b.append_column(
+            "dup_frac",
+            pa.array(round_half_away(nd / nw, 6), pa.float64()))
+
+    out = _collect(merged.map_batches(frac, batch_format="pyarrow"),
+                   ["doc_id"])
+    if out is None:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_windows": pa.array([], pa.int64()),
+                         "n_dup": pa.array([], pa.int64()),
+                         "dup_frac": pa.array([], pa.float64())})
+    return out.select(["doc_id", "n_windows", "n_dup", "dup_frac"])
+
+
+SQL_DOC_DUP_SPANS = f"""WITH {CORPUS_SQL}, words AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM corpus
+), wins AS (
+    SELECT doc_id, array_to_string(w[i : i + {DUP_SPAN_W - 1}], ' ') AS gram
+    FROM words, UNNEST(range(1, len(w) - {DUP_SPAN_W - 2})) AS t(i)
+    WHERE len(w) >= {DUP_SPAN_W}
+), dup_grams AS (
+    SELECT gram FROM wins GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup,
+       ROUND(SUM(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS dup_frac
+FROM wins w LEFT JOIN dup_grams d USING (gram)
+GROUP BY w.doc_id ORDER BY w.doc_id"""
+
+
+# ------------------------------------------------- unigram LM quality score
+
+def q_doc_lm_score(sf_dir: str) -> pa.Table:
+    """Per-document mean unigram log-probability under a language model
+    derived FROM the corpus itself — the CCNet/KenLM-style perplexity
+    quality filter reduced to its unigram core, and another instance of
+    the reference's model-based scorer family (CorrectLanguageTag.java:49-115
+    loads a language model in before() and scores every literal; here the
+    'model' is the corpus unigram distribution, derived distributedly).
+
+    Scale shape: pass 1 is the heavy-hitters token count (per-batch Arrow
+    value_counts partials → tiny groupby-sum); the resulting vocabulary
+    table is broadcast ONCE via ray.put (at web scale: top-V entries +
+    an OOV floor probability — same plan, bounded broadcast). Pass 2 is
+    row-local: mean log-prob per doc, no exchange."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b.column("text"), ""), pattern=r"\s+"))
+        vc = pc.value_counts(toks)
+        t = pa.table({"token": vc.field("values"),
+                      "n": vc.field("counts").cast(pa.int64())})
+        return t.filter(pc.invert(pc.equal(t.column("token"), "")))
+
+    freq = _collect(
+        documents_ds(sf_dir, ["text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token", num_partitions=shuffle_blocks())
+        .aggregate(Sum("n", alias_name="n")), ["token"])
+    counts = freq.column("n").to_numpy().astype(np.float64)
+    total = float(counts.sum())
+    logp = {t: float(np.log(c / total))
+            for t, c in zip(freq.column("token").to_pylist(), counts)}
+    ref = ray.put(logp)
+
+    def score(b: pa.Table) -> pa.Table:
+        bank = ray.get(ref)
+        ids, n_toks, scores = [], [], []
+        for did, txt in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+            w = (txt or "").split()
+            if not w:
+                continue
+            ids.append(int(did))
+            n_toks.append(len(w))
+            scores.append(float(np.mean([bank[t] for t in w])))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_toks, pa.int64()),
+            "lm_score": pa.array(round_half_away(np.array(scores), 6),
+                                 pa.float64()),
+        })
+
+    return _collect(
+        documents_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow"), ["doc_id"])
+
+
+SQL_DOC_LM_SCORE = """WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token
+    FROM documents
+), freq AS (
+    SELECT token, COUNT(*) AS c FROM toks GROUP BY token
+), tot AS (
+    SELECT COUNT(*) AS n FROM toks
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(f.c * 1.0 / tot.n)), 6) AS lm_score
+FROM toks t JOIN freq f USING (token), tot
+GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+
+# ------------------------------------------------- global percentile rank
+
+def q_doc_rank_pctl(sf_dir: str) -> pa.Table:
+    """Global rank + percent-rank of every document by token count
+    (tie-broken by doc_id — a total order) WITHOUT a global sort: the
+    window-rank family computed via the counting path.
+
+    Scale shape: the value domain (distinct token counts) is small and
+    bounded, so the cross-value prefix is a driver-side cumsum over a
+    tiny (n_tokens, count) histogram (broadcast back via closure);
+    within-value ordering needs only (n_tokens, doc_id) pairs co-grouped
+    by value — ONE exchange of two int64 columns, never a global sort of
+    the table. rank = prefix[value] + local_rank."""
+    from ray.data.aggregate import Count
+
+    def lengths(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # split yields '' entries at string edges; count non-empty tokens
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b.column("text"), ""), pattern=r"\s+")
+        real = pa.array(
+            [sum(1 for t in row if t) for row in toks.to_pylist()],
+            pa.int64())
+        return pa.table({"doc_id": b.column("doc_id"), "n_tokens": real})
+
+    pairs = documents_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        lengths, batch_format="pyarrow")
+
+    hist = _collect(
+        pairs.groupby("n_tokens", num_partitions=shuffle_blocks())
+        .aggregate(Count(alias_name="cnt")), ["n_tokens"])
+    vals = hist.column("n_tokens").to_numpy()
+    cnts = hist.column("cnt").to_numpy().astype(np.int64)
+    prefix = dict(zip(vals.tolist(),
+                      (np.cumsum(cnts) - cnts).tolist()))
+    n_total = int(cnts.sum())
+
+    def local_ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "doc_id"], kind="stable")
+        g["local"] = g.groupby("n_tokens").cumcount()
+        rank = np.array([prefix[v] for v in g["n_tokens"]]) + g["local"] + 1
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_tokens": g["n_tokens"],
+            "rnk": rank.astype(np.int64),
+            "pct_rank": round_half_away(
+                (rank - 1) / max(n_total - 1, 1), 6),
+        })
+
+    out = grouped_apply(
+        pairs, "n_tokens", local_ranks,
+        out_schema=pa.schema([("doc_id", pa.int64()),
+                              ("n_tokens", pa.int64()),
+                              ("rnk", pa.int64()),
+                              ("pct_rank", pa.float64())]))
+    return _collect(out, ["doc_id"])
+
+
+SQL_DOC_RANK_PCTL = """WITH t AS (
+    SELECT doc_id,
+           len(list_filter(regexp_extract_all(text, '\\S+'),
+                           x -> x <> '')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       RANK() OVER (ORDER BY n_tokens, doc_id) AS rnk,
+       ROUND((RANK() OVER (ORDER BY n_tokens, doc_id) - 1) * 1.0
+             / GREATEST(COUNT(*) OVER () - 1, 1), 6) AS pct_rank
+FROM t ORDER BY doc_id"""
+
+
 DOC_QUERIES = {
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
@@ -1740,4 +1985,7 @@ DOC_QUERIES = {
     "doc_pii": (q_doc_pii, SQL_DOC_PII),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
+    "doc_dup_spans": (q_doc_dup_spans, SQL_DOC_DUP_SPANS),
+    "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
+    "doc_rank_pctl": (q_doc_rank_pctl, SQL_DOC_RANK_PCTL),
 }

@@ -1116,6 +1116,32 @@ def q_audio_silence(sf_dir: str) -> pa.Table:
     }).sort_by("clip_id")
 
 
+def q_audio_gain(sf_dir: str) -> pa.Table:
+    """Loudness normalization audit (stages/audio_ops.py GainNormalizer):
+    per decodable clip, input RMS, output RMS and applied gain after
+    peak-ceiling-capped normalization to TARGET_RMS — rows-only (the RMS
+    is a function of the synthesized PCM); floats rounded for hash
+    stability; payload never leaves the stage."""
+    import pyarrow.compute as pc
+
+    from ..stages.audio_ops import GainNormalizer
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes"])
+    norm = ds.map_batches(GainNormalizer(), batch_format="pyarrow",
+                          batch_size=128)
+    import ray
+
+    tables = [t for t in ray.get(arrow_refs(norm)) if t.num_rows]
+    t = pa.concat_tables(tables)
+    return pa.table({
+        "clip_id": t.column("clip_id"),
+        "rms_in": pc.round(t.column("rms_in"), ndigits=6),
+        "rms_out": pc.round(t.column("rms_out"), ndigits=6),
+        "gain_db": pc.round(t.column("gain_db"), ndigits=6),
+    }).sort_by("clip_id")
+
+
 def q_audio_resample(sf_dir: str) -> pa.Table:
     """Sample-rate conversion to 16 kHz (stages/audio_ops.py Resampler).
     Output PCM is Ray-only, but the output LENGTH is an exact integer
@@ -1460,6 +1486,7 @@ VALIDATION_QUERIES = {
     "val_audio_features": (q_audio_features, None),
     "val_audio_chunks": (q_audio_chunks, SQL_AUDIO_CHUNKS),
     "val_audio_silence": (q_audio_silence, None),
+    "val_audio_gain": (q_audio_gain, None),
     "val_audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
     "val_curation": (q_curation, None),

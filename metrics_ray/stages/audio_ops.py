@@ -229,6 +229,63 @@ class SilenceProfiler:
              for n in PROFILE_SCHEMA.names})
 
 
+# -------------------------------------------------------------- gain
+
+GAIN_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("rms_in", pa.float64()),
+    ("rms_out", pa.float64()),
+    ("gain_db", pa.float64()),
+    ("bytes", pa.binary()),
+])
+
+TARGET_RMS = 0.25
+PEAK_CEIL = 0.999
+
+
+class GainNormalizer:
+    """Loudness normalization: scale each clip's PCM so its RMS hits
+    ``target_rms``, with the gain capped so the peak never exceeds
+    ``peak_ceil`` (no hard clipping introduced) — the level-normalization
+    pass every speech-training pipeline runs before featurization.
+    Output is canonical pcm_s16le (one decode, transform fused).
+    Undecodable or silent clips are dropped (the decode check's problem,
+    not this stage's)."""
+
+    columns = ("clip_id", "bytes")
+
+    def __init__(self, target_rms: float = TARGET_RMS,
+                 peak_ceil: float = PEAK_CEIL):
+        self.target_rms = float(target_rms)
+        self.peak_ceil = float(peak_ceil)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("clip_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        out = {k: [] for k in GAIN_SCHEMA.names}
+        for cid, payload in zip(ids, payloads):
+            try:
+                _, pcm = audio.decode(payload)
+            except (ValueError, TypeError):
+                continue
+            x = pcm.astype(np.float64)
+            rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+            peak = float(np.max(np.abs(x))) if len(x) else 0.0
+            if rms == 0.0 or peak == 0.0:
+                continue
+            gain = min(self.target_rms / rms, self.peak_ceil / peak)
+            y = (x * gain).astype(np.float32)
+            out["clip_id"].append(cid)
+            out["rms_in"].append(rms)
+            out["rms_out"].append(float(np.sqrt(np.mean(
+                y.astype(np.float64) ** 2))))
+            out["gain_db"].append(float(20.0 * np.log10(gain)))
+            out["bytes"].append(audio.encode(y, "pcm_s16le"))
+        return pa.table(
+            {n: pa.array(out[n], GAIN_SCHEMA.field(n).type)
+             for n in GAIN_SCHEMA.names})
+
+
 # ------------------------------------------------------------------ packing
 
 PACK_SCHEMA = pa.schema([

@@ -185,3 +185,63 @@ def test_pack_clips_matches_manual_prefix_scan():
     assert got["clip_id"].tolist() == ["c0", "c1", "c2", "c3", "c5"]
     assert got["pack_id"].tolist() == [0, 0, 0, 1, 0]
     assert got["offset_ms"].tolist() == [0, 900, 1800, 700, 0]
+
+
+# -------------------------------------------------------------- gain
+
+def test_gain_normalizer_hits_target_rms():
+    import numpy as np
+    import pyarrow as pa
+
+    from metrics_ray import audio
+    from metrics_ray.stages.audio_ops import GainNormalizer, TARGET_RMS
+
+    # quiet signal: normalization reaches the target exactly (no peak cap)
+    pcm = (0.01 * np.sin(0.05 * np.arange(8000))).astype(np.float32)
+    batch = pa.table({"clip_id": pa.array(["a"], pa.string()),
+                      "bytes": pa.array([audio.encode(pcm, "pcm_s16le")],
+                                        pa.binary())})
+    out = GainNormalizer()(batch)
+    assert out.num_rows == 1
+    assert abs(out.column("rms_out")[0].as_py() - TARGET_RMS) < 1e-3
+    # round-trip: the emitted payload really is the gained signal
+    _, dec = audio.decode(out.column("bytes")[0].as_py())
+    assert abs(float(np.sqrt(np.mean(dec.astype(np.float64) ** 2)))
+               - TARGET_RMS) < 1e-3
+
+
+def test_gain_normalizer_peak_cap_prevents_clipping():
+    import numpy as np
+    import pyarrow as pa
+
+    from metrics_ray import audio
+    from metrics_ray.stages.audio_ops import GainNormalizer, PEAK_CEIL
+
+    # spiky signal: low RMS but peak near full scale -> gain is peak-capped
+    pcm = np.zeros(8000, dtype=np.float32)
+    pcm[::400] = 0.9
+    batch = pa.table({"clip_id": pa.array(["spiky"], pa.string()),
+                      "bytes": pa.array([audio.encode(pcm, "pcm_s16le")],
+                                        pa.binary())})
+    out = GainNormalizer()(batch)
+    _, dec = audio.decode(out.column("bytes")[0].as_py())
+    assert float(np.max(np.abs(dec))) <= PEAK_CEIL + 1e-3
+    # capped -> rms_out falls short of the target
+    assert out.column("rms_out")[0].as_py() < 0.25
+
+
+def test_gain_normalizer_drops_undecodable_and_silent():
+    import numpy as np
+    import pyarrow as pa
+
+    from metrics_ray import audio
+    from metrics_ray.stages.audio_ops import GainNormalizer
+
+    silent = np.zeros(100, dtype=np.float32)
+    batch = pa.table({
+        "clip_id": pa.array(["bad", "silent"], pa.string()),
+        "bytes": pa.array([b"XXXXgarbage",
+                           audio.encode(silent, "pcm_s16le")], pa.binary()),
+    })
+    out = GainNormalizer()(batch)
+    assert out.num_rows == 0

@@ -247,3 +247,69 @@ def test_curation_statuses_match_seeded_expectations(ray_session):
     for d in dropped_q:
         base = int(d) % 10_000_000
         assert n_words[base] < CURATE_MIN_WORDS, d
+
+
+# ------------------------------------------- dup spans / lm score / rank
+
+def test_dup_spans_seeded_exact_dup_is_fully_duplicated(ray_session):
+    """The k%13==5 corpus family copies text verbatim: both members of
+    each pair must report dup_frac == 1.0 (every window shared)."""
+    from metrics_ray.pipelines.docs import EXACT_OFF, q_doc_dup_spans
+
+    t = q_doc_dup_spans(SF).to_pandas().set_index("doc_id")
+    replicas = [d for d in t.index if d >= EXACT_OFF and d < 20_000_000]
+    assert replicas, "no seeded exact-dup replicas in output"
+    for rid in replicas:
+        base = rid - EXACT_OFF
+        assert t.loc[rid, "dup_frac"] == 1.0
+        assert t.loc[base, "dup_frac"] == 1.0
+        assert t.loc[rid, "n_windows"] == t.loc[base, "n_windows"]
+
+
+def test_dup_spans_near_dup_shares_all_but_tail_windows(ray_session):
+    """The k%17==2 near-dup appends one word: the replica gains exactly
+    one window and every base window stays duplicated."""
+    from metrics_ray.pipelines.docs import NEAR_OFF, q_doc_dup_spans
+
+    t = q_doc_dup_spans(SF).to_pandas().set_index("doc_id")
+    replicas = [d for d in t.index if d >= NEAR_OFF]
+    assert replicas
+    for rid in replicas:
+        base = rid - NEAR_OFF
+        if base not in t.index:
+            continue
+        assert t.loc[rid, "n_windows"] == t.loc[base, "n_windows"] + 1
+        # base doc: all windows appear in the replica too
+        assert t.loc[base, "n_dup"] == t.loc[base, "n_windows"]
+
+
+def test_lm_score_matches_numpy_recompute(ray_session):
+    """Mean unigram log-prob recomputed from raw pandas counts."""
+    import numpy as np
+
+    from metrics_ray.functions.rounding import round_half_away
+    from metrics_ray.pipelines.docs import q_doc_lm_score
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = docs.assign(tok=docs["text"].str.split()).explode("tok")
+    freq = toks["tok"].value_counts()
+    total = float(freq.sum())
+    logp = np.log(freq / total)
+    want = toks.groupby("doc_id")["tok"].agg(
+        lambda s: float(np.mean([logp[t] for t in s])))
+    got = q_doc_lm_score(SF).to_pandas().set_index("doc_id")
+    assert len(got) == len(want)
+    for did, val in want.items():
+        assert got.loc[did, "lm_score"] == round_half_away(np.array([val]), 6)[0]
+
+
+def test_rank_pctl_is_a_total_order_permutation(ray_session):
+    from metrics_ray.pipelines.docs import q_doc_rank_pctl
+
+    t = q_doc_rank_pctl(SF).to_pandas()
+    n = len(t)
+    assert sorted(t["rnk"]) == list(range(1, n + 1))
+    ordered = t.sort_values("rnk")
+    assert ordered["n_tokens"].is_monotonic_increasing
+    assert ordered["pct_rank"].iloc[0] == 0.0
+    assert ordered["pct_rank"].iloc[-1] == 1.0

@@ -14,7 +14,7 @@ from functools import partial
 import numpy as np
 import pyarrow as pa
 
-from .. import synth
+from .. import audio, synth
 from ..checks.base import CheckContext
 from ..checks.keyed import content_duplicates, exact_duplicate_keys
 from ..checks.referential import ReferentialCheck
@@ -1142,6 +1142,165 @@ def q_audio_gain(sf_dir: str) -> pa.Table:
     }).sort_by("clip_id")
 
 
+# ----------------------------------------------------- acoustic near-dup
+
+ACOUSTIC_MOD, ACOUSTIC_RES = 151, 7
+_NEXT_CODEC = {"pcm_s16le": "flac", "flac": "mp3",
+               "mp3": "opus", "opus": "pcm_s16le"}
+# spectral-centroid banding: step of the staggered grids (cycles/sample)
+# and the verify tolerance. Two grids offset by step/2 guarantee a shared
+# cell whenever |Δcentroid| < step/4; codec requantization perturbs a
+# centroid by <<1e-6 while distinct synth seeds differ by >=8e-5 per
+# component — so the seeded pairs always candidate and verify, and
+# adjacent-seed clips that band-collide are rejected by the tolerance.
+_AC_STEP = 1.0 / 8192.0
+_AC_TOL = 2e-5
+
+
+def _acoustic_corpus_batch(b: pa.Table) -> pa.Table:
+    """clips batch → clip rows + seeded TRANSCODED replicas: rows whose
+    8-digit key k has k % 151 == 7 and whose payload decodes get a second
+    row (id ``clip-8%07d``) carrying the SAME decoded PCM re-encoded with
+    the next codec — byte-different, acoustically identical (modulo codec
+    quantization). Row-pure, so it runs at any batch size."""
+    import re
+
+    ids = b.column("clip_id").to_pylist()
+    pays = b.column("bytes").to_pylist()
+    out_i, out_p = list(ids), list(pays)
+    for cid, pay in zip(ids, pays):
+        m = re.fullmatch(r"clip-(\d{8})", cid or "")
+        if not m or int(m.group(1)) % ACOUSTIC_MOD != ACOUSTIC_RES:
+            continue
+        try:
+            actual, pcm = audio.decode(pay)
+        except (ValueError, TypeError):
+            continue
+        if len(pcm) == 0:
+            continue
+        out_i.append(f"clip-8{int(m.group(1)) % 10_000_000:07d}")
+        out_p.append(audio.encode(pcm, _NEXT_CODEC[actual]))
+    return pa.table({"clip_id": pa.array(out_i, pa.string()),
+                     "bytes": pa.array(out_p, pa.binary())})
+
+
+def _spectral_centroids(pcm: np.ndarray) -> tuple[int, list[float]]:
+    """(n_samples, three peak-cluster spectral centroids in cycles/sample,
+    ascending). Centroids are codec-robust: requantization noise is
+    broadband and ~54 dB below the sine peaks, so it moves an
+    energy-weighted peak centroid by far less than the verify tolerance."""
+    x = pcm.astype(np.float64)
+    n = len(x)
+    spec = np.abs(np.fft.rfft(x))
+    spec[0] = 0.0
+    cs: list[float] = []
+    for _ in range(3):
+        b = int(np.argmax(spec))
+        lo, hi = max(b - 2, 0), min(b + 3, len(spec))
+        mag = spec[lo:hi]
+        tot = float(mag.sum())
+        if tot <= 0.0:
+            break
+        cs.append(float((np.arange(lo, hi) * mag).sum() / tot / n))
+        spec[max(b - 6, 0):min(b + 7, len(spec))] = 0.0
+    while len(cs) < 3:
+        cs.append(0.0)
+    return n, sorted(cs)
+
+
+def q_audio_neardup(sf_dir: str) -> pa.Table:
+    """Acoustic near-duplicate detection: pairs of clips whose DECODED
+    audio is the same signal even when the payload bytes differ (the
+    same-recording-re-encoded case that byte-level content dedup cannot
+    see). Runs over the clips table plus seeded transcoded replicas
+    (_acoustic_corpus_batch). Rows-only: the fingerprint is FFT-based
+    DSP with no SQL mirror; tests assert exact recovery of the seeded
+    pair set plus PCM-level verification of every reported pair.
+
+    Scale shape (the LSH pattern, audio flavor): one decode per clip
+    emits a 4-float fingerprint row (n_samples + 3 spectral centroids) —
+    the payload never leaves the decode stage; banding on two staggered
+    quantization grids guarantees candidate generation for any
+    codec-level perturbation; ONE bucketed co-group on the band key
+    verifies within the bucket using the carried centroids (no broadcast,
+    no second decode). Pair volume is bounded by a deterministic per-band
+    cap."""
+    import pandas as pd
+
+    from ..checks.keyed import grouped_apply
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes"]).map_batches(
+        _acoustic_corpus_batch, batch_format="pyarrow")
+
+    def fingerprint(b: pa.Table) -> pa.Table:
+        ids_out, keys, ns, c1s, c2s, c3s = [], [], [], [], [], []
+        for cid, pay in zip(b.column("clip_id").to_pylist(),
+                            b.column("bytes").to_pylist()):
+            try:
+                _, pcm = audio.decode(pay)
+            except (ValueError, TypeError):
+                continue
+            if len(pcm) == 0:
+                continue
+            n, cs = _spectral_centroids(pcm)
+            for grid in (0.0, 0.5):
+                q = [int(np.floor(c / _AC_STEP + grid)) for c in cs]
+                ids_out.append(cid)
+                keys.append(f"{n}:{q[0]}:{q[1]}:{q[2]}:{grid}")
+                ns.append(n); c1s.append(cs[0]); c2s.append(cs[1])
+                c3s.append(cs[2])
+        return pa.table({
+            "band": pa.array(keys, pa.string()),
+            "clip_id": pa.array(ids_out, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "c1": pa.array(c1s, pa.float64()),
+            "c2": pa.array(c2s, pa.float64()),
+            "c3": pa.array(c3s, pa.float64()),
+        })
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("band", sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("clip_id", kind="stable").head(64)
+            ids = grp["clip_id"].to_numpy()
+            c = grp[["c1", "c2", "c3"]].to_numpy()
+            nn = grp["n"].to_numpy()
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    if ids[i] == ids[j] or nn[i] != nn[j]:
+                        continue
+                    if np.max(np.abs(c[i] - c[j])) <= _AC_TOL:
+                        out_a.append(ids[i]); out_b.append(ids[j])
+        return pd.DataFrame({"clip_a": out_a, "clip_b": out_b})
+
+    pairs = grouped_apply(
+        ds.map_batches(fingerprint, batch_format="pyarrow"),
+        "band", verify,
+        out_schema=pa.schema([("clip_a", pa.string()),
+                              ("clip_b", pa.string())]))
+    t = _collect_simple(pairs)
+    if t is None:
+        return pa.table({"clip_a": pa.array([], pa.string()),
+                         "clip_b": pa.array([], pa.string())})
+    # the two grids can both admit a pair — final distinct (pair set is
+    # O(seeded dups), driver-sized)
+    df = t.to_pandas().drop_duplicates().sort_values(
+        ["clip_a", "clip_b"], kind="stable")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _collect_simple(ds) -> pa.Table | None:
+    import ray
+
+    tables = [t for t in ray.get(arrow_refs(ds)) if t.num_rows]
+    if not tables:
+        return None
+    return pa.concat_tables(tables)
+
+
 def q_audio_resample(sf_dir: str) -> pa.Table:
     """Sample-rate conversion to 16 kHz (stages/audio_ops.py Resampler).
     Output PCM is Ray-only, but the output LENGTH is an exact integer
@@ -1487,6 +1646,7 @@ VALIDATION_QUERIES = {
     "val_audio_chunks": (q_audio_chunks, SQL_AUDIO_CHUNKS),
     "val_audio_silence": (q_audio_silence, None),
     "val_audio_gain": (q_audio_gain, None),
+    "val_audio_neardup": (q_audio_neardup, None),
     "val_audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
     "val_curation": (q_curation, None),

@@ -245,3 +245,62 @@ def test_gain_normalizer_drops_undecodable_and_silent():
     })
     out = GainNormalizer()(batch)
     assert out.num_rows == 0
+
+
+# ---------------------------------------------------- acoustic near-dup
+
+def test_audio_neardup_finds_exactly_the_same_signal_pairs(ray_session):
+    """Recall: every seeded transcoded replica pairs with its base.
+    Precision: every reported pair is the same signal at PCM level
+    (same length, cosine >= 0.999) — verified by decoding both members."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from metrics_ray import audio
+    from metrics_ray.pipelines.clips import ensure_clips_parquet
+    from metrics_ray.pipelines.queries import (
+        ACOUSTIC_MOD,
+        ACOUSTIC_RES,
+        _acoustic_corpus_batch,
+        q_audio_neardup,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    t = q_audio_neardup(SF)
+    got = set(zip(t.column("clip_a").to_pylist(),
+                  t.column("clip_b").to_pylist()))
+    assert got, "no acoustic pairs found"
+
+    clips = pq.read_table(ensure_clips_parquet(SF),
+                          columns=["clip_id", "bytes"])
+    expected = set()
+    for cid, pay in zip(clips.column("clip_id").to_pylist(),
+                        clips.column("bytes").to_pylist()):
+        m = re.fullmatch(r"clip-(\d{8})", cid)
+        if not m or int(m.group(1)) % ACOUSTIC_MOD != ACOUSTIC_RES:
+            continue
+        try:
+            _, pcm = audio.decode(pay)
+        except (ValueError, TypeError):
+            continue
+        if len(pcm):
+            expected.add(tuple(sorted(
+                (cid, f"clip-8{int(m.group(1)) % 10_000_000:07d}"))))
+    assert expected, "fixture seeded no transcode pairs"
+    assert expected <= got  # full recall of the seeded pair set
+
+    ac = _acoustic_corpus_batch(clips)
+    id2pay = dict(zip(ac.column("clip_id").to_pylist(),
+                      ac.column("bytes").to_pylist()))
+    for a, b in got:
+        _, xa = audio.decode(id2pay[a])
+        _, xb = audio.decode(id2pay[b])
+        assert len(xa) == len(xb), (a, b)
+        cos = float(np.dot(xa, xb)
+                    / (np.linalg.norm(xa) * np.linalg.norm(xb)))
+        assert cos >= 0.999, (a, b, cos)
+    # the only non-seeded pairs are the byte-identical content-dup family
+    for a, b in got - expected:
+        assert b.startswith("clip-9") or a.startswith("clip-9"), (a, b)

@@ -534,6 +534,89 @@ SELECT doc AS doc_id, MIN(lbl) AS cluster_id
 FROM reach GROUP BY doc ORDER BY doc"""
 
 
+def q_doc_keep_best(sf_dir: str) -> pa.Table:
+    """Quality-ranked duplicate-cluster resolution: within each near-dup
+    cluster keep the LONGEST member (ties → min doc_id) instead of the
+    min-id representative — the curation rule real pipelines use when a
+    near-dup family contains one fuller copy (the seeded near-dup
+    replicas carry one extra word, so the keeper is the replica, not the
+    base — distinguishing this from q_doc_dup_clusters by construction).
+
+    Scale shape: member metadata is fetched distributedly (broadcast the
+    O(duplicates) member-id set, row-local length computation, collect
+    only member rows); cluster resolution itself consumes the memoized
+    pair graph like q_doc_dup_clusters."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.components import connected_components_local
+
+    pairs = q_doc_neardup_minhash(sf_dir)
+    cc = connected_components_local(pairs)
+    if len(cc) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64()),
+                         "keeper_id": pa.array([], pa.int64())})
+    ref = ray.put(frozenset(int(d) for d in cc["doc_id"]))
+
+    def member_lengths(b: pa.Table) -> pa.Table:
+        bank = ray.get(ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = b.filter(pa.array([int(i) in bank for i in ids]))
+        return pa.table({
+            "doc_id": sel.column("doc_id").cast(pa.int64()),
+            "n_chars": pc.utf8_length(
+                pc.fill_null(sel.column("text"), "")).cast(pa.int64()),
+        })
+
+    scored = _collect(corpus_ds(sf_dir).map_batches(
+        member_lengths, batch_format="pyarrow"), ["doc_id"])
+    df = cc.merge(scored.to_pandas(), on="doc_id", how="left")
+    ranked = df.sort_values(["cluster_id", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+    keeper = ranked.groupby("cluster_id")["doc_id"].first()
+    df["keeper_id"] = df["cluster_id"].map(keeper).astype("int64")
+    df = df.sort_values("doc_id", kind="stable")
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "cluster_id": pa.array(df["cluster_id"].to_numpy(), pa.int64()),
+        "keeper_id": pa.array(df["keeper_id"].to_numpy(), pa.int64()),
+    })
+
+
+SQL_DOC_KEEP_BEST = f"""WITH RECURSIVE {CORPUS_SQL.strip().lstrip()},
+{_SHINGLES_SQL},
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= {NEAR_DUP_TAU}
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.doc
+),
+members AS (
+    SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc
+),
+scored AS (
+    SELECT m.doc_id, m.cluster_id, len(c.text) AS n_chars
+    FROM members m JOIN corpus c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       FIRST_VALUE(doc_id) OVER (
+           PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+       ) AS keeper_id
+FROM scored ORDER BY doc_id"""
+
+
 # ----------------------------------------------------------- SimHash neardup
 
 def q_doc_neardup_simhash(sf_dir: str) -> pa.Table:
@@ -1985,6 +2068,7 @@ DOC_QUERIES = {
     "doc_pii": (q_doc_pii, SQL_DOC_PII),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
+    "doc_keep_best": (q_doc_keep_best, SQL_DOC_KEEP_BEST),
     "doc_dup_spans": (q_doc_dup_spans, SQL_DOC_DUP_SPANS),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "doc_rank_pctl": (q_doc_rank_pctl, SQL_DOC_RANK_PCTL),

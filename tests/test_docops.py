@@ -313,3 +313,21 @@ def test_rank_pctl_is_a_total_order_permutation(ray_session):
     assert ordered["n_tokens"].is_monotonic_increasing
     assert ordered["pct_rank"].iloc[0] == 0.0
     assert ordered["pct_rank"].iloc[-1] == 1.0
+
+
+def test_keep_best_prefers_longest_member(ray_session):
+    """Every cluster's keeper has maximal length (ties -> min doc_id),
+    recomputed from the corpus texts."""
+    from metrics_ray.pipelines.docs import corpus_ds, q_doc_keep_best
+
+    t = q_doc_keep_best(SF).to_pandas()
+    assert len(t), "no clusters"
+    texts = {}
+    for b in corpus_ds(SF).iter_batches(batch_format="pyarrow"):
+        texts.update(zip(b.column("doc_id").to_pylist(),
+                         b.column("text").to_pylist()))
+    for cid, grp in t.groupby("cluster_id"):
+        keeper = grp["keeper_id"].iloc[0]
+        assert (grp["keeper_id"] == keeper).all()
+        best = sorted(grp["doc_id"], key=lambda d: (-len(texts[d]), d))[0]
+        assert keeper == best, (cid, keeper, best)

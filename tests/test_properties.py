@@ -282,3 +282,23 @@ def test_md5_lower64_matches_duckdb(vals):
         [strs]).fetchall()]
     con.close()
     assert got == want
+
+
+@given(st.floats(min_value=0.0, max_value=0.5, allow_nan=False),
+       st.floats(min_value=-1.0, max_value=1.0))
+@settings(max_examples=200, deadline=None)
+def test_staggered_grids_guarantee_shared_cell(center, jitter_frac):
+    """The acoustic near-dup banding contract: two grids of step s offset
+    by s/2 place any two values within s/4 of each other into the same
+    cell on at least one grid — so codec-level centroid perturbation
+    (<< s/4) can never lose a candidate pair."""
+    import numpy as np
+
+    from metrics_ray.pipelines.queries import _AC_STEP as s
+
+    a = center
+    b = center + jitter_frac * (s / 4.0) * 0.999  # |a-b| < s/4
+    codes_a = {int(np.floor(a / s + g)) for g in (0.0, 0.5)}
+    shared = any(int(np.floor(b / s + g)) == int(np.floor(a / s + g))
+                 for g in (0.0, 0.5))
+    assert shared, (a, b, codes_a)

@@ -1292,6 +1292,128 @@ def q_audio_neardup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+AUDIO_EMBED_DIM = 16
+
+
+def _audio_embed(pcm: np.ndarray) -> np.ndarray:
+    """16-dim spectral embedding: 8 coarse FFT-band energies + 8 octave-
+    spaced band energies, log-compressed, L2-normalized. A pure function
+    of the signal — codec requantization perturbs it by ~1e-5, so the
+    same recording under different codecs embeds to cosine ≈ 1 while
+    distinct synth seeds (different sine frequencies) land in different
+    bands."""
+    x = pcm.astype(np.float64)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    spec[0] = 0.0
+    m = len(spec)
+    # 8 equal-width bands + 8 octave bands (emphasize low frequencies,
+    # where the fixture's sine content lives)
+    eq = [spec[m * i // 8: m * (i + 1) // 8].sum() for i in range(8)]
+    oct_edges = [0.0] + [2.0 ** -(7 - i) for i in range(8)]
+    oc = [spec[int(m * oct_edges[i]):int(m * oct_edges[i + 1])].sum()
+          for i in range(8)]
+    v = np.log1p(np.array(eq + oc))
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def q_audio_knn(sf_dir: str) -> pa.Table:
+    """Audio similarity search: decode → spectral embedding → brute-force
+    cosine top-1 over the acoustic corpus, queried with the seeded
+    transcoded replicas — the multimodal end-to-end ANN path (decode →
+    featurize → normalize → search) over the audio payload itself.
+    Rows-only (FFT DSP); tests assert every replica retrieves its base
+    as the nearest neighbor with cosine ≈ 1.
+
+    Scale shape (the emb_knn pattern): the query matrix (replicas —
+    O(corpus/151) here; bounded by construction in a real run) is
+    broadcast once via ray.put; each batch embeds its clips (one decode,
+    payload never leaves the stage) and emits per-batch top-1 PARTIALS
+    (one row per query per batch); the driver merges O(batches × queries)
+    partial rows, never the corpus."""
+    import ray
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes"]).map_batches(
+        _acoustic_corpus_batch, batch_format="pyarrow")
+
+    def embed(b: pa.Table) -> pa.Table:
+        ids, vecs = [], []
+        for cid, pay in zip(b.column("clip_id").to_pylist(),
+                            b.column("bytes").to_pylist()):
+            try:
+                _, pcm = audio.decode(pay)
+            except (ValueError, TypeError):
+                continue
+            if len(pcm) == 0:
+                continue
+            ids.append(cid)
+            vecs.append(_audio_embed(pcm))
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "vec": pa.array([list(map(float, v)) for v in vecs],
+                            pa.list_(pa.float64())),
+        })
+
+    embedded = ds.map_batches(embed, batch_format="pyarrow")
+
+    # query side: the replica clips (clip-8*) — collected once, tiny
+    def pick_queries(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.starts_with(b.column("clip_id"), "clip-8"))
+
+    q_parts = [t for t in __import__("ray").get(arrow_refs(
+        embedded.map_batches(pick_queries, batch_format="pyarrow")))
+        if t.num_rows]
+    if not q_parts:
+        return pa.table({"query_id": pa.array([], pa.string()),
+                         "neighbor_id": pa.array([], pa.string()),
+                         "cos": pa.array([], pa.float64())})
+    qt = pa.concat_tables(q_parts)
+    q_ids = qt.column("clip_id").to_pylist()
+    q_mat = np.array(qt.column("vec").to_pylist(), dtype=np.float64)
+    ref = ray.put((q_ids, q_mat))
+
+    def top1_partial(b: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(ref)
+        ids = b.column("clip_id").to_pylist()
+        if not ids:
+            return pa.table({"query_id": pa.array([], pa.string()),
+                             "neighbor_id": pa.array([], pa.string()),
+                             "cos": pa.array([], pa.float64())})
+        mat = np.array(b.column("vec").to_pylist(), dtype=np.float64)
+        sims = mat_q @ mat.T  # (n_queries, batch)
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(ids_q):
+            order = np.argsort(-sims[qi], kind="stable")
+            for bi in order[:2]:  # top-2 so self can be excluded later
+                if ids[bi] == qid:
+                    continue
+                out_q.append(qid); out_n.append(ids[bi])
+                out_c.append(float(sims[qi, bi]))
+                break
+        return pa.table({"query_id": pa.array(out_q, pa.string()),
+                         "neighbor_id": pa.array(out_n, pa.string()),
+                         "cos": pa.array(out_c, pa.float64())})
+
+    parts = [t for t in ray.get(arrow_refs(
+        embedded.map_batches(top1_partial, batch_format="pyarrow")))
+        if t.num_rows and "query_id" in t.schema.names]
+    merged = pa.concat_tables(parts).to_pandas()
+    best = (merged.sort_values(["query_id", "cos", "neighbor_id"],
+                               ascending=[True, False, True], kind="stable")
+            .groupby("query_id", as_index=False).first())
+    import pyarrow.compute as pc
+
+    t = pa.Table.from_pandas(best, preserve_index=False)
+    return pa.table({
+        "query_id": t.column("query_id"),
+        "neighbor_id": t.column("neighbor_id"),
+        "cos": pc.round(t.column("cos"), ndigits=6),
+    }).sort_by("query_id")
+
+
 def _collect_simple(ds) -> pa.Table | None:
     import ray
 
@@ -1647,6 +1769,7 @@ VALIDATION_QUERIES = {
     "val_audio_silence": (q_audio_silence, None),
     "val_audio_gain": (q_audio_gain, None),
     "val_audio_neardup": (q_audio_neardup, None),
+    "val_audio_knn": (q_audio_knn, None),
     "val_audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
     "val_curation": (q_curation, None),

@@ -304,3 +304,17 @@ def test_audio_neardup_finds_exactly_the_same_signal_pairs(ray_session):
     # the only non-seeded pairs are the byte-identical content-dup family
     for a, b in got - expected:
         assert b.startswith("clip-9") or a.startswith("clip-9"), (a, b)
+
+
+def test_audio_knn_replicas_retrieve_their_base(ray_session):
+    """Audio similarity search: every seeded transcoded replica's nearest
+    neighbor (by spectral-embedding cosine) is its base clip, at
+    cosine ~ 1 — the decode -> featurize -> normalize -> search path."""
+    from metrics_ray.pipelines.queries import q_audio_knn
+
+    t = q_audio_knn("/root/testdata/sf0.001").to_pandas()
+    assert len(t) > 0, "no replica queries embedded"
+    for _, r in t.iterrows():
+        base = f"clip-{int(r.query_id[6:]):08d}"
+        assert r.neighbor_id == base, (r.query_id, r.neighbor_id)
+        assert r.cos >= 0.9999, (r.query_id, r.cos)

@@ -944,7 +944,92 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""
 
 
+def q_ev_amount_outliers(sf_dir: str) -> pa.Table:
+    """Per-group statistical outlier flagging: events whose value sits
+    more than 3 population standard deviations above their type's mean —
+    the distribution-based anomaly screen of the drift/quality family
+    applied row-wise (every flagged row is a violation candidate, the
+    ProblemCollection shape).
+
+    Scale shape (derive-stats-then-scan, the two-pass
+    UsageOfIncorrectDomainOrRange pattern): pass 1 folds each batch to
+    (type, n, sum, sumsq) partials — constant rows per batch — merged by
+    a tiny groupby; the resulting O(groups) moment table broadcasts via
+    closure; pass 2 is row-local z-scoring, no exchange. z is rounded to
+    6 decimals on BOTH sides before thresholding so engine and oracle
+    flag identical rows."""
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pylist(),
+            "v": b.column("value").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("event_type", sort=False)["v"].agg(
+            n="size", s="sum", ss=lambda x: float((x.to_numpy() ** 2).sum()))
+        g = g.reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "n": pa.array(g["n"].astype("int64")),
+            "s": pa.array(g["s"].astype("float64")),
+            "ss": pa.array(g["ss"].astype("float64")),
+        })
+
+    agg = (_read(sf_dir, "events", ["event_type", "value"])
+           .map_batches(moments, batch_format="pyarrow")
+           .groupby("event_type", num_partitions=shuffle_blocks())
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Sum("ss", alias_name="ss"))
+           .to_pandas())
+    stats = {}
+    for _, r in agg.iterrows():
+        mu = r["s"] / r["n"]
+        var = max(r["ss"] / r["n"] - mu * mu, 0.0)
+        stats[r["event_type"]] = (mu, float(np.sqrt(var)))
+
+    def scan(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False)
+        types = b.column("event_type").to_pylist()
+        vals = b.column("value").to_numpy(zero_copy_only=False)
+        mu = np.array([stats[t][0] for t in types])
+        sd = np.array([stats[t][1] for t in types])
+        z = round_half_away((vals - mu) / np.where(sd > 0, sd, 1.0), 6)
+        m = (z > 3.0) & (sd > 0)
+        return pa.table({
+            "event_id": pa.array(ids[m].astype(np.int64)),
+            "event_type": pa.array([t for t, k in zip(types, m) if k],
+                                   pa.string()),
+            "value": pa.array(vals[m].astype(np.float64)),
+            "z": pa.array(z[m], pa.float64()),
+        })
+
+    out = _read(sf_dir, "events",
+                ["event_id", "event_type", "value"]).map_batches(
+        scan, batch_format="pyarrow")
+    import ray
+
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
+    if not tables:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "event_type": pa.array([], pa.string()),
+                         "value": pa.array([], pa.float64()),
+                         "z": pa.array([], pa.float64())})
+    return pa.concat_tables(tables).sort_by("event_id")
+
+
+SQL_EV_AMOUNT_OUTLIERS = """WITH stats AS (
+    SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND((e.value - s.mu) / s.sigma, 6) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE s.sigma > 0 AND ROUND((e.value - s.mu) / s.sigma, 6) > 3
+ORDER BY e.event_id"""
+
+
 REL_QUERIES = {
+    "ev_amount_outliers": (q_ev_amount_outliers, SQL_EV_AMOUNT_OUTLIERS),
     "rel_cust_no_premium_orders": (q_customers_without_orders,
                                    SQL_CUSTOMERS_WITHOUT_ORDERS),
     "rel_segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),

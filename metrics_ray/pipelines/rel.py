@@ -1017,6 +1017,65 @@ def q_ev_amount_outliers(sf_dir: str) -> pa.Table:
     return pa.concat_tables(tables).sort_by("event_id")
 
 
+def q_ev_props_rollup(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction: parse the JSON ``props`` column,
+    extract the numeric ``k`` field, and roll up (count, total value)
+    per k-decade bucket — the schema-on-read step every event pipeline
+    runs over raw property blobs.
+
+    Scale shape: extraction is one vectorized Arrow re2 kernel per batch
+    (no per-row python; at web scale the same slot takes a real JSON
+    parser — the plan is unchanged); the rollup is the standard
+    combiner-before-shuffle: per-batch partials, tiny groupby-sum. Rows
+    whose props don't parse are counted under bucket -1 (violation
+    bucket, never silently dropped)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        props = pc.fill_null(b.column("props"), "")
+        ext = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        kstr = pc.struct_field(ext, "k")
+        valid = pc.is_valid(kstr).to_numpy(zero_copy_only=False)
+        k = np.array([int(x) if x is not None else -1
+                      for x in kstr.to_pylist()], dtype=np.int64)
+        bucket = np.where(valid, (k // 10) * 10, -1)
+        df = pd.DataFrame({
+            "k_bucket": bucket,
+            "v": b.column("value").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("k_bucket", sort=False)["v"].agg(
+            n="size", total="sum").reset_index()
+        return pa.table({
+            "k_bucket": pa.array(g["k_bucket"].astype("int64")),
+            "n": pa.array(g["n"].astype("int64")),
+            "total": pa.array(g["total"].astype("float64")),
+        })
+
+    out = (_read(sf_dir, "events", ["props", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("k_bucket", num_partitions=shuffle_blocks())
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("total", alias_name="total"))
+           .to_pandas().sort_values("k_bucket").reset_index(drop=True))
+    return pa.table({
+        "k_bucket": pa.array(out["k_bucket"].astype("int64")),
+        "n": pa.array(out["n"].astype("int64")),
+        "total": pa.array(round_half_away(out["total"].to_numpy(), 6)),
+    })
+
+
+SQL_EV_PROPS_ROLLUP = """WITH parsed AS (
+    SELECT COALESCE(
+               (CAST(json_extract_string(props, '$.k') AS BIGINT) // 10)
+               * 10, -1) AS k_bucket,
+           value
+    FROM events
+)
+SELECT k_bucket, COUNT(*) AS n, ROUND(SUM(value), 6) AS total
+FROM parsed GROUP BY k_bucket ORDER BY k_bucket"""
+
+
 SQL_EV_AMOUNT_OUTLIERS = """WITH stats AS (
     SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
     FROM events GROUP BY event_type
@@ -1030,6 +1089,7 @@ ORDER BY e.event_id"""
 
 REL_QUERIES = {
     "ev_amount_outliers": (q_ev_amount_outliers, SQL_EV_AMOUNT_OUTLIERS),
+    "ev_props_rollup": (q_ev_props_rollup, SQL_EV_PROPS_ROLLUP),
     "rel_cust_no_premium_orders": (q_customers_without_orders,
                                    SQL_CUSTOMERS_WITHOUT_ORDERS),
     "rel_segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),

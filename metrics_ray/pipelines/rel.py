@@ -424,6 +424,73 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1 ORDER BY 1"""
 
 
+def q_region_brand_revenue(sf_dir: str) -> pa.Table:
+    """Discounted revenue per (supplier REGION, part BRAND) — the TPC-H
+    Q9-shaped star join over every remaining dimension table (part,
+    supplier, nation, region) as ONE streaming pass: four chained
+    broadcast lookups inside the batch (each dimension ships once via
+    ray.put; supplier→nation→region chains through derived columns),
+    then partial-agg → tiny groupby. The fact side (lineitem) is never
+    shuffled; output is O(regions × brands)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import broadcast_enrich
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    enriched = broadcast_enrich(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        [(part, "l_partkey", "p_partkey", {"brand": "p_brand"}),
+         (supp, "l_suppkey", "s_suppkey", {"nationkey": "s_nationkey"}),
+         (nation, "nationkey", "n_nationkey", {"regionkey": "n_regionkey"}),
+         (region, "regionkey", "r_regionkey", {"region": "r_name"})])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["brand"].notna() & df["region"].notna()]
+        df = df.assign(rev=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        g = (df.groupby(["region", "brand"], sort=False)["rev"]
+             .agg(["size", "sum"]).reset_index())
+        return pa.table({
+            "region": pa.array(g["region"].astype(str), pa.string()),
+            "brand": pa.array(g["brand"].astype(str), pa.string()),
+            "n_items": pa.array(g["size"].astype("int64")),
+            "revenue": pa.array(g["sum"].astype("float64")),
+        })
+
+    out = (enriched.map_batches(partial, batch_format="pyarrow")
+           .groupby(["region", "brand"], num_partitions=shuffle_blocks())
+           .aggregate(Sum("n_items", alias_name="n_items"),
+                      Sum("revenue", alias_name="revenue")))
+    df = out.to_pandas().sort_values(["region", "brand"]).reset_index(drop=True)
+    return pa.table({
+        "region": pa.array(df["region"], pa.string()),
+        "brand": pa.array(df["brand"], pa.string()),
+        "n_items": pa.array(df["n_items"].astype("int64")),
+        "revenue": pa.array(round_half_away(df["revenue"].to_numpy(), 4)),
+    })
+
+
+SQL_REGION_BRAND_REVENUE = """SELECT r.r_name AS region,
+       p.p_brand AS brand,
+       COUNT(*) AS n_items,
+       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def q_priority_revenue(sf_dir: str) -> pa.Table:
     """Discounted revenue per order priority — the LARGE ⋈ LARGE join
     (lineitem ⋈ orders, neither broadcastable at scale): one bucketed
@@ -1094,6 +1161,8 @@ REL_QUERIES = {
                                    SQL_CUSTOMERS_WITHOUT_ORDERS),
     "rel_segment_revenue": (q_segment_revenue, SQL_SEGMENT_REVENUE),
     "rel_nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "rel_region_brand_revenue": (q_region_brand_revenue,
+                                 SQL_REGION_BRAND_REVENUE),
     "rel_priority_revenue": (q_priority_revenue, SQL_PRIORITY_REVENUE),
     "rel_segment_top_orders": (q_segment_top_orders,
                                SQL_SEGMENT_TOP_ORDERS),

@@ -328,6 +328,111 @@ SELECT '{PRESENCE_RE}' AS pattern,
 FROM clips"""
 
 
+_PROFILE_COLS = ("clip_id", "sr_hz", "dur_ms", "codec", "transcript",
+                 "partition")
+
+
+def q_column_profile(sf_dir: str) -> pa.Table:
+    """Whole-table column profile — the north-star 'per-batch column
+    statistics' surface made explicit: for every clips column, exact row
+    count, null count, EXACT distinct count, and lexicographic min/max
+    (values rendered as strings so one schema fits every column type).
+    The observation-activity counters (getObservationActivity) of the
+    reference, table-wide.
+
+    Scale shape: one metadata pass emits (a) constant-size per-batch
+    scalar partials (count/null/min/max per column — 6 rows per batch)
+    merged on the driver, and (b) per-batch-DISTINCT (col, value) pairs
+    whose exact distinct count folds in ONE bucketed co-group. At 10^12
+    rows the unbounded columns (clip_id, transcript) switch to the HLL
+    path (checks/agg.py) — same plan, estimate flag set; exact strings
+    here keep the DuckDB comparison bit-for-bit."""
+    import pandas as pd
+
+    from ..checks.keyed import grouped_apply, shuffle_blocks
+    from ray.data.aggregate import Sum
+
+    ds = _meta_ds(sf_dir)
+
+    def scalar_partials(b: pa.Table) -> pa.Table:
+        rows = []
+        for col in _PROFILE_COLS:
+            arr = b.column(col)
+            vals = [v for v in arr.to_pylist() if v is not None]
+            rows.append({
+                "col_name": col,
+                "n_rows": len(arr),
+                "n_null": len(arr) - len(vals),
+                "min_s": str(min(vals)) if vals else None,
+                "max_s": str(max(vals)) if vals else None,
+            })
+        df = pd.DataFrame(rows)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        cols, keys = [], []
+        for col in _PROFILE_COLS:
+            for v in set(b.column(col).to_pylist()) - {None}:
+                cols.append(col); keys.append(str(v))
+        return pa.table({"col_name": pa.array(cols, pa.string()),
+                         "key": pa.array(keys, pa.string())})
+
+    def count_uniques(g: pd.DataFrame) -> pd.DataFrame:
+        u = (g.drop_duplicates(["col_name", "key"])
+             .groupby("col_name").size().reset_index(name="nd"))
+        return u
+
+    nd = (grouped_apply(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        ["col_name", "key"], count_uniques,
+        out_schema=pa.schema([("col_name", pa.string()),
+                              ("nd", pa.int64())]))
+        .groupby("col_name", num_partitions=shuffle_blocks())
+        .aggregate(Sum("nd", alias_name="n_distinct")).to_pandas())
+
+    import ray
+
+    parts = [t.to_pandas() for t in ray.get(arrow_refs(
+        ds.map_batches(scalar_partials, batch_format="pyarrow")))
+        if t.num_rows and "col_name" in t.schema.names]
+    sc = pd.concat(parts, ignore_index=True)
+    agg = sc.groupby("col_name").agg(
+        n_rows=("n_rows", "sum"), n_null=("n_null", "sum"),
+        min_s=("min_s", "min"), max_s=("max_s", "max")).reset_index()
+    out = agg.merge(nd, on="col_name").sort_values("col_name")
+    # min over int columns was taken on native ints per batch, but the
+    # cross-batch fold above compares their STRING forms — redo the fold
+    # numerically for the int columns so '7999' never beats '16000'
+    for col in ("sr_hz", "dur_ms", "partition"):
+        lo = min(int(v) for v in sc[sc.col_name == col]["min_s"].dropna())
+        hi = max(int(v) for v in sc[sc.col_name == col]["max_s"].dropna())
+        out.loc[out.col_name == col, "min_s"] = str(lo)
+        out.loc[out.col_name == col, "max_s"] = str(hi)
+    return pa.table({
+        "col_name": pa.array(out["col_name"], pa.string()),
+        "n_rows": pa.array(out["n_rows"].astype("int64")),
+        "n_null": pa.array(out["n_null"].astype("int64")),
+        "n_distinct": pa.array(out["n_distinct"].astype("int64")),
+        "min_s": pa.array(out["min_s"], pa.string()),
+        "max_s": pa.array(out["max_s"], pa.string()),
+    })
+
+
+def _profile_sql_one(col: str) -> str:
+    return f"""SELECT '{col}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({col}) AS n_null,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       CAST(MIN({col}) AS VARCHAR) AS min_s,
+       CAST(MAX({col}) AS VARCHAR) AS max_s
+FROM clips"""
+
+
+SQL_COLUMN_PROFILE = (
+    f"WITH {synth.CLIPS_SQL} "
+    + " UNION ALL ".join(_profile_sql_one(c) for c in _PROFILE_COLS)
+    + " ORDER BY col_name")
+
+
 def q_partition_stats(sf_dir: str) -> pa.Table:
     """Per-partition aggregate profile (groupby exercise; the per-partition
     observation-activity counters)."""
@@ -1751,6 +1856,7 @@ VALIDATION_QUERIES = {
                                      SQL_TRANSCRIPT_MISMATCH),
     "val_regex_presence": (q_regex_presence, SQL_REGEX_PRESENCE),
     "val_partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
+    "val_column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
     "val_top_durations": (q_top_durations, SQL_TOP_DURATIONS),
     "val_dur_quantiles": (q_dur_quantiles, SQL_DUR_QUANTILES),
     "val_drift_psi": (q_drift_psi, SQL_DRIFT_PSI),

@@ -1936,10 +1936,13 @@ def q_doc_lm_score(sf_dir: str) -> pa.Table:
 
     def score(b: pa.Table) -> pa.Table:
         bank = ray.get(ref)
+        # SAME RE2 tokenizer as pass 1 (str.split's Unicode-whitespace
+        # rules differ, which would produce out-of-vocabulary tokens)
+        tok_lists = pc.split_pattern_regex(
+            pc.fill_null(b.column("text"), ""), pattern=r"\s+").to_pylist()
         ids, n_toks, scores = [], [], []
-        for did, txt in zip(b.column("doc_id").to_pylist(),
-                            b.column("text").to_pylist()):
-            w = (txt or "").split()
+        for did, toks in zip(b.column("doc_id").to_pylist(), tok_lists):
+            w = [t for t in toks if t]
             if not w:
                 continue
             ids.append(int(did))
@@ -1989,13 +1992,12 @@ def q_doc_rank_pctl(sf_dir: str) -> pa.Table:
     def lengths(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # split yields '' entries at string edges; count non-empty tokens
-        toks = pc.split_pattern_regex(
-            pc.fill_null(b.column("text"), ""), pattern=r"\s+")
-        real = pa.array(
-            [sum(1 for t in row if t) for row in toks.to_pylist()],
-            pa.int64())
-        return pa.table({"doc_id": b.column("doc_id"), "n_tokens": real})
+        # one RE2 kernel call — the same non-empty-token count the
+        # quality batch uses (no per-row python)
+        n = pc.count_substring_regex(
+            pc.fill_null(b.column("text"), ""), r"\S+")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "n_tokens": n.cast(pa.int64())})
 
     pairs = documents_ds(sf_dir, ["doc_id", "text"]).map_batches(
         lengths, batch_format="pyarrow")

@@ -399,12 +399,18 @@ def q_column_profile(sf_dir: str) -> pa.Table:
     agg = sc.groupby("col_name").agg(
         n_rows=("n_rows", "sum"), n_null=("n_null", "sum"),
         min_s=("min_s", "min"), max_s=("max_s", "max")).reset_index()
-    out = agg.merge(nd, on="col_name").sort_values("col_name")
+    # LEFT merge + fill: an all-NULL column emits no distinct pairs but
+    # must still report a row (n_distinct = 0), matching the SQL oracle
+    out = agg.merge(nd, on="col_name", how="left").sort_values("col_name")
+    out["n_distinct"] = out["n_distinct"].fillna(0)
     # min over int columns was taken on native ints per batch, but the
     # cross-batch fold above compares their STRING forms — redo the fold
     # numerically for the int columns so '7999' never beats '16000'
     for col in ("sr_hz", "dur_ms", "partition"):
-        lo = min(int(v) for v in sc[sc.col_name == col]["min_s"].dropna())
+        vals = sc[sc.col_name == col]["min_s"].dropna()
+        if len(vals) == 0:  # all-NULL column: keep min/max as None
+            continue
+        lo = min(int(v) for v in vals)
         hi = max(int(v) for v in sc[sc.col_name == col]["max_s"].dropna())
         out.loc[out.col_name == col, "min_s"] = str(lo)
         out.loc[out.col_name == col, "max_s"] = str(hi)
@@ -1233,8 +1239,11 @@ def q_audio_gain(sf_dir: str) -> pa.Table:
 
     path = ensure_clips_parquet(sf_dir)
     ds = clips_factory(path)(["clip_id", "bytes"])
-    norm = ds.map_batches(GainNormalizer(), batch_format="pyarrow",
-                          batch_size=128)
+    norm = (ds.map_batches(GainNormalizer(), batch_format="pyarrow",
+                           batch_size=128)
+            # project BEFORE collecting: the normalized payload stays in
+            # the stage; only the narrow audit columns reach the driver
+            .select_columns(["clip_id", "rms_in", "rms_out", "gain_db"]))
     import ray
 
     tables = [t for t in ray.get(arrow_refs(norm)) if t.num_rows]
@@ -1254,12 +1263,18 @@ _NEXT_CODEC = {"pcm_s16le": "flac", "flac": "mp3",
                "mp3": "opus", "opus": "pcm_s16le"}
 # spectral-centroid banding: step of the staggered grids (cycles/sample)
 # and the verify tolerance. Two grids offset by step/2 guarantee a shared
-# cell whenever |Δcentroid| < step/4; codec requantization perturbs a
-# centroid by <<1e-6 while distinct synth seeds differ by >=8e-5 per
-# component — so the seeded pairs always candidate and verify, and
-# adjacent-seed clips that band-collide are rejected by the tolerance.
+# cell PER COMPONENT whenever |Δcentroid| < step/4; because each of the
+# three components may need a different grid, band keys enumerate every
+# per-component grid combination (2^3 = 8 keys per clip) — the combo
+# where every component picks its agreeing grid is shared by both pair
+# members, so a true pair always candidates. Codec requantization
+# perturbs a centroid by <<1e-6 while distinct synth seeds differ by
+# >=8e-5 per component; adjacent-seed clips that band-collide are
+# rejected by the verify tolerance.
 _AC_STEP = 1.0 / 8192.0
 _AC_TOL = 2e-5
+_AC_GRIDS = [(g1, g2, g3) for g1 in (0.0, 0.5)
+             for g2 in (0.0, 0.5) for g3 in (0.0, 0.5)]
 
 
 def _acoustic_corpus_batch(b: pa.Table) -> pa.Table:
@@ -1349,10 +1364,11 @@ def q_audio_neardup(sf_dir: str) -> pa.Table:
             if len(pcm) == 0:
                 continue
             n, cs = _spectral_centroids(pcm)
-            for grid in (0.0, 0.5):
-                q = [int(np.floor(c / _AC_STEP + grid)) for c in cs]
+            for gi, grids in enumerate(_AC_GRIDS):
+                q = [int(np.floor(c / _AC_STEP + g))
+                     for c, g in zip(cs, grids)]
                 ids_out.append(cid)
-                keys.append(f"{n}:{q[0]}:{q[1]}:{q[2]}:{grid}")
+                keys.append(f"{n}:{q[0]}:{q[1]}:{q[2]}:{gi}")
                 ns.append(n); c1s.append(cs[0]); c2s.append(cs[1])
                 c3s.append(cs[2])
         return pa.table({
@@ -1390,8 +1406,8 @@ def q_audio_neardup(sf_dir: str) -> pa.Table:
     if t is None:
         return pa.table({"clip_a": pa.array([], pa.string()),
                          "clip_b": pa.array([], pa.string())})
-    # the two grids can both admit a pair — final distinct (pair set is
-    # O(seeded dups), driver-sized)
+    # several grid combinations can admit the same pair — final distinct
+    # (pair set is O(seeded dups), driver-sized)
     df = t.to_pandas().drop_duplicates().sort_values(
         ["clip_a", "clip_b"], kind="stable")
     return pa.Table.from_pandas(df, preserve_index=False)
@@ -1468,14 +1484,12 @@ def q_audio_knn(sf_dir: str) -> pa.Table:
 
         return b.filter(pc.starts_with(b.column("clip_id"), "clip-8"))
 
-    q_parts = [t for t in __import__("ray").get(arrow_refs(
-        embedded.map_batches(pick_queries, batch_format="pyarrow")))
-        if t.num_rows]
-    if not q_parts:
+    qt = _collect_simple(
+        embedded.map_batches(pick_queries, batch_format="pyarrow"))
+    if qt is None:
         return pa.table({"query_id": pa.array([], pa.string()),
                          "neighbor_id": pa.array([], pa.string()),
                          "cos": pa.array([], pa.float64())})
-    qt = pa.concat_tables(q_parts)
     q_ids = qt.column("clip_id").to_pylist()
     q_mat = np.array(qt.column("vec").to_pylist(), dtype=np.float64)
     ref = ray.put((q_ids, q_mat))

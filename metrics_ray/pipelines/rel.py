@@ -1101,12 +1101,16 @@ def q_ev_props_rollup(sf_dir: str) -> pa.Table:
 
     def partial(b: pa.Table) -> pa.Table:
         props = pc.fill_null(b.column("props"), "")
-        ext = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+)')
+        # capture the full numeric literal (sign + fraction) and bucket
+        # with FLOOR division — the SQL mirror floors a DOUBLE the same
+        # way, so negative and fractional k bucket identically
+        ext = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+(?:\.\d+)?)')
         kstr = pc.struct_field(ext, "k")
         valid = pc.is_valid(kstr).to_numpy(zero_copy_only=False)
-        k = np.array([int(x) if x is not None else -1
-                      for x in kstr.to_pylist()], dtype=np.int64)
-        bucket = np.where(valid, (k // 10) * 10, -1)
+        k = np.array([float(x) if x is not None else 0.0
+                      for x in kstr.to_pylist()], dtype=np.float64)
+        bucket = np.where(valid,
+                          (np.floor(k / 10.0) * 10).astype(np.int64), -1)
         df = pd.DataFrame({
             "k_bucket": bucket,
             "v": b.column("value").to_numpy(zero_copy_only=False),
@@ -1134,8 +1138,9 @@ def q_ev_props_rollup(sf_dir: str) -> pa.Table:
 
 SQL_EV_PROPS_ROLLUP = """WITH parsed AS (
     SELECT COALESCE(
-               (CAST(json_extract_string(props, '$.k') AS BIGINT) // 10)
-               * 10, -1) AS k_bucket,
+               CAST(floor(TRY_CAST(json_extract_string(props, '$.k')
+                                   AS DOUBLE) / 10) AS BIGINT) * 10,
+               -1) AS k_bucket,
            value
     FROM events
 )

@@ -284,21 +284,28 @@ def test_md5_lower64_matches_duckdb(vals):
     assert got == want
 
 
-@given(st.floats(min_value=0.0, max_value=0.5, allow_nan=False),
-       st.floats(min_value=-1.0, max_value=1.0))
+@given(st.lists(st.floats(min_value=0.0, max_value=0.5, allow_nan=False),
+                min_size=3, max_size=3),
+       st.lists(st.floats(min_value=-1.0, max_value=1.0),
+                min_size=3, max_size=3))
 @settings(max_examples=200, deadline=None)
-def test_staggered_grids_guarantee_shared_cell(center, jitter_frac):
-    """The acoustic near-dup banding contract: two grids of step s offset
-    by s/2 place any two values within s/4 of each other into the same
-    cell on at least one grid — so codec-level centroid perturbation
-    (<< s/4) can never lose a candidate pair."""
+def test_staggered_grids_guarantee_shared_band(centers, jitter_fracs):
+    """The acoustic near-dup banding contract, full 3-component form:
+    with band keys enumerating every per-component grid combination
+    (_AC_GRIDS), two fingerprints whose components each differ by less
+    than step/4 ALWAYS share at least one band key — even when each
+    component needs a different grid (the failure mode of banding on a
+    single shared grid offset)."""
     import numpy as np
 
-    from metrics_ray.pipelines.queries import _AC_STEP as s
+    from metrics_ray.pipelines.queries import _AC_GRIDS, _AC_STEP as s
 
-    a = center
-    b = center + jitter_frac * (s / 4.0) * 0.999  # |a-b| < s/4
-    codes_a = {int(np.floor(a / s + g)) for g in (0.0, 0.5)}
-    shared = any(int(np.floor(b / s + g)) == int(np.floor(a / s + g))
-                 for g in (0.0, 0.5))
-    assert shared, (a, b, codes_a)
+    a = np.array(centers)
+    b = a + np.array(jitter_fracs) * (s / 4.0) * 0.999  # |Δ| < s/4 each
+    keys_a = {tuple(int(np.floor(c / s + g))
+                    for c, g in zip(a, grids)) + (gi,)
+              for gi, grids in enumerate(_AC_GRIDS)}
+    keys_b = {tuple(int(np.floor(c / s + g))
+                    for c, g in zip(b, grids)) + (gi,)
+              for gi, grids in enumerate(_AC_GRIDS)}
+    assert keys_a & keys_b, (a, b)

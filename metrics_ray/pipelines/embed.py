@@ -734,7 +734,110 @@ SELECT CAST((SELECT MAX(n) FROM sums WHERE side = 0) AS BIGINT) AS n_base,
 FROM sums a JOIN sums b USING (dim) WHERE a.side = 0 AND b.side = 1"""
 
 
+KCENTER_K = 8
+
+
+def q_emb_kcenter(sf_dir: str) -> pa.Table:
+    """Diversity coreset selection: greedy k-center (farthest-point
+    traversal) over the embedding column — the data-pruning selection
+    step that picks K maximally-spread representatives. Deterministic:
+    seeded at the min vec_id, ties broken by min vec_id.
+
+    Scale shape: K rounds, each ONE streaming pass — the current center
+    set (K × d floats) broadcasts via ray.put; every batch computes its
+    rows' distance to the nearest center (one matmul) and emits a single
+    (vec_id, dist) argmax PARTIAL; the driver reduces O(batches) partials
+    to the next center. Nothing but K×d floats and per-batch argmax rows
+    ever move. (At 10^12 rows real deployments seed from a pre-sampled
+    candidate pool to cut rounds — same plan per round.) Rows-only:
+    iterative argmax has no tractable SQL mirror; the golden test
+    recomputes the full traversal in numpy."""
+    import ray
+
+    cols = embeddings_ds(sf_dir, ["vec_id", "embedding"])
+
+    def seed_partial(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.list_(pa.float64()))})
+        i = int(np.argmin(ids))
+        m = _emb_matrix(b)
+        return pa.table({
+            "vec_id": pa.array([int(ids[i])], pa.int64()),
+            "vec": pa.array([list(map(float, m[i]))],
+                            pa.list_(pa.float64())),
+        })
+
+    parts = [t for t in ray.get(arrow_refs(cols.map_batches(
+        seed_partial, batch_format="pyarrow")))
+        if t.num_rows and "vec" in t.schema.names]
+    cand = pa.concat_tables(parts).to_pandas().sort_values("vec_id")
+    centers = [(int(cand["vec_id"].iloc[0]),
+                np.array(cand["vec"].iloc[0], dtype=np.float64))]
+    dists = [0.0]
+
+    for _ in range(KCENTER_K - 1):
+        c_mat = np.stack([c[1] for c in centers])
+        ref = ray.put(c_mat)
+
+        def far_partial(b: pa.Table) -> pa.Table:
+            cm = ray.get(ref)
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.float64())})
+            m = _emb_matrix(b)
+            # min Euclidean distance to any current center, per row
+            d2 = ((m[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            dmin = np.sqrt(d2.min(axis=1))
+            # deterministic batch argmax: max dist, tie -> min vec_id
+            order = np.lexsort((ids, -dmin))
+            i = order[0]
+            return pa.table({
+                "vec_id": pa.array([int(ids[i])], pa.int64()),
+                "dist": pa.array([float(dmin[i])], pa.float64()),
+            })
+
+        parts = [t.to_pandas() for t in ray.get(arrow_refs(
+            cols.map_batches(far_partial, batch_format="pyarrow")))
+            if t.num_rows and "dist" in t.schema.names]
+        import pandas as pd
+
+        best = (pd.concat(parts, ignore_index=True)
+                .sort_values(["dist", "vec_id"], ascending=[False, True])
+                .iloc[0])
+        # fetch the chosen vector (one targeted filter pass)
+        vid = int(best["vec_id"])
+
+        def pick(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            hit = np.nonzero(ids == vid)[0]
+            if len(hit) == 0:
+                return pa.table({"vec": pa.array([],
+                                                 pa.list_(pa.float64()))})
+            m = _emb_matrix(b)
+            return pa.table({"vec": pa.array(
+                [list(map(float, m[hit[0]]))], pa.list_(pa.float64()))})
+
+        vparts = [t for t in ray.get(arrow_refs(cols.map_batches(
+            pick, batch_format="pyarrow")))
+            if t.num_rows and "vec" in t.schema.names]
+        vec = np.array(vparts[0].column("vec")[0].as_py(), dtype=np.float64)
+        centers.append((vid, vec))
+        dists.append(float(best["dist"]))
+
+    from ..functions.rounding import round_half_away
+
+    return pa.table({
+        "rank": pa.array(list(range(len(centers))), pa.int64()),
+        "vec_id": pa.array([c[0] for c in centers], pa.int64()),
+        "dist": pa.array(round_half_away(np.array(dists), 6), pa.float64()),
+    })
+
+
 EMB_QUERIES = {
+    "emb_kcenter": (q_emb_kcenter, None),
     "emb_norm_check": (q_emb_norm_check, SQL_EMB_NORM_CHECK),
     "emb_drift": (q_emb_drift, SQL_EMB_DRIFT),
     "emb_knn": (q_emb_knn, SQL_EMB_KNN),

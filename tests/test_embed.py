@@ -137,3 +137,29 @@ def test_quantize_error_bounds(sf_unit):
     assert (got["max_abs_err"] <= bound).all()
     assert (got["mse"] <= bound ** 2).all()
     assert (got["mse"] >= 0).all()
+
+
+def test_kcenter_matches_numpy_greedy_traversal(ray_session):
+    """The distributed K-round farthest-point traversal (per-batch argmax
+    partials, driver reduce) equals the single-matrix numpy recompute
+    exactly — selection order, ids, and distances."""
+    import numpy as np
+    import pandas as pd
+
+    from metrics_ray.pipelines.embed import KCENTER_K, q_emb_kcenter
+
+    SF = "/root/testdata/sf0.001"
+    t = q_emb_kcenter(SF).to_pandas()
+    df = pd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).sort_values("vec_id")
+    ids = df["vec_id"].to_numpy()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    centers, dists = [0], [0.0]
+    for _ in range(KCENTER_K - 1):
+        d = np.sqrt(((M[:, None, :] - M[centers][None, :, :]) ** 2)
+                    .sum(axis=2)).min(axis=1)
+        i = np.lexsort((ids, -d))[0]
+        centers.append(int(i)); dists.append(float(d[i]))
+    assert list(t["vec_id"]) == [int(ids[c]) for c in centers]
+    assert np.allclose(t["dist"], np.round(dists, 6), atol=2e-6)
+    assert list(t["rank"]) == list(range(KCENTER_K))

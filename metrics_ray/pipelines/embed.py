@@ -786,17 +786,23 @@ def q_emb_kcenter(sf_dir: str) -> pa.Table:
             ids = b.column("vec_id").to_numpy(zero_copy_only=False)
             if len(ids) == 0:
                 return pa.table({"vec_id": pa.array([], pa.int64()),
-                                 "dist": pa.array([], pa.float64())})
+                                 "dist": pa.array([], pa.float64()),
+                                 "vec": pa.array([],
+                                                 pa.list_(pa.float64()))})
             m = _emb_matrix(b)
             # min Euclidean distance to any current center, per row
             d2 = ((m[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
             dmin = np.sqrt(d2.min(axis=1))
-            # deterministic batch argmax: max dist, tie -> min vec_id
+            # deterministic batch argmax: max dist, tie -> min vec_id;
+            # the partial CARRIES the winning vector (d floats) so the
+            # round needs no second fetch pass
             order = np.lexsort((ids, -dmin))
             i = order[0]
             return pa.table({
                 "vec_id": pa.array([int(ids[i])], pa.int64()),
                 "dist": pa.array([float(dmin[i])], pa.float64()),
+                "vec": pa.array([list(map(float, m[i]))],
+                                pa.list_(pa.float64())),
             })
 
         parts = [t.to_pandas() for t in ray.get(arrow_refs(
@@ -807,24 +813,8 @@ def q_emb_kcenter(sf_dir: str) -> pa.Table:
         best = (pd.concat(parts, ignore_index=True)
                 .sort_values(["dist", "vec_id"], ascending=[False, True])
                 .iloc[0])
-        # fetch the chosen vector (one targeted filter pass)
-        vid = int(best["vec_id"])
-
-        def pick(b: pa.Table) -> pa.Table:
-            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-            hit = np.nonzero(ids == vid)[0]
-            if len(hit) == 0:
-                return pa.table({"vec": pa.array([],
-                                                 pa.list_(pa.float64()))})
-            m = _emb_matrix(b)
-            return pa.table({"vec": pa.array(
-                [list(map(float, m[hit[0]]))], pa.list_(pa.float64()))})
-
-        vparts = [t for t in ray.get(arrow_refs(cols.map_batches(
-            pick, batch_format="pyarrow")))
-            if t.num_rows and "vec" in t.schema.names]
-        vec = np.array(vparts[0].column("vec")[0].as_py(), dtype=np.float64)
-        centers.append((vid, vec))
+        centers.append((int(best["vec_id"]),
+                        np.array(best["vec"], dtype=np.float64)))
         dists.append(float(best["dist"]))
 
     from ..functions.rounding import round_half_away

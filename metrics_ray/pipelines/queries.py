@@ -1476,7 +1476,10 @@ def q_audio_knn(sf_dir: str) -> pa.Table:
                             pa.list_(pa.float64())),
         })
 
-    embedded = ds.map_batches(embed, batch_format="pyarrow")
+    # materialize the NARROW embedding table once (ids + 16 floats per
+    # clip) — both consumers below would otherwise re-execute the whole
+    # decode+FFT lineage
+    embedded = ds.map_batches(embed, batch_format="pyarrow").materialize()
 
     # query side: the replica clips (clip-8*) — collected once, tiny
     def pick_queries(b: pa.Table) -> pa.Table:

@@ -534,6 +534,57 @@ SELECT doc AS doc_id, MIN(lbl) AS cluster_id
 FROM reach GROUP BY doc ORDER BY doc"""
 
 
+def q_doc_incremental_dups(sf_dir: str) -> pa.Table:
+    """Incremental (two-corpus) dedup — the daily-ingest shape: the
+    original documents are the already-INGESTED corpus; the derived
+    replica rows (doc_id >= 10M: exact copies and near-dups) are
+    today's NEW batch. Flag every new doc whose content already exists
+    in the ingested corpus. Unlike q_doc_exact_dups (within-corpus
+    groups), membership is directional — a new doc is dropped iff an
+    old doc has byte-identical text, so the exact-copy family
+    (+10M, verbatim) is flagged while the near-dup family (+20M, one
+    appended word) correctly is not.
+
+    Scale shape: both sides stream through the same md5-key tagging
+    pass; ONE bucketed co-group on the digest joins them (checks/keyed
+    pattern — at production scale the ingested side is a pre-built key
+    index read directly, same plan). Shuffle carries (key, side, doc_id)
+    only — never the text."""
+    def key_batch(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_pylist()
+        return pa.table({
+            "key": pa.array([T.md5_fingerprint(t) for t in texts],
+                            pa.string()),
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "side": pa.array(
+                ["new" if i >= EXACT_OFF else "old" for i in ids],
+                pa.string()),
+        })
+
+    def flag_new_dups(df: pd.DataFrame) -> pd.DataFrame:
+        old_keys = set(df.loc[df["side"] == "old", "key"])
+        hit = df[(df["side"] == "new") & df["key"].isin(old_keys)]
+        return pd.DataFrame({"doc_id": hit["doc_id"].astype("int64")})
+
+    ds = corpus_ds(sf_dir).map_batches(key_batch, batch_format="pyarrow")
+    out = _collect(grouped_apply(
+        ds, "key", flag_new_dups,
+        out_schema=pa.schema([("doc_id", pa.int64())])), ["doc_id"])
+    if out is None:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return out
+
+
+SQL_DOC_INCREMENTAL_DUPS = f"""WITH {CORPUS_SQL}
+SELECT n.doc_id
+FROM corpus n
+WHERE n.doc_id >= {EXACT_OFF}
+  AND EXISTS (SELECT 1 FROM corpus o
+              WHERE o.doc_id < {EXACT_OFF} AND md5(o.text) = md5(n.text))
+ORDER BY n.doc_id"""
+
+
 def q_doc_keep_best(sf_dir: str) -> pa.Table:
     """Quality-ranked duplicate-cluster resolution: within each near-dup
     cluster keep the LONGEST member (ties → min doc_id) instead of the
@@ -2071,6 +2122,8 @@ DOC_QUERIES = {
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
     "doc_keep_best": (q_doc_keep_best, SQL_DOC_KEEP_BEST),
+    "doc_incremental_dups": (q_doc_incremental_dups,
+                             SQL_DOC_INCREMENTAL_DUPS),
     "doc_dup_spans": (q_doc_dup_spans, SQL_DOC_DUP_SPANS),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "doc_rank_pctl": (q_doc_rank_pctl, SQL_DOC_RANK_PCTL),

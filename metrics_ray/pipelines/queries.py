@@ -1905,3 +1905,28 @@ VALIDATION_QUERIES = {
     **EMB_QUERIES,
     **REL_QUERIES,
 }
+
+# The driver's correctness gate verifies a PREFIX of this registry (50
+# entries in round 2), so registry order decides which queries ever get an
+# external CORRECTNESS row. Front-load the queries that have not yet been
+# driver-verified (rounds 1+2 covered the union of CORRECTNESS_r01/r02);
+# already-verified queries follow in their original order. Newly added
+# queries should be inserted into this priority list.
+_DRIVER_UNVERIFIED_FIRST = [
+    "doc_license", "doc_dup_clusters", "doc_top_tokens",
+    "doc_top_tokens_approx", "doc_tfidf_top_term", "doc_mix", "doc_chunking",
+    "doc_normalize", "doc_postings", "doc_pii", "doc_repetition",
+    "doc_contamination", "doc_keep_best", "doc_incremental_dups",
+    "doc_dup_spans", "doc_lm_score", "doc_rank_pctl", "emb_kcenter",
+    "emb_drift", "emb_dup_clusters", "emb_project", "emb_quantize",
+    "ev_amount_outliers", "ev_props_rollup", "rel_nation_revenue",
+    "rel_region_brand_revenue", "rel_priority_revenue",
+    "rel_segment_top_orders", "ev_sliding_distinct", "ev_disjoint_types",
+    "ev_purchase_attribution", "ev_click_burst", "ev_disjoint_types_sampled",
+    "ev_funnel", "ev_retention", "rel_pricing_summary",
+]
+VALIDATION_QUERIES = {
+    **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},
+    **{k: v for k, v in VALIDATION_QUERIES.items()
+       if k not in set(_DRIVER_UNVERIFIED_FIRST)},
+}

@@ -30,6 +30,90 @@ from .base import (
 )
 
 
+def referential_violations_dist(clips_ds, index_ds,
+                                check_equality: bool = True,
+                                n_buckets: int | None = None):
+    """Distributed referential check for a NON-broadcastable index: one
+    tagged-union co-group on clip_id emits BOTH problem families
+    (MISSING_REFERENCE + TRANSCRIPT_MISMATCH) from a single exchange —
+    same verdicts as the broadcast ReferentialCheck, no driver
+    materialization of either side. This is the path ``validate_sf``
+    auto-switches to when the index exceeds the broadcast budget
+    (checks/referential.py module docstring; the reference's analog is
+    DataCubePopulationCompleteness's gold-standard MINUS observed, which
+    also never assumes the gold standard fits one worker).
+
+    Shuffle payload: (clip_id, transcript|ref_transcript, partition) —
+    the audio payload never enters the exchange. Returns a violations
+    Dataset (KEYED_VIOLATION_SCHEMA, no check_id column)."""
+    from .keyed import KEYED_VIOLATION_SCHEMA, grouped_apply
+
+    def tag(side: str, text_col: str):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table({
+                "key": b.column("clip_id").cast(pa.string()),
+                "side": pa.array([side] * n, pa.string()),
+                "text": b.column(text_col).cast(pa.string()),
+                "partition": (b.column("partition").cast(pa.int32())
+                              if "partition" in b.column_names
+                              else pa.nulls(n, pa.int32())),
+            })
+        return f
+
+    tagged = clips_ds.map_batches(
+        tag("l", "transcript"), batch_format="pyarrow").union(
+        index_ds.map_batches(tag("r", "ref_transcript"),
+                             batch_format="pyarrow"))
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        right = g[g["side"] == "r"].drop_duplicates("key")
+        ref = right.set_index("key")["text"]
+        left = g[g["side"] == "l"]
+        ids = left["key"]
+        looked = ids.map(ref)
+        present = ids.isin(ref.index).to_numpy()
+        out = []
+        if (~present).any():
+            miss = left[~present]
+            out.append(pd.DataFrame({
+                "partition": miss["partition"].astype("int32"),
+                "clip_id": miss["key"].astype(str),
+                "code": Codes.MISSING_REFERENCE,
+                "actual": miss["key"].astype(str),
+                "expected": "clip_id present in transcript_index",
+                "detail": "bucketed",
+            }))
+        if check_equality:
+            tr = left["text"]
+            neq = present & ~((tr.isna() & looked.isna())
+                              | (tr == looked)).to_numpy()
+            if neq.any():
+                bad = left[neq]
+                out.append(pd.DataFrame({
+                    "partition": bad["partition"].astype("int32"),
+                    "clip_id": bad["key"].astype(str),
+                    "code": Codes.TRANSCRIPT_MISMATCH,
+                    "actual": bad["text"].map(
+                        lambda v: "null" if pd.isna(v) else str(v)[:80]),
+                    "expected": "exact transcript equality vs index",
+                    "detail": "bucketed",
+                }))
+        if not out:
+            return pd.DataFrame({
+                "partition": pd.Series(dtype="int32"),
+                "clip_id": pd.Series(dtype="object"),
+                "code": pd.Series(dtype="object"),
+                "actual": pd.Series(dtype="object"),
+                "expected": pd.Series(dtype="object"),
+                "detail": pd.Series(dtype="object"),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_apply(tagged, "key", reduce_bucket, n_buckets=n_buckets,
+                         out_schema=KEYED_VIOLATION_SCHEMA)
+
+
 class ReferentialCheck(BatchCheck):
     check_id = "referential_transcript"
     columns = ("clip_id", "transcript", "partition")

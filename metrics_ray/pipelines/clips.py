@@ -54,7 +54,7 @@ def clips_dataset(sf_dir: str, replicas: int = 1, with_audio: bool = True,
     return out
 
 
-def transcript_index_ds(sf_dir: str):
+def transcript_index_ds(sf_dir: str, replicas: int = 1):
     """Transcript index derived DISTRIBUTEDLY from the documents table —
     the two-pass derive-index-then-join shape of
     UsageOfIncorrectDomainOrRangeDatatypes.java:77-190 (the reference
@@ -70,11 +70,17 @@ def transcript_index_ds(sf_dir: str):
 
     n = pq.read_metadata(
         os.path.join(sf_dir, "documents.parquet")).num_rows
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["doc_id", "text"])
-    return ds.map_batches(
-        _partial(synth.derive_transcript_index_batch, n_docs=n, replica=0),
-        batch_format="pyarrow")
+    parts = []
+    for r in range(replicas):
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "text"])
+        parts.append(ds.map_batches(
+            _partial(synth.derive_transcript_index_batch, n_docs=n, replica=r),
+            batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def transcript_index_df(sf_dir: str, replicas: int = 1):
@@ -188,7 +194,8 @@ def validate_sf(sf_dir: str, replicas: int = 1, with_decode: bool = True,
                 with_content_dedup: bool = True, dur_scale: float = 1.0,
                 batch_size: int = 256, concurrency=None,
                 baseline_sf_dir: str | None = None,
-                stage_in_memory: bool = False) -> SuiteReport:
+                stage_in_memory: bool = False,
+                broadcast_budget_rows: int | None = None) -> SuiteReport:
     """The flagship pipeline: derive/cache clips → full check suite.
 
     ``baseline_sf_dir`` supplies the clean reference generation for the
@@ -211,7 +218,8 @@ def validate_sf(sf_dir: str, replicas: int = 1, with_decode: bool = True,
         concurrency=concurrency,
         baseline_factory=(clips_factory(ensure_clips_parquet(
             baseline_sf_dir, replicas=replicas, dur_scale=dur_scale))
-            if baseline_sf_dir else None))
+            if baseline_sf_dir else None),
+        broadcast_budget_rows=broadcast_budget_rows)
 
 
 def staged_factory(parquet_dir: str):
@@ -234,12 +242,23 @@ def staged_factory(parquet_dir: str):
     return factory
 
 
+# Broadcast budget for the referential side index (rows). Below this the
+# index ships once via ray.put and every executor does local hash lookups;
+# above it the flagship auto-switches to the bucketed co-group path
+# (referential_violations_dist) — a driver pandas materialization of a
+# 10^12-row index would be a corpus-sized driver allocation. ~2M rows of
+# (clip_id, transcript) is low hundreds of MB: comfortably broadcastable.
+BROADCAST_BUDGET_ROWS = int(os.environ.get(
+    "METRICS_RAY_BCAST_BUDGET_ROWS", 2_000_000))
+
+
 def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
                           with_decode: bool = True,
                           with_content_dedup: bool = True,
                           batch_size: int = 256, concurrency=None,
                           baseline_factory=None,
-                          fuse_content_dedup: bool = True) -> SuiteReport:
+                          fuse_content_dedup: bool = True,
+                          broadcast_budget_rows: int | None = None) -> SuiteReport:
     """Run the full check suite over an arbitrary clip ds_factory.
 
     ``fuse_content_dedup=True`` (default): the shared batch pass hashes
@@ -249,22 +268,42 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
     ``False`` runs dedup as an independent concurrent pipeline re-reading
     the payload — better when the input is already in the object store
     (a memory re-read is cheaper than serializing the extra stage behind
-    the batch pass)."""
+    the batch pass).
+
+    The referential check picks its execution strategy by index size:
+    at or below ``broadcast_budget_rows`` (default BROADCAST_BUDGET_ROWS)
+    the index is driver-built and broadcast (ReferentialCheck); above it
+    the index is derived distributedly (transcript_index_ds) and checked
+    via one bucketed co-group (referential_violations_dist) — identical
+    verdicts, no driver materialization."""
     from ..checks.keyed import ContentHashCheck, content_duplicates_from_keys
+    from ..checks.referential import referential_violations_dist
+
+    budget = (BROADCAST_BUDGET_ROWS if broadcast_budget_rows is None
+              else broadcast_budget_rows)
+    index_rows = documents_count(sf_dir) * replicas
+    dist_referential = index_rows > budget
 
     profile = build_baseline_profile(baseline_factory or factory)
-    ctx = default_ctx(transcript_index=transcript_index_df(sf_dir, replicas),
-                      baseline_profile=profile)
+    ctx = default_ctx(
+        transcript_index=(None if dist_referential
+                          else transcript_index_df(sf_dir, replicas)),
+        baseline_profile=profile)
     keyed_from_keys = None
     if with_content_dedup and fuse_content_dedup:
         keyed_from_keys = {"content_dedup": (ContentHashCheck(),
                                              content_duplicates_from_keys)}
+    keyed = keyed_checks(with_content_dedup=(with_content_dedup
+                                             and not fuse_content_dedup))
+    if dist_referential:
+        keyed["referential_transcript"] = lambda f: referential_violations_dist(
+            f(["clip_id", "transcript", "partition"]),
+            transcript_index_ds(sf_dir, replicas))
     return run_suite(factory,
-                     full_checks(with_decode=with_decode),
+                     full_checks(with_decode=with_decode,
+                                 with_referential=not dist_referential),
                      ctx=ctx,
-                     keyed=keyed_checks(
-                         with_content_dedup=(with_content_dedup
-                                             and not fuse_content_dedup)),
+                     keyed=keyed,
                      batch_size=batch_size,
                      concurrency=concurrency,
                      keyed_from_keys=keyed_from_keys)

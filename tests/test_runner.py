@@ -271,3 +271,24 @@ def test_run_suite_error_budget_manifest(sf_unit):
     report = run_suite(factory, checks, batch_size=32, error_budget=0)
     assert report.manifest["circuit_open"] is True
     assert report.manifest["circuit_violations_seen"] > 0
+
+
+def test_distributed_referential_matches_broadcast(report, sf_unit):
+    """The flagship auto-switch (broadcast index vs bucketed co-group,
+    pipelines/clips.py BROADCAST_BUDGET_ROWS): forcing the distributed
+    path must reproduce the broadcast path's referential violation set
+    (both problem families) and identical per-partition verdicts."""
+    from metrics_ray.pipelines.clips import validate_sf
+
+    dist = validate_sf(sf_unit, concurrency=2, broadcast_budget_rows=0)
+
+    def ref_rows(rep):
+        df = rep.violations.to_pandas()
+        df = df[df.check_id == "referential_transcript"]
+        return sorted(zip(df.code, df.clip_id, df.partition))
+
+    assert ref_rows(dist) == ref_rows(report)
+    # same overall verdicts (pass/fail per partition)
+    b = report.verdicts.to_pandas().set_index("partition")["passed"]
+    d = dist.verdicts.to_pandas().set_index("partition")["passed"]
+    assert d.to_dict() == b.to_dict()

@@ -68,3 +68,33 @@ def quiet_ray_logs() -> None:
 
 
 quiet_ray_logs()
+
+
+def harden_fsspec_race() -> None:
+    """Make Ray Data's lazy fsspec-HTTP probe thread-safe (idempotent).
+
+    ``ray.data.datasource.path_util._is_http_filesystem`` does
+    ``from fsspec.implementations.http import HTTPFileSystem`` per call and
+    catches only ModuleNotFoundError. When two driver threads build dataset
+    plans concurrently (run_suite's concurrent pipelines, curate_sf's
+    partition waves) and the http backend's dependency (aiohttp) is absent,
+    the racing imports can surface as a plain ImportError ("cannot import
+    name 'HTTPFileSystem' …"), which escapes and kills the plan build.
+    Semantically an import failure of the HTTP backend simply means "not an
+    HTTP filesystem", so wrap the probe to treat ANY ImportError as False."""
+    try:
+        import ray.data.datasource.path_util as _pu
+    except Exception:  # pragma: no cover - ray layout change
+        return
+    orig = getattr(_pu, "_is_http_filesystem", None)
+    if orig is None or getattr(orig, "_metrics_ray_hardened", False):
+        return
+
+    def _safe(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    _safe._metrics_ray_hardened = True
+    _pu._is_http_filesystem = _safe

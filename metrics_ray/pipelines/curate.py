@@ -112,44 +112,62 @@ class CurationStage:
         from ..stages.audio_ops import resample_pcm
 
         meta_ok = self._meta_ok(batch)
-        ids = batch.column("clip_id").to_pylist()
-        payloads = batch.column("bytes").to_pylist()
-        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False)
-        transcripts = batch.column("transcript").to_pylist()
-        durs = batch.column("dur_ms").to_numpy(zero_copy_only=False)
-
-        out = {n: [] for n in STAGE_SCHEMA.names}
-
-        def emit(i, reason, sr=None, dur=None, payload=None):
-            out["clip_id"].append(ids[i])
-            out["reason"].append(reason)
-            out["sr_hz"].append(int(sr if sr is not None else srs[i]))
-            out["dur_ms"].append(int(dur if dur is not None else durs[i]))
-            out["transcript"].append(transcripts[i])
-            out["bytes"].append(payload)
-
-        for i in range(len(ids)):
-            if not meta_ok[i]:
-                emit(i, R_META)
-                continue
-            try:
-                _, pcm = audio.decode(payloads[i])
-            except (ValueError, TypeError):
-                emit(i, R_UNDECODABLE)
-                continue
-            p = self.profiler._profile(pcm, int(srs[i]))
-            if p["clipping_frac"] > self.max_clipping:
-                emit(i, R_CLIPPING)
-                continue
-            if p["speech_ratio"] < self.min_speech:
-                emit(i, R_LOW_SPEECH)
-                continue
-            res = resample_pcm(pcm, int(srs[i]), self.target_sr)
-            dur_out = int(round(len(res) * 1000.0 / self.target_sr))
-            emit(i, R_KEPT, sr=self.target_sr, dur=dur_out,
-                 payload=audio.encode(res, "pcm_s16le"))
-        return pa.table({n: pa.array(out[n], STAGE_SCHEMA.field(n).type)
-                         for n in STAGE_SCHEMA.names})
+        parts: list[pa.Table] = []
+        # metadata-rejected rows take a fully-vectorized fast path (no
+        # Python per-row work) — on a meta-heavy corpus the decode loop
+        # below sees only the survivors
+        if not meta_ok.all():
+            bad = batch.filter(pa.array(~meta_ok))
+            n = bad.num_rows
+            parts.append(pa.table({
+                "clip_id": bad.column("clip_id").cast(pa.string()),
+                "reason": pa.array([R_META] * n, pa.string()),
+                "sr_hz": bad.column("sr_hz").cast(pa.int32()),
+                "dur_ms": bad.column("dur_ms").cast(pa.int32()),
+                "transcript": bad.column("transcript").cast(pa.string()),
+                "bytes": pa.nulls(n, pa.binary()),
+            }))
+        if meta_ok.any():
+            ok = batch.filter(pa.array(meta_ok))
+            ids = ok.column("clip_id").to_pylist()
+            payloads = ok.column("bytes").to_pylist()
+            srs = ok.column("sr_hz").to_numpy(zero_copy_only=False)
+            n = len(ids)
+            # decode is inherently per-row (variable-length payloads);
+            # everything around it stays columnar
+            reasons: list[str] = [R_KEPT] * n
+            out_sr = srs.astype(np.int64).copy()
+            out_dur = ok.column("dur_ms").to_numpy(
+                zero_copy_only=False).astype(np.int64).copy()
+            out_bytes: list[bytes | None] = [None] * n
+            for i in range(n):
+                try:
+                    _, pcm = audio.decode(payloads[i])
+                except (ValueError, TypeError):
+                    reasons[i] = R_UNDECODABLE
+                    continue
+                p = self.profiler._profile(pcm, int(srs[i]))
+                if p["clipping_frac"] > self.max_clipping:
+                    reasons[i] = R_CLIPPING
+                    continue
+                if p["speech_ratio"] < self.min_speech:
+                    reasons[i] = R_LOW_SPEECH
+                    continue
+                res = resample_pcm(pcm, int(srs[i]), self.target_sr)
+                out_sr[i] = self.target_sr
+                out_dur[i] = int(round(len(res) * 1000.0 / self.target_sr))
+                out_bytes[i] = audio.encode(res, "pcm_s16le")
+            parts.append(pa.table({
+                "clip_id": ok.column("clip_id").cast(pa.string()),
+                "reason": pa.array(reasons, pa.string()),
+                "sr_hz": pa.array(out_sr.astype(np.int32)),
+                "dur_ms": pa.array(out_dur.astype(np.int32)),
+                "transcript": ok.column("transcript").cast(pa.string()),
+                "bytes": pa.array(out_bytes, pa.binary()),
+            }))
+        if not parts:
+            return STAGE_SCHEMA.empty_table()
+        return pa.concat_tables(parts).cast(STAGE_SCHEMA)
 
 
 # -------------------------------------------------- phase 1: dedup decisions
@@ -184,24 +202,47 @@ def dedup_drop_ds(factory):
 # ---------------------------------------------- phase 2: per-partition work
 
 
-def _reason_counts(mat) -> dict[str, int]:
-    """Small per-batch partials → driver sum (6-row tables per batch)."""
+def _stats_and_kept_keys(mat) -> tuple[dict[str, int], list[pa.Table]]:
+    """ONE collection pass over the staged stream returning both the
+    reason counts and the kept (clip_id, dur_ms) key rows — per batch:
+    a handful of 'c' count rows plus key-only 'k' rows (never payload)."""
     import ray
 
     def partial(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         vc = pc.value_counts(b.column("reason"))
-        return pa.table({"reason": vc.field("values"),
-                         "cnt": vc.field("counts")})
+        kept = b.filter(pc.equal(b.column("reason"), R_KEPT))
+        return pa.table({
+            "kind": pa.array(["c"] * len(vc) + ["k"] * kept.num_rows),
+            "key": pa.concat_arrays([
+                vc.field("values").cast(pa.string()),
+                kept.column("clip_id").cast(pa.string()).combine_chunks()]),
+            "val": pa.concat_arrays([
+                vc.field("counts").cast(pa.int64()),
+                kept.column("dur_ms").cast(pa.int64()).combine_chunks()]),
+        })
 
     counts: dict[str, int] = {}
-    for t in ray.get(arrow_refs(mat.map_batches(partial, batch_format="pyarrow")
-                     )):
-        for r, c in zip(t.column("reason").to_pylist(),
-                        t.column("cnt").to_pylist()):
-            counts[r] = counts.get(r, 0) + int(c)
-    return counts
+    kept_keys: list[pa.Table] = []
+    for t in ray.get(arrow_refs(
+            mat.map_batches(partial, batch_format="pyarrow"))):
+        kinds = t.column("kind").to_numpy(zero_copy_only=False)
+        c = t.filter(pa.array(kinds == "c"))
+        for r, n in zip(c.column("key").to_pylist(),
+                        c.column("val").to_pylist()):
+            counts[r] = counts.get(r, 0) + int(n)
+        k = t.filter(pa.array(kinds == "k"))
+        if k.num_rows:
+            kept_keys.append(pa.table({"clip_id": k.column("key"),
+                                       "dur_ms": k.column("val")}))
+    return counts, kept_keys
+
+
+def _partition_rows(part_dir: str) -> int:
+    """Input row count from parquet footers — no Ray job, no scan."""
+    return sum(pq.read_metadata(os.path.join(part_dir, f)).num_rows
+               for f in os.listdir(part_dir) if f.endswith(".parquet"))
 
 
 def _curate_partition(part_dir: str, out_part_dir: str, drop_ids: set,
@@ -213,21 +254,15 @@ def _curate_partition(part_dir: str, out_part_dir: str, drop_ids: set,
     import ray.data as rd
 
     ds = rd.read_parquet(part_dir, columns=list(CurationStage.columns))
-    n_input = ds.count()
+    n_input = _partition_rows(part_dir)
     staged = ds.map_batches(stage, batch_format="pyarrow", batch_size=128)
     # partition-scoped materialization (bounded by shard size by design);
     # re-wrap via from_arrow_refs so downstream transforms don't re-execute
     # lineage (Ray 2.49 re-plans MaterializedDataset from the source)
     mat = rd.from_arrow_refs(staged.materialize().to_arrow_refs())
-    counts = _reason_counts(mat)
+    counts, kept_keys = _stats_and_kept_keys(mat)
 
     # pack assignment over kept keys (clip_id unique within a partition)
-    kept_keys = [t for t in ray.get(arrow_refs(
-        mat.map_batches(
-            lambda b: b.filter(
-                pa.compute.equal(b.column("reason"), R_KEPT))
-            .select(["clip_id", "dur_ms"]),
-            batch_format="pyarrow"))) if t.num_rows]
     if kept_keys:
         keys = pa.concat_tables(kept_keys).to_pandas()
         keys = keys[~keys["clip_id"].isin(drop_ids)].sort_values(
@@ -242,26 +277,32 @@ def _curate_partition(part_dir: str, out_part_dir: str, drop_ids: set,
         pack_map, n_packs, total_ms = {}, 0, 0
     n_dup = counts.get(R_KEPT, 0) - len(pack_map)
 
-    pack_ref = ray.put(pack_map)
+    import pandas as pd
+
+    pack_ref = ray.put((
+        pa.array(list(pack_map), pa.string()),
+        pd.Series({k: v[0] for k, v in pack_map.items()}, dtype="int64"),
+        pd.Series({k: v[1] for k, v in pack_map.items()}, dtype="int64")))
 
     def finalize(b: pa.Table) -> pa.Table:
-        pm = ray.get(pack_ref)
-        keep_mask = np.array(
-            [r == R_KEPT and cid in pm
-             for r, cid in zip(b.column("reason").to_pylist(),
-                               b.column("clip_id").to_pylist())])
-        if not keep_mask.any():
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        keep_set, packs, offs = ray.get(pack_ref)
+        keep = pc.and_(pc.equal(b.column("reason"), R_KEPT),
+                       pc.is_in(b.column("clip_id"), value_set=keep_set))
+        kept = b.filter(keep)
+        if not kept.num_rows:
             return CURATED_SCHEMA.empty_table()
-        kept = b.filter(pa.array(keep_mask))
-        assign = [pm[c] for c in kept.column("clip_id").to_pylist()]
+        ids = pd.Series(kept.column("clip_id").to_pylist())
         return pa.table({
             "clip_id": kept.column("clip_id"),
             "sr_hz": kept.column("sr_hz"),
             "dur_ms": kept.column("dur_ms"),
             "transcript": kept.column("transcript"),
             "bytes": kept.column("bytes"),
-            "pack_id": pa.array([a[0] for a in assign], pa.int64()),
-            "offset_ms": pa.array([a[1] for a in assign], pa.int64()),
+            "pack_id": pa.array(ids.map(packs).to_numpy(np.int64)),
+            "offset_ms": pa.array(ids.map(offs).to_numpy(np.int64)),
         })
 
     os.makedirs(out_part_dir, exist_ok=True)
@@ -283,9 +324,18 @@ def _curate_partition(part_dir: str, out_part_dir: str, drop_ids: set,
 def curate_sf(sf_dir: str, out_dir: str, replicas: int = 1,
               target_sr: int = TARGET_SR, pack_cap_ms: int | None = None,
               min_speech: float = MIN_SPEECH_RATIO,
-              max_clipping: float = MAX_CLIPPING_FRAC) -> dict:
+              max_clipping: float = MAX_CLIPPING_FRAC,
+              wave_size: int | None = None) -> dict:
     """Run the full curation pipeline; re-entrant (committed partitions are
-    skipped on re-run). Returns the merged manifest."""
+    skipped on re-run). Returns the merged manifest.
+
+    Phase 2 curates ``wave_size`` partitions CONCURRENTLY (driver threads,
+    each driving its own partition-scoped Ray pipelines — the
+    state/checkpoint.py wave pattern): per-partition work is internally
+    parallel but has fixed per-job latency (stage startup, driver
+    collection), so a sequential partition loop would serialize the job at
+    millions of partitions. Each partition still commits independently via
+    its own ``_SUCCESS`` marker, so resume semantics are unchanged."""
     from ..stages.audio_ops import PACK_CAP_MS
 
     from .clips import clips_factory, ensure_clips_hive, ensure_clips_parquet
@@ -295,7 +345,13 @@ def curate_sf(sf_dir: str, out_dir: str, replicas: int = 1,
     parts = sorted(d for d in os.listdir(hive) if d.startswith("partition="))
     os.makedirs(out_dir, exist_ok=True)
 
-    # phase 1: global dedup decisions (skipped when already committed)
+    # phase 1: global dedup decisions (skipped when already committed).
+    # The drop list is O(duplicate rows) — tiny relative to the corpus —
+    # so it is written FLAT (partition kept as a data column): Ray's
+    # partition_cols write pays a fixed multi-second shuffle/requery cost
+    # that dwarfs the list itself. At the 10^12-row design point, where the
+    # drop list itself is huge, switch to a key-range-partitioned layout so
+    # phase 2 reads stay partition-local.
     drop_dir = os.path.join(out_dir, "_dedup_drops")
     drop_done = os.path.join(drop_dir, "_SUCCESS")
     if not os.path.exists(drop_done):
@@ -304,37 +360,58 @@ def curate_sf(sf_dir: str, out_dir: str, replicas: int = 1,
         os.makedirs(drop_dir, exist_ok=True)
         flat = ensure_clips_parquet(sf_dir, replicas=replicas)
         drops = dedup_drop_ds(clips_factory(flat))
-        drops.write_parquet(drop_dir, partition_cols=["partition"])
+        drops.write_parquet(drop_dir)
         with open(drop_done, "w") as f:
             f.write("ok")
 
-    def drop_ids_for(pname: str) -> set:
-        d = os.path.join(drop_dir, pname)
-        if not os.path.isdir(d):
-            return set()
-        return set(pq.read_table(d, columns=["clip_id"])
-                   .column("clip_id").to_pylist())
+    drop_tbl = pq.read_table(drop_dir, columns=["partition", "clip_id"])
+    drop_sets: dict[int, set] = {}
+    for p, cid in zip(drop_tbl.column("partition").to_pylist(),
+                      drop_tbl.column("clip_id").to_pylist()):
+        drop_sets.setdefault(int(p), set()).add(cid)
 
-    # phase 2: per-partition curation, committed independently
+    def drop_ids_for(pname: str) -> set:
+        return drop_sets.get(int(pname.split("=")[1]), set())
+
+    # phase 2: per-partition curation, committed independently, processed
+    # in concurrent waves (plan building from threads needs the hardened
+    # fsspec probe — see metrics_ray.harden_fsspec_race)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import harden_fsspec_race
+
+    harden_fsspec_race()
+
     stage = CurationStage(target_sr=target_sr, min_speech=min_speech,
                           max_clipping=max_clipping)
     manifest: dict = {"partitions": {}, "resumed_skips": 0}
+    pending: list[str] = []
     for pname in parts:
-        out_part = os.path.join(out_dir, pname)
-        marker = os.path.join(out_part, "_SUCCESS")
+        marker = os.path.join(out_dir, pname, "_SUCCESS")
         if os.path.exists(marker):
             with open(marker) as f:
                 manifest["partitions"][pname] = json.load(f)
             manifest["resumed_skips"] += 1
-            continue
+        else:
+            pending.append(pname)
+
+    def curate_one(pname: str) -> tuple[str, dict]:
+        out_part = os.path.join(out_dir, pname)
         if os.path.exists(out_part):  # partial write from a crashed run
             shutil.rmtree(out_part)
         counts = _curate_partition(
             os.path.join(hive, pname), out_part, drop_ids_for(pname),
             stage, pack_cap_ms)
-        with open(marker, "w") as f:
+        with open(os.path.join(out_part, "_SUCCESS"), "w") as f:
             json.dump(counts, f)
-        manifest["partitions"][pname] = counts
+        return pname, counts
+
+    if pending:
+        if wave_size is None:
+            wave_size = min(8, len(pending))
+        with ThreadPoolExecutor(max_workers=max(1, wave_size)) as pool:
+            for pname, counts in pool.map(curate_one, pending):
+                manifest["partitions"][pname] = counts
 
     totals: dict[str, int] = {}
     for c in manifest["partitions"].values():

@@ -59,16 +59,15 @@ def grouped_apply(ds, key, fn, n_buckets: int | None = None,
 
     def tag(b: pa.Table) -> pa.Table:
         from .. import quiet_ray_logs
+        from ..sketches import hash_column
 
         quiet_ray_logs()  # workers re-apply after ray.data's log config
         if isinstance(key, str):
-            vals = b.column(key).to_pylist()
-            h = hash64(np.array(vals, dtype=object))
+            h = hash_column(b.column(key))
         else:  # composite key: combine column hashes
             h = np.zeros(len(b), dtype=np.uint64)
             for k in key:
-                vals = b.column(k).to_pylist()
-                h = h * _GOLD + hash64(np.array(vals, dtype=object)).astype(np.uint64)
+                h = h * _GOLD + hash_column(b.column(k))
         return b.append_column("__bucket",
                                pa.array((h % B).astype(np.int64)))
 
@@ -342,15 +341,22 @@ def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
 
     def tag(side: str, col: str):
         def f(b: pa.Table) -> pa.Table:
-            keys = [None if k is None else str(k)
-                    for k in b.column(col).to_pylist()]
-            h = hash64(np.array(keys, dtype=object))
+            import pyarrow.compute as pc
+
+            from ..sketches import hash_column
+
+            # cast-to-string normalizes key types across the two sides
+            # (int64 custkey vs string id) so identical logical keys hash
+            # identically; hashing stays Arrow-native (no to_pylist)
+            keys = pc.cast(b.column(col), pa.string())
+            h = hash_column(keys)
+            n = len(keys)
             return pa.table({
                 "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
-                "key": pa.array(keys, pa.string()),
-                "side": pa.array([side] * len(keys), pa.string()),
+                "key": keys,
+                "side": pa.array([side] * n, pa.string()),
                 "partition": (b.column("partition") if "partition" in b.column_names
-                              else pa.array([-1] * len(keys), pa.int32())),
+                              else pa.array([-1] * n, pa.int32())),
             })
         return f
 

@@ -277,19 +277,35 @@ def vcorpus_ds(sf_dir: str):
         derive_vcorpus_batch, batch_format="pyarrow")
 
 
+# Hard ceiling for the exact-baseline corpus broadcast: q_emb_neardup is
+# the small-scale oracle anchor by design; refusing loudly above this bound
+# prevents it from being pointed at a production corpus by accident (the
+# production path is q_emb_neardup_lsh). 2M × 64 float32 ≈ 0.5 GB.
+CORPUS_BROADCAST_MAX_ROWS = int(os.environ.get(
+    "METRICS_RAY_CORPUS_BCAST_MAX_ROWS", 2_000_000))
+
+
 def corpus_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """Materialize the normalized vcorpus matrix for broadcast.
 
     ONLY the exact O(n·corpus) oracle baseline (q_emb_neardup) uses this —
     it exists to give the approximate paths (LSH, IVF) something exact to
     be measured against, and is inherently bounded to corpora that fit one
-    machine. The scale paths never call it: LSH verifies inside shuffled
-    buckets, IVF trains on a distributed hash-sample (sample_matrix)."""
+    machine (enforced: refuses above CORPUS_BROADCAST_MAX_ROWS). The scale
+    paths never call it: LSH verifies inside shuffled buckets, IVF trains
+    on a distributed hash-sample (sample_matrix)."""
     import ray
 
     tables = [t for t in ray.get(arrow_refs(vcorpus_ds(sf_dir)))
               if t.num_rows]
     t = pa.concat_tables(tables)
+    if t.num_rows > CORPUS_BROADCAST_MAX_ROWS:
+        raise ValueError(
+            f"corpus_matrix: {t.num_rows} rows exceeds the exact-baseline "
+            f"broadcast ceiling ({CORPUS_BROADCAST_MAX_ROWS}). This is the "
+            "small-scale oracle anchor; use q_emb_neardup_lsh (bucketed "
+            "verify, no broadcast) for production corpora, or raise "
+            "METRICS_RAY_CORPUS_BCAST_MAX_ROWS explicitly.")
     ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     M = _emb_matrix(t)
     order = np.argsort(ids)

@@ -27,6 +27,33 @@ def hash64(values: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(values), categorize=False)
 
 
+def hash_column(col) -> np.ndarray:
+    """64-bit hash of an Arrow column (Array or ChunkedArray) WITHOUT
+    materializing Python objects — the hot path of every keyed exchange
+    (grouped_apply / bucketed joins tag each row with hash(key) % B).
+
+    Uses polars' vectorized hash zero-copy from Arrow (~30x faster than
+    to_pylist + per-object siphash). Deterministic for a fixed seed within
+    one polars version, which is all an intra-run exchange needs: identical
+    keys MUST co-locate (same hash everywhere in the run); the bucket ids
+    themselves never appear in results. Oracle-visible hashes (sampling
+    decisions) use md5_lower64 instead and are unaffected. Falls back to
+    the object-array siphash when polars is unavailable."""
+    import pyarrow as pa
+
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(col)
+        if isinstance(s, pl.DataFrame):  # single-column table edge
+            s = s.to_series()
+        return s.hash(seed=0).to_numpy().astype(np.uint64, copy=False)
+    except ImportError:
+        vals = col.to_pylist() if isinstance(
+            col, (pa.Array, pa.ChunkedArray)) else col
+        return hash64(np.array(vals, dtype=object)).astype(np.uint64)
+
+
 def md5_lower64(values) -> np.ndarray:
     """Per-value uint64 hash equal to DuckDB ``md5_number_lower(CAST(v AS
     VARCHAR))``: the little-endian lower half of md5 over the value's

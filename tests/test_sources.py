@@ -65,3 +65,54 @@ def test_jsonl_roundtrip(fixture_dir, tmp_path):
     import ray.data as rd
     rt = rd.read_json([str(out / f) for f in sorted(os.listdir(out))]).to_pandas()
     pd.testing.assert_frame_equal(_norm(rt), _norm(back))
+
+
+def test_lance_parity_when_available(sf_unit, tmp_path):
+    """Import-gated Lance round-trip parity (BASELINE.json input_hint names
+    Lance as the primary input format): write the derived clip table to a
+    .lance dataset, read it back through read_any/read_clips, and assert
+    schema + content equality with the parquet path. Skips when pylance is
+    absent (this sandbox); on a cluster with pylance the branch is
+    exercised for real."""
+    import pytest
+
+    from metrics_ray.sources.clips_source import (
+        lance_available, read_any, read_clips)
+
+    if not lance_available():
+        with pytest.raises(RuntimeError, match="lance"):
+            read_clips("/tmp/nonexistent.lance")
+        pytest.skip("pylance not installed")
+
+    import lance
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metrics_ray.pipelines.clips import ensure_clips_parquet
+
+    pdir = ensure_clips_parquet(sf_unit)
+    files = sorted(f"{pdir}/{f}" for f in __import__("os").listdir(pdir)
+                   if f.endswith(".parquet"))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    lpath = str(tmp_path / "clips.lance")
+    lance.write_dataset(tbl, lpath)
+
+    got = read_any(lpath, columns=["clip_id", "sr_hz"]) \
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    want = tbl.select(["clip_id", "sr_hz"]).to_pandas() \
+        .sort_values("clip_id").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_emb_neardup_broadcast_size_guard(sf_unit, monkeypatch):
+    """q_emb_neardup's exact baseline must refuse (loudly) above the
+    broadcast ceiling instead of shipping a production corpus matrix."""
+    import pytest
+
+    from metrics_ray.pipelines import embed
+
+    monkeypatch.setattr(embed, "CORPUS_BROADCAST_MAX_ROWS", 10)
+    embed.q_emb_neardup.cache_clear()
+    with pytest.raises(ValueError, match="broadcast ceiling"):
+        embed.q_emb_neardup(sf_unit)
+    embed.q_emb_neardup.cache_clear()

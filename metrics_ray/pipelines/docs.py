@@ -1878,12 +1878,18 @@ def q_doc_dup_spans(sf_dir: str) -> pa.Table:
     def gram_partials(b: pa.Table) -> pa.Table:
         from collections import Counter
 
+        import pyarrow.compute as pc
+
+        # tokenize with the SAME re2 kernel the SQL mirror uses
+        # (regexp_extract_all '\S+'): str.split() honors Unicode
+        # whitespace (e.g. \xa0) and would window differently
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b.column("text"), ""), r"\s+").to_pylist()
         out_g: list[str] = []
         out_d: list[int] = []
         out_c: list[int] = []
-        for did, txt in zip(b.column("doc_id").to_pylist(),
-                            b.column("text").to_pylist()):
-            w = (txt or "").split()
+        for did, w in zip(b.column("doc_id").to_pylist(), toks):
+            w = [t for t in w if t]
             if len(w) < W:
                 continue
             c = Counter(" ".join(w[i:i + W]) for i in range(len(w) - W + 1))

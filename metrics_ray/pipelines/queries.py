@@ -403,17 +403,26 @@ def q_column_profile(sf_dir: str) -> pa.Table:
     # must still report a row (n_distinct = 0), matching the SQL oracle
     out = agg.merge(nd, on="col_name", how="left").sort_values("col_name")
     out["n_distinct"] = out["n_distinct"].fillna(0)
-    # min over int columns was taken on native ints per batch, but the
-    # cross-batch fold above compares their STRING forms — redo the fold
-    # numerically for the int columns so '7999' never beats '16000'
-    for col in ("sr_hz", "dur_ms", "partition"):
+    # min over numeric columns was taken on native values per batch, but
+    # the cross-batch fold above compares their STRING forms — redo the
+    # fold numerically so '7999' never beats '16000'. The numeric set is
+    # DERIVED from the Arrow schema (not a hard-coded list), so adding a
+    # numeric column to _PROFILE_COLS can never silently fall back to
+    # lexicographic min/max. Keys select among the ORIGINAL strings, so
+    # no re-formatting drift vs the per-batch str() forms.
+    sch = ds.schema()
+    for col, typ in zip(sch.names, sch.types):
+        if col not in _PROFILE_COLS or not (
+                pa.types.is_integer(typ) or pa.types.is_floating(typ)):
+            continue
+        key = int if pa.types.is_integer(typ) else float
         vals = sc[sc.col_name == col]["min_s"].dropna()
         if len(vals) == 0:  # all-NULL column: keep min/max as None
             continue
-        lo = min(int(v) for v in vals)
-        hi = max(int(v) for v in sc[sc.col_name == col]["max_s"].dropna())
-        out.loc[out.col_name == col, "min_s"] = str(lo)
-        out.loc[out.col_name == col, "max_s"] = str(hi)
+        lo = min(vals, key=key)
+        hi = max(sc[sc.col_name == col]["max_s"].dropna(), key=key)
+        out.loc[out.col_name == col, "min_s"] = lo
+        out.loc[out.col_name == col, "max_s"] = hi
     return pa.table({
         "col_name": pa.array(out["col_name"], pa.string()),
         "n_rows": pa.array(out["n_rows"].astype("int64")),
@@ -1292,6 +1301,14 @@ def _acoustic_corpus_batch(b: pa.Table) -> pa.Table:
         m = re.fullmatch(r"clip-(\d{8})", cid or "")
         if not m or int(m.group(1)) % ACOUSTIC_MOD != ACOUSTIC_RES:
             continue
+        # the replica id folds k into 7 digits under an '8' prefix — a
+        # source id >= 10M (or two sources congruent mod 10M) would alias
+        # a replica id and silently corrupt pair attribution; fail loudly
+        # instead (fixture ids are < 10M by construction)
+        if int(m.group(1)) >= 10_000_000:
+            raise ValueError(
+                f"_acoustic_corpus_batch: source id {cid} >= 10M would "
+                "alias a clip-8* replica id; widen the replica id scheme")
         try:
             actual, pcm = audio.decode(pay)
         except (ValueError, TypeError):

@@ -1020,39 +1020,53 @@ def q_ev_amount_outliers(sf_dir: str) -> pa.Table:
 
     Scale shape (derive-stats-then-scan, the two-pass
     UsageOfIncorrectDomainOrRange pattern): pass 1 folds each batch to
-    (type, n, sum, sumsq) partials — constant rows per batch — merged by
-    a tiny groupby; the resulting O(groups) moment table broadcasts via
-    closure; pass 2 is row-local z-scoring, no exchange. z is rounded to
-    6 decimals on BOTH sides before thresholding so engine and oracle
-    flag identical rows."""
-    from ray.data.aggregate import Sum
+    (type, n, mean, M2) Welford partials — constant rows per batch —
+    merged on the driver with Chan's parallel-variance combination (the
+    raw E[x^2]-mu^2 form cancels catastrophically for large means and can
+    flip the rounded z>3 boundary vs STDDEV_POP's stable two-pass);
+    the resulting O(groups) moment table broadcasts via closure; pass 2
+    is row-local z-scoring, no exchange. z is rounded to 6 decimals on
+    BOTH sides before thresholding so engine and oracle flag identical
+    rows."""
+    import ray
 
     def moments(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "event_type": b.column("event_type").to_pylist(),
             "v": b.column("value").to_numpy(zero_copy_only=False),
         })
+
+        def m2(x):
+            a = x.to_numpy(dtype=np.float64)
+            return float(((a - a.mean()) ** 2).sum())
+
         g = df.groupby("event_type", sort=False)["v"].agg(
-            n="size", s="sum", ss=lambda x: float((x.to_numpy() ** 2).sum()))
-        g = g.reset_index()
+            n="size", mean="mean", M2=m2).reset_index()
         return pa.table({
             "event_type": pa.array(g["event_type"], pa.string()),
             "n": pa.array(g["n"].astype("int64")),
-            "s": pa.array(g["s"].astype("float64")),
-            "ss": pa.array(g["ss"].astype("float64")),
+            "mean": pa.array(g["mean"].astype("float64")),
+            "M2": pa.array(g["M2"].astype("float64")),
         })
 
-    agg = (_read(sf_dir, "events", ["event_type", "value"])
-           .map_batches(moments, batch_format="pyarrow")
-           .groupby("event_type", num_partitions=shuffle_blocks())
-           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
-                      Sum("ss", alias_name="ss"))
-           .to_pandas())
+    partial_tables = [t for t in ray.get(arrow_refs(
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(moments, batch_format="pyarrow"))) if t.num_rows]
+    agg = (pa.concat_tables(partial_tables).to_pandas()
+           .sort_values(["event_type", "n", "mean"], kind="stable")
+           if partial_tables else pd.DataFrame(
+               columns=["event_type", "n", "mean", "M2"]))
     stats = {}
-    for _, r in agg.iterrows():
-        mu = r["s"] / r["n"]
-        var = max(r["ss"] / r["n"] - mu * mu, 0.0)
-        stats[r["event_type"]] = (mu, float(np.sqrt(var)))
+    for etype, sub in agg.groupby("event_type", sort=True):
+        n_acc, mean_acc, m2_acc = 0, 0.0, 0.0
+        for _, r in sub.iterrows():  # deterministic fold order (sorted)
+            nb, mb, m2b = int(r["n"]), float(r["mean"]), float(r["M2"])
+            tot = n_acc + nb
+            delta = mb - mean_acc
+            m2_acc = m2_acc + m2b + delta * delta * n_acc * nb / tot
+            mean_acc = mean_acc + delta * nb / tot
+            n_acc = tot
+        stats[etype] = (mean_acc, float(np.sqrt(m2_acc / n_acc)))
 
     def scan(b: pa.Table) -> pa.Table:
         ids = b.column("event_id").to_numpy(zero_copy_only=False)
@@ -1084,33 +1098,63 @@ def q_ev_amount_outliers(sf_dir: str) -> pa.Table:
     return pa.concat_tables(tables).sort_by("event_id")
 
 
+# DuckDB TRY_CAST(VARCHAR AS DOUBLE) literal syntax (no underscores, no
+# bare 'nan'/'inf' needed here — fixture payloads are plain JSON numbers)
+_DOUBLE_RE = __import__("re").compile(
+    r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def json_k_buckets(props: list) -> np.ndarray:
+    """Top-level ``k`` field of each JSON blob → decade bucket (int64),
+    -1 for unparsable/missing/non-numeric — bit-for-bit the SQL mirror's
+    ``floor(TRY_CAST(json_extract_string(props,'$.k') AS DOUBLE)/10)*10``:
+    a real JSON parse, so {"k": 1e2} (scientific notation) buckets as 100
+    and {"a":{"k":1}} (nested, not top-level) buckets as -1 — cases a
+    substring regex mishandles."""
+    import json
+
+    out = np.full(len(props), -1, dtype=np.int64)
+    for i, p in enumerate(props):
+        if not p:
+            continue
+        try:
+            obj = json.loads(p)
+        except (ValueError, TypeError):
+            continue
+        if not isinstance(obj, dict) or "k" not in obj:
+            continue
+        v = obj["k"]
+        if isinstance(v, bool) or v is None:
+            continue  # json_extract_string('true') fails TRY_CAST
+        if isinstance(v, str):
+            # json_extract_string returns the raw string; TRY_CAST parses
+            # plain double literals only
+            if not _DOUBLE_RE.match(v.strip()):
+                continue
+            v = float(v)
+        elif not isinstance(v, (int, float)):
+            continue  # nested object / list
+        out[i] = int(np.floor(float(v) / 10.0) * 10)
+    return out
+
+
 def q_ev_props_rollup(sf_dir: str) -> pa.Table:
     """Semi-structured extraction: parse the JSON ``props`` column,
     extract the numeric ``k`` field, and roll up (count, total value)
     per k-decade bucket — the schema-on-read step every event pipeline
     runs over raw property blobs.
 
-    Scale shape: extraction is one vectorized Arrow re2 kernel per batch
-    (no per-row python; at web scale the same slot takes a real JSON
-    parser — the plan is unchanged); the rollup is the standard
+    Scale shape: extraction is a real JSON parse (json.loads per row —
+    the honest semantic for schema-on-read; a regex shortcut buckets
+    scientific-notation or nested-object payloads differently from the
+    SQL mirror's json_extract); the rollup is the standard
     combiner-before-shuffle: per-batch partials, tiny groupby-sum. Rows
     whose props don't parse are counted under bucket -1 (violation
     bucket, never silently dropped)."""
-    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        props = pc.fill_null(b.column("props"), "")
-        # capture the full numeric literal (sign + fraction) and bucket
-        # with FLOOR division — the SQL mirror floors a DOUBLE the same
-        # way, so negative and fractional k bucket identically
-        ext = pc.extract_regex(props, r'"k":\s*(?P<k>-?\d+(?:\.\d+)?)')
-        kstr = pc.struct_field(ext, "k")
-        valid = pc.is_valid(kstr).to_numpy(zero_copy_only=False)
-        k = np.array([float(x) if x is not None else 0.0
-                      for x in kstr.to_pylist()], dtype=np.float64)
-        bucket = np.where(valid,
-                          (np.floor(k / 10.0) * 10).astype(np.int64), -1)
+        bucket = json_k_buckets(b.column("props").to_pylist())
         df = pd.DataFrame({
             "k_bucket": bucket,
             "v": b.column("value").to_numpy(zero_copy_only=False),

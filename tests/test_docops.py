@@ -331,3 +331,35 @@ def test_keep_best_prefers_longest_member(ray_session):
         assert (grp["keeper_id"] == keeper).all()
         best = sorted(grp["doc_id"], key=lambda d: (-len(texts[d]), d))[0]
         assert keeper == best, (cid, keeper, best)
+
+
+def test_json_k_buckets_matches_duckdb_on_tricky_json():
+    """q_ev_props_rollup's extraction is a real JSON parse; it must bucket
+    exactly like the oracle's json_extract_string + TRY_CAST for payloads
+    a substring regex mishandles: scientific notation, nesting, string
+    numbers, booleans, nulls, broken JSON."""
+    import duckdb
+    import numpy as np
+
+    from metrics_ray.pipelines.rel import json_k_buckets
+
+    valid = [
+        '{"k": 5}', '{"k": -17.5}', '{"k": 1e2}', '{"k": 2.5E-1}',
+        '{"a": {"k": 1}}', '{"k": "42"}', '{"k": "x"}', '{"k": true}',
+        '{"k": null}', '{"k": [1]}', '{"k": {"n": 1}}',
+        '{"kk": 3}', '{"k": -0.0}', '{"k": 1234567890.25}',
+    ]
+    got = json_k_buckets(valid).tolist()
+    con = duckdb.connect()
+    want = [r[0] for r in con.execute("""
+        SELECT COALESCE(CAST(floor(TRY_CAST(
+                   json_extract_string(p, '$.k') AS DOUBLE) / 10)
+               AS BIGINT) * 10, -1)
+        FROM (SELECT UNNEST(?::VARCHAR[]) AS p)""",
+        [valid]).fetchall()]
+    con.close()
+    assert got == want, list(zip(valid, got, want))
+    # non-JSON payloads (which the oracle's json_extract would reject
+    # outright — the fixture never produces them) land in the violation
+    # bucket instead of crashing the engine
+    assert json_k_buckets(["not json", "", None]).tolist() == [-1, -1, -1]

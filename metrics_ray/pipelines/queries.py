@@ -1813,6 +1813,62 @@ def q_img_features(sf_dir: str) -> pa.Table:
     }).sort_by("img_id")
 
 
+def q_img_decode_geometry(sf_dir: str) -> pa.Table:
+    """The oracle-mirrorable half of the image feature stage, isolated
+    (SURVEY.md §5 fixture-mirror pattern): decodability + magic-detected
+    actual format per image — both pure functions of the corruption
+    matrix, so DuckDB recomputes them row-for-row while the DSP-bound
+    pixel statistics stay in the rows-only img_features."""
+    from ..stages.image import ImageFeatureExtractor
+
+    feats = _images_dataset(sf_dir).map_batches(
+        ImageFeatureExtractor(), batch_format="pyarrow", batch_size=128)
+    import ray
+
+    tables = [t.select(["img_id", "decode_ok", "actual_format"])
+              for t in ray.get(arrow_refs(feats)) if t.num_rows]
+    return pa.concat_tables(tables).sort_by("img_id")
+
+
+from ..stages.image import IMAGES_SQL as _IMAGES_SQL_CTE
+
+SQL_IMG_DECODE_GEOMETRY = f"""WITH {_IMAGES_SQL_CTE.strip()}
+SELECT img_id,
+       NOT truncated AS decode_ok,
+       CASE WHEN fmt_flipped
+            THEN (CASE declared_format WHEN 'ppm' THEN 'bmp' ELSE 'ppm' END)
+            ELSE declared_format END AS actual_format
+FROM images ORDER BY img_id"""
+
+
+def q_vid_frame_geometry(sf_dir: str) -> pa.Table:
+    """The oracle-mirrorable half of the video stats stage, isolated:
+    declared/actual/sampled frame counts from the REAL container walk
+    (length-prefix parse, strided offset sample) — reproduced in SQL from
+    the fixed frame geometry (n_sampled = ceil(actual / stride)); the
+    luma statistics stay in the rows-only vid_frame_stats."""
+    from ..stages.video import VideoFrameSampler
+
+    feats = _videos_dataset(sf_dir).map_batches(
+        VideoFrameSampler(stride=2), batch_format="pyarrow", batch_size=128)
+    import ray
+
+    tables = [t.select(["vid_id", "declared_frames", "actual_frames",
+                        "n_sampled"])
+              for t in ray.get(arrow_refs(feats)) if t.num_rows]
+    return pa.concat_tables(tables).sort_by("vid_id")
+
+
+def _sql_vid_frame_geometry() -> str:
+    from ..stages import video as V
+
+    return f"""WITH {V.VIDEOS_SQL.strip()}
+SELECT vid_id, CAST(declared_frames AS BIGINT) AS declared_frames,
+       CAST(actual_frames AS BIGINT) AS actual_frames,
+       CAST((actual_frames + 1) // 2 AS BIGINT) AS n_sampled
+FROM videos ORDER BY vid_id"""
+
+
 def q_curation(sf_dir: str) -> pa.Table:
     """End-to-end curation pipeline (pipelines/curate.py): per-partition
     manifest counts — rows-only (quality gate decisions depend on decoded
@@ -1915,8 +1971,10 @@ VALIDATION_QUERIES = {
     "val_curation": (q_curation, None),
     "img_format_mismatch": (q_img_format_mismatch, SQL_IMG_FORMAT_MISMATCH),
     "img_features": (q_img_features, None),
+    "img_decode_geometry": (q_img_decode_geometry, SQL_IMG_DECODE_GEOMETRY),
     "vid_frame_mismatch": (q_vid_frame_mismatch, _sql_vid_frame_mismatch()),
     "vid_frame_stats": (q_vid_frame_stats, None),
+    "vid_frame_geometry": (q_vid_frame_geometry, _sql_vid_frame_geometry()),
     "val_partition_distinct": (q_partition_distinct, None),
     **DOC_QUERIES,
     **EMB_QUERIES,
@@ -1930,6 +1988,7 @@ VALIDATION_QUERIES = {
 # already-verified queries follow in their original order. Newly added
 # queries should be inserted into this priority list.
 _DRIVER_UNVERIFIED_FIRST = [
+    "img_decode_geometry", "vid_frame_geometry",
     "doc_license", "doc_dup_clusters", "doc_top_tokens",
     "doc_top_tokens_approx", "doc_tfidf_top_term", "doc_mix", "doc_chunking",
     "doc_normalize", "doc_postings", "doc_pii", "doc_repetition",

@@ -160,6 +160,46 @@ def _dup_bucket_rows(df: pd.DataFrame, code: str,
     })
 
 
+PROBLEM_MODEL_SCHEMA = pa.schema([
+    ("key", pa.string()),
+    ("n_members", pa.int64()),
+    ("members", pa.string()),  # canonical ordered Bag, comma-joined
+])
+
+
+def duplicate_key_groups(ds, column: str = "clip_id"):
+    """Structured violation payload for key-uniqueness — the
+    ProblemCollectionModel shape (ValidIFPUsage.java:80-104: one problem
+    node per violated key carrying violatedPredicate/violatedObject and a
+    Bag of ALL violating subjects), rather than the flat one-row-per-member
+    stream: one row per duplicated key with its ordered member Bag
+    (partition locators, multiplicity preserved, canonical order so the
+    Bag is hash-comparable).
+
+    Same exchange as exact_duplicate_keys: per-batch (key, partition, cnt)
+    combiner → one bucketed co-group → vectorized per-bucket fold."""
+    keyed = ds.map_batches(lambda b: _preagg_key_counts(b, column),
+                           batch_format="pyarrow")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        totals = df.groupby("key")["cnt"].transform("sum")
+        dup = df[totals > 1]
+        if dup.empty:
+            return pd.DataFrame({"key": pd.Series(dtype="object"),
+                                 "n_members": pd.Series(dtype="int64"),
+                                 "members": pd.Series(dtype="object")})
+        rep = dup.loc[dup.index.repeat(dup["cnt"]),
+                      ["key", "partition"]].sort_values(
+            ["key", "partition"], kind="stable")
+        g = rep.groupby("key")["partition"].agg(
+            n_members="size",
+            members=lambda s: ",".join("p" + s.astype(str))).reset_index()
+        return g[["key", "n_members", "members"]]
+
+    return grouped_apply(keyed, "key", bucket,
+                         out_schema=PROBLEM_MODEL_SCHEMA)
+
+
 def exact_duplicate_keys(ds, column: str = "clip_id",
                          check_id: str = "clipid_unique_exact"):
     """Exact key-uniqueness via hash shuffle (ValidIFPUsage.java:42-148:

@@ -190,6 +190,31 @@ FROM clips GROUP BY clip_id HAVING COUNT(*) > 1
 ORDER BY clip_id"""
 
 
+def q_clipid_dup_groups(sf_dir: str) -> pa.Table:
+    """Structured ProblemCollectionModel payload (ValidIFPUsage.java:80-104
+    Bag semantics): one row per violated key with the ordered Bag of ALL
+    violating member locators — the typed-detail flavor of val_clipid_dups
+    (which streams one flat row per member)."""
+    from ..checks.keyed import duplicate_key_groups
+
+    out = duplicate_key_groups(_meta_ds(sf_dir))
+    import ray
+
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
+    if not tables:
+        return pa.table({"key": pa.array([], pa.string()),
+                         "n_members": pa.array([], pa.int64()),
+                         "members": pa.array([], pa.string())})
+    return pa.concat_tables(tables).sort_by("key")
+
+
+SQL_CLIPID_DUP_GROUPS = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id AS key, COUNT(*) AS n_members,
+       string_agg('p' || partition, ',' ORDER BY partition) AS members
+FROM clips GROUP BY clip_id HAVING COUNT(*) > 1
+ORDER BY key"""
+
+
 def q_missing_refs(sf_dir: str) -> pa.Table:
     ctx = default_ctx(transcript_index=transcript_index_df(sf_dir),
                       broadcast=False)
@@ -1938,6 +1963,7 @@ VALIDATION_QUERIES = {
     "val_ownership": (q_ownership, SQL_OWNERSHIP),
     "val_cross_kind": (q_cross_kind, SQL_CROSS_KIND),
     "val_clipid_dups": (q_clipid_dups, SQL_CLIPID_DUPS),
+    "val_clipid_dup_groups": (q_clipid_dup_groups, SQL_CLIPID_DUP_GROUPS),
     "val_missing_refs": (q_missing_refs, SQL_MISSING_REFS),
     "val_transcript_mismatch": (q_transcript_mismatch, SQL_TRANSCRIPT_MISMATCH),
     "val_missing_refs_dist": (q_missing_refs_dist, SQL_MISSING_REFS),
@@ -1988,7 +2014,7 @@ VALIDATION_QUERIES = {
 # already-verified queries follow in their original order. Newly added
 # queries should be inserted into this priority list.
 _DRIVER_UNVERIFIED_FIRST = [
-    "img_decode_geometry", "vid_frame_geometry",
+    "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",
     "doc_license", "doc_dup_clusters", "doc_top_tokens",
     "doc_top_tokens_approx", "doc_tfidf_top_term", "doc_mix", "doc_chunking",
     "doc_normalize", "doc_postings", "doc_pii", "doc_repetition",

@@ -1326,14 +1326,24 @@ def _acoustic_corpus_batch(b: pa.Table) -> pa.Table:
         m = re.fullmatch(r"clip-(\d{8})", cid or "")
         if not m or int(m.group(1)) % ACOUSTIC_MOD != ACOUSTIC_RES:
             continue
-        # the replica id folds k into 7 digits under an '8' prefix — a
-        # source id >= 10M (or two sources congruent mod 10M) would alias
-        # a replica id and silently corrupt pair attribution; fail loudly
-        # instead (fixture ids are < 10M by construction)
-        if int(m.group(1)) >= 10_000_000:
+        # the replica id folds k into 7 digits under an '8' prefix. Two
+        # silent-aliasing cases exist (fail loudly instead of corrupting
+        # pair attribution): a source id already inside the 8-prefix
+        # replica namespace, and a source >= 10M whose folded id is ALSO a
+        # selected source (two sources congruent mod 10M would then emit
+        # the same replica id). The fixture's 9-prefix dup family is
+        # alias-free: 90M % 151 != 0, so k and k % 10M are never both
+        # selected, and distinct 9-prefix ids stay distinct mod 10M.
+        k = int(m.group(1))
+        if 80_000_000 <= k < 90_000_000:
             raise ValueError(
-                f"_acoustic_corpus_batch: source id {cid} >= 10M would "
-                "alias a clip-8* replica id; widen the replica id scheme")
+                f"_acoustic_corpus_batch: source id {cid} occupies the "
+                "clip-8* replica namespace; widen the replica id scheme")
+        if k >= 10_000_000 and (k % 10_000_000) % ACOUSTIC_MOD == ACOUSTIC_RES:
+            raise ValueError(
+                f"_acoustic_corpus_batch: source id {cid} folds onto "
+                "another selected source mod 10M — replica ids would "
+                "collide; widen the replica id scheme")
         try:
             actual, pcm = audio.decode(pay)
         except (ValueError, TypeError):

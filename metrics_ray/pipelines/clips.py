@@ -138,17 +138,36 @@ def validate_checkpointed(sf_dir: str, checkpoint_dir: str,
                           replicas: int = 1, wave_size: int = 4,
                           with_decode: bool = True,
                           fail_after_waves: int | None = None,
-                          batch_size: int = 1024, concurrency=None):
+                          batch_size: int = 1024, concurrency=None,
+                          broadcast_budget_rows: int | None = None):
     """Resumable flagship run: hive cache → wave-checkpointed suite
     (metrics_ray.state.checkpoint). Re-entrant: call again with the same
-    checkpoint_dir after a crash to resume from completed partitions."""
+    checkpoint_dir after a crash to resume from completed partitions.
+
+    Referential strategy follows the same broadcast-budget switch as
+    validate_sf (the keyed distributed path is itself checkpointed
+    wholesale under keyed/, so a resume never re-runs it). The strategy
+    is part of the checkpoint fingerprint — resuming a broadcast-strategy
+    checkpoint with the distributed strategy refuses loudly."""
+    from ..checks.referential import referential_violations_dist
     from ..state.checkpoint import checkpointed_validate
 
     path = ensure_clips_hive(sf_dir, replicas=replicas)
-    ctx = default_ctx(transcript_index=transcript_index_df(sf_dir, replicas))
+    budget = (BROADCAST_BUDGET_ROWS if broadcast_budget_rows is None
+              else broadcast_budget_rows)
+    dist_referential = documents_count(sf_dir) * replicas > budget
+    ctx = default_ctx(
+        transcript_index=(None if dist_referential
+                          else transcript_index_df(sf_dir, replicas)))
+    keyed = keyed_checks()
+    if dist_referential:
+        keyed["referential_transcript"] = lambda f: referential_violations_dist(
+            f(["clip_id", "transcript", "partition"]),
+            transcript_index_ds(sf_dir, replicas))
     return checkpointed_validate(
-        path, full_checks(with_decode=with_decode), ctx=ctx,
-        checkpoint_dir=checkpoint_dir, keyed=keyed_checks(),
+        path, full_checks(with_decode=with_decode,
+                          with_referential=not dist_referential),
+        ctx=ctx, checkpoint_dir=checkpoint_dir, keyed=keyed,
         wave_size=wave_size, batch_size=batch_size, concurrency=concurrency,
         fail_after_waves=fail_after_waves)
 

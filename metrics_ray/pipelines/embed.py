@@ -769,8 +769,19 @@ def q_emb_kcenter(sf_dir: str) -> pa.Table:
     iterative argmax has no tractable SQL mirror; the golden test
     recomputes the full traversal in numpy."""
     import ray
+    import ray.data as rd
 
-    cols = embeddings_ds(sf_dir, ["vec_id", "embedding"])
+    # materialize the (vec_id, embedding) blocks ONCE — the K rounds then
+    # stream from the object store instead of re-reading + re-projecting
+    # the parquet K times (from_arrow_refs breaks lineage so each round's
+    # map_batches starts from the in-store blocks)
+    _refs = embeddings_ds(sf_dir, ["vec_id", "embedding"]) \
+        .materialize().to_arrow_refs()
+
+    def cols_ds():
+        return rd.from_arrow_refs(_refs)
+
+    cols = cols_ds()
 
     def seed_partial(b: pa.Table) -> pa.Table:
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
@@ -822,7 +833,7 @@ def q_emb_kcenter(sf_dir: str) -> pa.Table:
             })
 
         parts = [t.to_pandas() for t in ray.get(arrow_refs(
-            cols.map_batches(far_partial, batch_format="pyarrow")))
+            cols_ds().map_batches(far_partial, batch_format="pyarrow")))
             if t.num_rows and "dist" in t.schema.names]
         import pandas as pd
 

@@ -131,3 +131,30 @@ def test_job_entrypoint(tmp_path):
                      if l.startswith("{")][-1])
     assert d2["resumed_from"] == list(range(8))
     assert d2["n_violations"] == d1["n_violations"]
+
+
+def test_checkpointed_distributed_referential_matches_broadcast(sf_unit, tmp_path):
+    """The checkpointed path honors the same broadcast-budget switch as
+    validate_sf: a forced-distributed run reproduces the broadcast run's
+    referential violations and verdicts, and the keyed result is
+    checkpointed (resume does not re-run the join)."""
+    from metrics_ray.pipelines.clips import validate_checkpointed
+
+    b = validate_checkpointed(sf_unit, str(tmp_path / "bcast"))
+    d = validate_checkpointed(sf_unit, str(tmp_path / "dist"),
+                              broadcast_budget_rows=0)
+
+    def ref_rows(rep):
+        df = rep.violations.to_pandas()
+        df = df[df.check_id == "referential_transcript"]
+        return sorted(zip(df.code, df.clip_id, df.partition))
+
+    assert ref_rows(d) == ref_rows(b)
+    bp = b.verdicts.to_pandas().set_index("partition")["passed"]
+    dp = d.verdicts.to_pandas().set_index("partition")["passed"]
+    assert dp.to_dict() == bp.to_dict()
+
+    # resume with the same strategy: keyed join is loaded, not re-run
+    d2 = validate_checkpointed(sf_unit, str(tmp_path / "dist"),
+                               broadcast_budget_rows=0)
+    assert ref_rows(d2) == ref_rows(d)

@@ -309,3 +309,40 @@ def test_staggered_grids_guarantee_shared_band(centers, jitter_fracs):
                     for c, g in zip(b, grids)) + (gi,)
               for gi, grids in enumerate(_AC_GRIDS)}
     assert keys_a & keys_b, (a, b)
+
+
+# ------------------------------------------------- exchange hash invariance
+
+@given(st.lists(st.one_of(st.text(max_size=30), st.none()),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=40, deadline=None)
+def test_hash_column_chunk_layout_invariant(vals, n_chunks):
+    """hash_column (the keyed-exchange tag hash) must be a pure function
+    of the VALUES — identical across chunk layouts, slices, and plain
+    Arrow arrays — or identical keys could land in different buckets and
+    silently break every co-group. Also pins the polars path against the
+    fallback contract: nulls hash consistently."""
+    import numpy as np
+    import pyarrow as pa
+
+    from metrics_ray.sketches import hash_column
+
+    whole = pa.chunked_array([pa.array(vals, pa.string())])
+    # split into n chunks at arbitrary (deterministic) boundaries
+    edges = sorted({(i * len(vals)) // n_chunks for i in range(1, n_chunks)})
+    parts, prev = [], 0
+    for e in edges + [len(vals)]:
+        parts.append(pa.array(vals[prev:e], pa.string()))
+        prev = e
+    chunked = pa.chunked_array([p for p in parts if len(p)])
+    h1 = hash_column(whole)
+    h2 = hash_column(chunked)
+    h3 = hash_column(pa.array(vals, pa.string()))
+    assert np.array_equal(h1, h2)
+    assert np.array_equal(h1, h3)
+    # equal values hash equal; a sliced view hashes like a copy
+    tbl = pa.table({"k": pa.array(vals, pa.string())})
+    sl = tbl.slice(len(vals) // 2)
+    h4 = hash_column(sl.column("k"))
+    assert np.array_equal(h4, h1[len(vals) // 2:])

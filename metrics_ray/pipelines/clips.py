@@ -303,11 +303,23 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
     index_rows = documents_count(sf_dir) * replicas
     dist_referential = index_rows > budget
 
-    profile = build_baseline_profile(baseline_factory or factory)
-    ctx = default_ctx(
-        transcript_index=(None if dist_referential
-                          else transcript_index_df(sf_dir, replicas)),
-        baseline_profile=profile)
+    # the two before()-style side inputs — baseline profile (one pruned
+    # Ray pass) and transcript index (driver pandas derive, broadcast
+    # path only) — are independent; build them concurrently so their
+    # fixed latencies overlap instead of stacking ahead of the suite
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import harden_fsspec_race
+
+    harden_fsspec_race()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_profile = pool.submit(build_baseline_profile,
+                                  baseline_factory or factory)
+        fut_index = (None if dist_referential else
+                     pool.submit(transcript_index_df, sf_dir, replicas))
+        profile = fut_profile.result()
+        index = fut_index.result() if fut_index is not None else None
+    ctx = default_ctx(transcript_index=index, baseline_profile=profile)
     keyed_from_keys = None
     if with_content_dedup and fuse_content_dedup:
         keyed_from_keys = {"content_dedup": (ContentHashCheck(),

@@ -1906,8 +1906,10 @@ FROM videos ORDER BY vid_id"""
 
 def q_curation(sf_dir: str) -> pa.Table:
     """End-to-end curation pipeline (pipelines/curate.py): per-partition
-    manifest counts — rows-only (quality gate decisions depend on decoded
-    audio). The /tmp output dir is wiped first so every invocation — and
+    manifest counts, oracle-verified by SQL_CURATION — the composed
+    corruption-matrix mirror that recomputes every gate decision, the
+    dedup drop set, resample lengths, and the pack prefix scan in DuckDB.
+    The /tmp output dir is wiped first so every invocation — and
     every bench timing — measures a REAL full run, not the pipeline's
     per-partition resume fast-path (resume itself is crash-tested in
     tests/test_curate.py against its own directories)."""
@@ -1930,6 +1932,116 @@ def q_curation(sf_dir: str) -> pa.Table:
         **{c: pa.array([int(manifest["partitions"][p][c]) for p in parts],
                        pa.int64()) for c in cols},
     })
+
+
+# Composed oracle for the END-TO-END curation manifest: every decision the
+# pipeline makes — metadata gate, decodability, clipping gate, content-dedup
+# drop, 16 kHz resample length, banker's-tie duration, prefix-scan pack
+# count — is a pure function of the corruption matrix (synth.py docstring),
+# so DuckDB recomputes the full per-partition manifest. n_low_speech is
+# structurally 0 for this fixture (clean synth signals are speech-dense and
+# noisy rows trip the clipping gate first); the oracle asserts that too.
+# Gate order mirrors pipelines/curate.py CurationStage: meta → decode →
+# clipping → speech; rep rows copy the base row's payload+metadata so their
+# gate outcomes are identical, and the content-dedup keeper (min clip_id)
+# is always the base row.
+SQL_CURATION = """WITH rows0 AS (
+    SELECT doc_id, ((doc_id * 1103515245 + 12345) % 2147483648) AS h,
+           FALSE AS is_rep, text,
+           CASE WHEN doc_id % 101 = 7 AND doc_id > 0
+                THEN printf('clip-%08d', doc_id - 1)
+                ELSE printf('clip-%08d', doc_id) END AS clip_id
+    FROM documents
+    UNION ALL
+    SELECT doc_id, ((doc_id * 1103515245 + 12345) % 2147483648),
+           TRUE, text, printf('clip-9%07d', doc_id % 10000000)
+    FROM documents WHERE doc_id % 139 = 41 AND doc_id > 0
+),
+attrs AS (
+    SELECT clip_id, is_rep, CAST(doc_id % 8 AS BIGINT) AS partition,
+           CASE WHEN doc_id % 97 = 13 THEN 7999
+                WHEN doc_id % 97 = 50 THEN 0
+                ELSE CASE h % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+           END AS sr_meta,
+           CASE WHEN doc_id % 103 = 11 THEN -5
+                WHEN doc_id % 103 = 60 THEN 40000
+                ELSE 200 + (h % 1800) END AS dur_meta,
+           (doc_id % 107 NOT IN (3, 71, 40) AND doc_id % 109 != 9) AS codec_ok,
+           CASE WHEN doc_id % 89 = 5 THEN NULL
+                WHEN doc_id % 89 = 44 THEN ''
+                WHEN doc_id % 137 = 31 THEN text || ' X'
+                ELSE text END AS transcript,
+           (doc_id % 127 = 17) AS truncated,
+           (doc_id % 131 = 23) AS noisy,
+           CASE h % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                WHEN 3 THEN 44100 ELSE 48000 END AS sr_base,
+           (CASE h % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                 WHEN 3 THEN 44100 ELSE 48000 END) * (200 + (h % 1800)) AS v
+    FROM rows0
+),
+gated AS (
+    SELECT *,
+           (sr_meta IN (8000, 16000, 22050, 44100, 48000)
+            AND dur_meta > 0 AND dur_meta <= 30000
+            AND codec_ok
+            AND transcript IS NOT NULL AND transcript != '') AS meta_ok
+    FROM attrs
+),
+kept AS (
+    SELECT *,
+           CASE WHEN v % 1000 = 500
+                THEN (v // 1000) + ((v // 1000) % 2)
+                ELSE (v + 500) // 1000 END AS n
+    FROM gated WHERE meta_ok AND NOT truncated AND NOT noisy
+),
+resampled AS (
+    SELECT partition, clip_id, is_rep,
+           CASE WHEN sr_base = 16000 THEN n
+                WHEN 2 * ((n * 16000) % sr_base) = sr_base
+                THEN ((n * 16000) // sr_base) + (((n * 16000) // sr_base) % 2)
+                ELSE CAST(round((n * 16000) * 1.0 / sr_base, 0) AS BIGINT)
+           END AS ns
+    FROM kept
+),
+outrows AS (
+    SELECT partition, clip_id,
+           CASE WHEN ns % 16 = 8
+                THEN (ns // 16) + ((ns // 16) % 2)
+                ELSE CAST(round(ns / 16.0, 0) AS BIGINT) END AS dur_out
+    FROM resampled WHERE NOT is_rep
+),
+agg_all AS (
+    SELECT partition,
+           COUNT(*) AS n_input,
+           SUM(CASE WHEN NOT meta_ok THEN 1 ELSE 0 END) AS n_meta,
+           SUM(CASE WHEN meta_ok AND truncated THEN 1 ELSE 0 END)
+               AS n_undecodable,
+           0 AS n_low_speech,
+           SUM(CASE WHEN meta_ok AND NOT truncated AND noisy
+                    THEN 1 ELSE 0 END) AS n_clipping,
+           SUM(CASE WHEN meta_ok AND NOT truncated AND NOT noisy AND is_rep
+                    THEN 1 ELSE 0 END) AS n_dup_dropped
+    FROM gated GROUP BY partition
+),
+agg_out AS (
+    SELECT partition, COUNT(*) AS n_out, SUM(dur_out) AS total_out_ms,
+           ((SUM(dur_out) - arg_max(dur_out, clip_id)) // 30000) + 1
+               AS n_packs
+    FROM outrows GROUP BY partition
+)
+SELECT a.partition,
+       CAST(a.n_input AS BIGINT) AS n_input,
+       CAST(a.n_meta AS BIGINT) AS n_meta,
+       CAST(a.n_undecodable AS BIGINT) AS n_undecodable,
+       CAST(a.n_low_speech AS BIGINT) AS n_low_speech,
+       CAST(a.n_clipping AS BIGINT) AS n_clipping,
+       CAST(a.n_dup_dropped AS BIGINT) AS n_dup_dropped,
+       CAST(COALESCE(o.n_out, 0) AS BIGINT) AS n_out,
+       CAST(COALESCE(o.n_packs, 0) AS BIGINT) AS n_packs,
+       CAST(COALESCE(o.total_out_ms, 0) AS BIGINT) AS total_out_ms
+FROM agg_all a LEFT JOIN agg_out o USING (partition)
+ORDER BY a.partition"""
 
 
 def q_content_dedup(sf_dir: str) -> pa.Table:
@@ -2004,7 +2116,7 @@ VALIDATION_QUERIES = {
     "val_audio_knn": (q_audio_knn, None),
     "val_audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
-    "val_curation": (q_curation, None),
+    "val_curation": (q_curation, SQL_CURATION),
     "img_format_mismatch": (q_img_format_mismatch, SQL_IMG_FORMAT_MISMATCH),
     "img_features": (q_img_features, None),
     "img_decode_geometry": (q_img_decode_geometry, SQL_IMG_DECODE_GEOMETRY),

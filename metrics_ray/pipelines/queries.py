@@ -1385,9 +1385,12 @@ def q_audio_neardup(sf_dir: str) -> pa.Table:
     audio is the same signal even when the payload bytes differ (the
     same-recording-re-encoded case that byte-level content dedup cannot
     see). Runs over the clips table plus seeded transcoded replicas
-    (_acoustic_corpus_batch). Rows-only: the fingerprint is FFT-based
-    DSP with no SQL mirror; tests assert exact recovery of the seeded
-    pair set plus PCM-level verification of every reported pair.
+    (_acoustic_corpus_batch). Oracle-verified: the acoustic-identity
+    GROUPS are pure seed arithmetic (transcode replicas keyed on the
+    clip-id digits incl. the %101 id-remap, byte-identical %139 dup
+    rows, and dup-row-spawned replicas), so SQL_AUDIO_NEARDUP rebuilds
+    the exact pair set the FFT-fingerprint banding must recover; tests
+    additionally PCM-verify every reported pair.
 
     Scale shape (the LSH pattern, audio flavor): one decode per clip
     emits a 4-float fingerprint row (n_samples + 3 spectral centroids) —
@@ -1463,6 +1466,40 @@ def q_audio_neardup(sf_dir: str) -> pa.Table:
     df = t.to_pandas().drop_duplicates().sort_values(
         ["clip_a", "clip_b"], kind="stable")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# Seed-arithmetic mirror of the acoustic near-dup pair set: each k's
+# acoustic-identity group = base row + its byte-identical %139 dup + any
+# 8-prefixed transcode replicas (selection keys on the clip-id DIGITS —
+# including the %101 id-remap — and a dup row whose 9-prefixed digits are
+# themselves %151-selected spawns its own replica); all C(m,2) pairs of a
+# group, string-sorted. The FFT-fingerprint banding must recover exactly
+# this set (verified bit-for-bit at sf0.001/0.01/0.1).
+SQL_AUDIO_NEARDUP = """WITH ids AS (
+    SELECT doc_id AS k,
+           CASE WHEN doc_id % 101 = 7 AND doc_id > 0
+                THEN doc_id - 1 ELSE doc_id END AS id_num
+    FROM documents WHERE doc_id % 127 != 17
+),
+members AS (
+    SELECT k, printf('clip-%08d', id_num) AS cid FROM ids
+    UNION ALL
+    SELECT k, printf('clip-9%07d', k % 10000000) FROM ids
+    WHERE k % 139 = 41 AND k > 0
+    UNION ALL
+    SELECT k, printf('clip-8%07d', id_num % 10000000) FROM ids
+    WHERE id_num % 151 = 7
+    UNION ALL
+    SELECT k, printf('clip-8%07d', k % 10000000) FROM ids
+    WHERE k % 139 = 41 AND k > 0
+      AND (90000000 + (k % 10000000)) % 151 = 7
+),
+grouped AS (SELECT k, cid FROM members GROUP BY k, cid),
+pairs AS (
+    SELECT a.cid AS clip_a, b.cid AS clip_b
+    FROM grouped a JOIN grouped b ON a.k = b.k AND a.cid < b.cid
+)
+SELECT DISTINCT clip_a, clip_b FROM pairs ORDER BY clip_a, clip_b"""
 
 
 AUDIO_EMBED_DIM = 16
@@ -2112,7 +2149,7 @@ VALIDATION_QUERIES = {
     "val_audio_chunks": (q_audio_chunks, SQL_AUDIO_CHUNKS),
     "val_audio_silence": (q_audio_silence, None),
     "val_audio_gain": (q_audio_gain, None),
-    "val_audio_neardup": (q_audio_neardup, None),
+    "val_audio_neardup": (q_audio_neardup, SQL_AUDIO_NEARDUP),
     "val_audio_knn": (q_audio_knn, None),
     "val_audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),

@@ -2174,6 +2174,9 @@ VALIDATION_QUERIES = {
 # queries should be inserted into this priority list.
 _DRIVER_UNVERIFIED_FIRST = [
     "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",
+    # upgraded from rows-only to oracle-backed in round 3 — re-verify with
+    # the hash compare, not just the rows-only check they got in r02
+    "val_curation", "val_audio_neardup",
     "doc_license", "doc_dup_clusters", "doc_top_tokens",
     "doc_top_tokens_approx", "doc_tfidf_top_term", "doc_mix", "doc_chunking",
     "doc_normalize", "doc_postings", "doc_pii", "doc_repetition",

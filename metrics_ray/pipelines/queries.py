@@ -529,6 +529,139 @@ SELECT partition,
 FROM clips GROUP BY partition ORDER BY partition"""
 
 
+# ------------------------------------------- transcript/audio joint quality
+
+SPEAK_RATE_LO = 80.0    # chars/sec below which alignment is implausible
+SPEAK_RATE_HI = 1500.0  # and above which the transcript can't be speech
+
+
+def q_speaking_rate(sf_dir: str) -> pa.Table:
+    """Transcript/audio alignment sanity (the ASR-curation joint-quality
+    gate): characters-per-second = len(transcript)·1000/dur_ms; rows with
+    a real transcript and positive duration whose rate falls outside
+    [SPEAK_RATE_LO, SPEAK_RATE_HI] are violations — too few chars/sec
+    means the transcript can't cover the audio, too many means it isn't a
+    transcript of it. Null/empty transcripts and non-positive durations
+    are the non-null/range checks' problems, not this one's.
+
+    Pure vectorized Arrow metadata pass (no shuffle, no payload) —
+    row-local at any scale."""
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_half_away
+
+    ds = _meta_ds(sf_dir).select_columns(["clip_id", "dur_ms", "transcript"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        tr = b.column("transcript")
+        n_chars = pc.fill_null(pc.utf8_length(pc.fill_null(tr, "")), 0)
+        dur = b.column("dur_ms").cast(pa.float64())
+        eligible = pc.and_(
+            pc.and_(pc.is_valid(tr), pc.greater(n_chars, 0)),
+            pc.greater(b.column("dur_ms"), 0))
+        rate = pc.divide(pc.multiply(n_chars.cast(pa.float64()), 1000.0), dur)
+        bad = pc.and_(eligible, pc.or_(pc.less(rate, SPEAK_RATE_LO),
+                                       pc.greater(rate, SPEAK_RATE_HI)))
+        t = b.filter(bad)
+        if t.num_rows == 0:
+            return pa.table({"clip_id": pa.array([], pa.string()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "dur_ms": pa.array([], pa.int64()),
+                             "rate": pa.array([], pa.float64())})
+        nc = pc.utf8_length(t.column("transcript")).cast(pa.int64())
+        r = (nc.to_numpy(zero_copy_only=False).astype(np.float64) * 1000.0
+             / t.column("dur_ms").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "clip_id": t.column("clip_id"),
+            "n_chars": nc,
+            "dur_ms": t.column("dur_ms").cast(pa.int64()),
+            "rate": pa.array(round_half_away(r, 6), pa.float64()),
+        })
+
+    t = _collect_simple(ds.map_batches(flag, batch_format="pyarrow"))
+    if t is None:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "n_chars": pa.array([], pa.int64()),
+                         "dur_ms": pa.array([], pa.int64()),
+                         "rate": pa.array([], pa.float64())})
+    return t.sort_by([("clip_id", "ascending"), ("rate", "ascending")])
+
+
+SQL_SPEAKING_RATE = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id, CAST(length(transcript) AS BIGINT) AS n_chars,
+       CAST(dur_ms AS BIGINT) AS dur_ms,
+       round(length(transcript) * 1000.0 / dur_ms, 6) AS rate
+FROM clips
+WHERE dur_ms > 0 AND transcript IS NOT NULL AND length(transcript) > 0
+  AND (length(transcript) * 1000.0 / dur_ms < {SPEAK_RATE_LO}
+       OR length(transcript) * 1000.0 / dur_ms > {SPEAK_RATE_HI})
+ORDER BY clip_id, rate"""
+
+
+# --------------------------------------------------- duration-bucket batching
+
+BATCH_BUCKET_MS = 250
+
+
+def q_batch_buckets(sf_dir: str) -> pa.Table:
+    """Duration-bucketed batch planning (the dynamic-batching prep step of
+    an audio training pipeline): clips with positive duration are bucketed
+    by dur_ms // BATCH_BUCKET_MS; per bucket report clip count, total
+    speech ms, the bucket's max duration, and pad_ms — the padding waste
+    n·max − total a length-bucketed batcher would pay. Per-batch combiner
+    partials (count/sum/max are all mergeable) then a tiny groupby — the
+    pre-aggregate-before-shuffle shape; bucket cardinality is O(max_dur /
+    width), independent of corpus size."""
+    ds = _meta_ds(sf_dir).select_columns(["dur_ms"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        dur = b.column("dur_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = dur[dur > 0]
+        if len(dur) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_clips": pa.array([], pa.int64()),
+                             "total_ms": pa.array([], pa.int64()),
+                             "max_ms": pa.array([], pa.int64())})
+        df = pd.DataFrame({"bucket": dur // BATCH_BUCKET_MS, "dur": dur})
+        g = df.groupby("bucket").agg(
+            n_clips=("dur", "size"), total_ms=("dur", "sum"),
+            max_ms=("dur", "max")).reset_index()
+        return pa.table({
+            "bucket": pa.array(g["bucket"].astype("int64")),
+            "n_clips": pa.array(g["n_clips"].astype("int64")),
+            "total_ms": pa.array(g["total_ms"].astype("int64")),
+            "max_ms": pa.array(g["max_ms"].astype("int64")),
+        })
+
+    from ray.data.aggregate import Max, Sum
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n_clips", alias_name="n_clips"),
+                      Sum("total_ms", alias_name="total_ms"),
+                      Max("max_ms", alias_name="max_ms")))
+    df = out.to_pandas().sort_values("bucket").reset_index(drop=True)
+    import pandas as pd
+
+    for c in ("bucket", "n_clips", "total_ms", "max_ms"):
+        df[c] = df[c].astype("int64")
+    df["pad_ms"] = df["n_clips"] * df["max_ms"] - df["total_ms"]
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_BATCH_BUCKETS = f"""WITH {synth.CLIPS_SQL}
+SELECT dur_ms // {BATCH_BUCKET_MS} AS bucket,
+       COUNT(*) AS n_clips,
+       CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+       CAST(MAX(dur_ms) AS BIGINT) AS max_ms,
+       COUNT(*) * CAST(MAX(dur_ms) AS BIGINT) - CAST(SUM(dur_ms) AS BIGINT)
+           AS pad_ms
+FROM clips WHERE dur_ms > 0
+GROUP BY bucket ORDER BY bucket"""
+
+
 def q_check_summary(sf_dir: str) -> pa.Table:
     """Metric summary over the metadata check family: the metricValue()
     readout (check_id, rows_scanned, rows_violating, metric_value)."""
@@ -1670,6 +1803,44 @@ SELECT clip_id, CAST(16000 AS INTEGER) AS sr_hz,
 FROM geo ORDER BY clip_id, n_samples"""
 
 
+def q_audio_speed(sf_dir: str) -> pa.Table:
+    """Speed-perturbation augmentation (stages/audio_ops.py SpeedPerturb,
+    sox-style 0.9/1.1): one resampled variant per factor per decodable
+    clip. Payload bytes are Ray-only; the variant LENGTH is exact integer
+    arithmetic on the fixture geometry (round-half-up of n·den/num,
+    integer-exact — no float ties), so the oracle certifies the whole
+    decode→interpolate→length chain. n_samples is read back from the REAL
+    stage output, not recomputed."""
+    from ..stages.audio_ops import SpeedPerturb
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes", "sr_hz"])
+    res = (ds.map_batches(SpeedPerturb(), batch_format="pyarrow",
+                          batch_size=128)
+           .select_columns(["clip_id", "speed_pct", "n_samples"]))
+    t = _collect_simple(res)
+    if t is None:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "speed_pct": pa.array([], pa.int32()),
+                         "n_samples": pa.array([], pa.int64())})
+    # duplicate clip_ids (k%101==7) must order deterministically
+    return t.sort_by([("clip_id", "ascending"), ("speed_pct", "ascending"),
+                      ("n_samples", "ascending")])
+
+
+# round-half-up of n*den/num in exact integers: (2·n·den + num) // (2·num)
+SQL_AUDIO_SPEED = f"""WITH {_AUDIO_GEO_SQL},
+variants AS (
+    SELECT clip_id, CAST(90 AS INTEGER) AS speed_pct,
+           (2 * n * 10 + 9) // 18 AS n_samples FROM geo WHERE n > 0
+    UNION ALL
+    SELECT clip_id, CAST(110 AS INTEGER),
+           (2 * n * 10 + 11) // 22 FROM geo WHERE n > 0
+)
+SELECT clip_id, speed_pct, n_samples FROM variants
+ORDER BY clip_id, speed_pct, n_samples"""
+
+
 def q_clip_packing(sf_dir: str) -> pa.Table:
     """Concat-then-chunk sequence packing assignment (stages/audio_ops.py
     pack_clips): deterministic (pack_id, offset_ms) per clip from the
@@ -2152,6 +2323,9 @@ VALIDATION_QUERIES = {
     "val_audio_neardup": (q_audio_neardup, SQL_AUDIO_NEARDUP),
     "val_audio_knn": (q_audio_knn, None),
     "val_audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
+    "val_audio_speed": (q_audio_speed, SQL_AUDIO_SPEED),
+    "val_speaking_rate": (q_speaking_rate, SQL_SPEAKING_RATE),
+    "val_batch_buckets": (q_batch_buckets, SQL_BATCH_BUCKETS),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
     "val_curation": (q_curation, SQL_CURATION),
     "img_format_mismatch": (q_img_format_mismatch, SQL_IMG_FORMAT_MISMATCH),
@@ -2188,6 +2362,8 @@ _DRIVER_UNVERIFIED_FIRST = [
     "rel_segment_top_orders", "ev_sliding_distinct", "ev_disjoint_types",
     "ev_purchase_attribution", "ev_click_burst", "ev_disjoint_types_sampled",
     "ev_funnel", "ev_retention", "rel_pricing_summary",
+    # round-3 session-2 additions — never driver-verified by definition
+    "val_audio_speed", "val_speaking_rate", "val_batch_buckets",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},

@@ -286,6 +286,75 @@ class GainNormalizer:
              for n in GAIN_SCHEMA.names})
 
 
+# ------------------------------------------------------------- augmentation
+
+SPEED_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("speed_pct", pa.int32()),
+    ("n_samples", pa.int64()),
+    ("bytes", pa.binary()),
+])
+
+# speed factors as exact rationals (num/den): sox-style speed 0.9 / 1.1 —
+# the standard 3-way speed-perturbation augmentation minus the identity copy
+SPEED_FACTORS = ((9, 10), (11, 10))
+
+
+def speed_n_out(n: int, num: int, den: int) -> int:
+    """Output length of speed perturbation by num/den: round-half-up of
+    n*den/num in EXACT integer arithmetic (no float .5 ties) — the same
+    formula the SQL geometry oracle uses."""
+    return (2 * n * den + num) // (2 * num)
+
+
+class SpeedPerturb:
+    """Speed-perturbation augmentation (the standard ASR 3-way speed perturb,
+    sox ``speed 0.9/1.1``): each decodable clip emits one resampled variant
+    per factor — playback speed num/den, so output length is
+    round(n·den/num) — via linear interpolation at source positions
+    j·num/den. Output payloads are canonical pcm_s16le (one decode, all
+    variants from the same PCM). Undecodable / sr<=0 rows yield nothing
+    (the decode check's violations, not this stage's).
+
+    Reference parity: the augmentation analog of the reference's
+    derived-representation family — deterministic, metadata-predictable
+    geometry (the SQL oracle recomputes every output length from the
+    fixture arithmetic) with real DSP inside."""
+
+    columns = ("clip_id", "bytes", "sr_hz")
+
+    def __init__(self, factors: tuple[tuple[int, int], ...] = SPEED_FACTORS):
+        self.factors = tuple((int(n), int(d)) for n, d in factors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("clip_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False)
+        out = {k: [] for k in SPEED_SCHEMA.names}
+        for cid, payload, sr in zip(ids, payloads, srs):
+            if int(sr) <= 0:
+                continue
+            try:
+                _, pcm = audio.decode(payload)
+            except (ValueError, TypeError):
+                continue
+            if len(pcm) == 0:
+                continue
+            src = np.arange(len(pcm), dtype=np.float64)
+            x = pcm.astype(np.float64)
+            for num, den in self.factors:
+                n_out = speed_n_out(len(pcm), num, den)
+                pos = np.arange(n_out, dtype=np.float64) * (num / den)
+                y = np.interp(pos, src, x).astype(np.float32)
+                out["clip_id"].append(cid)
+                out["speed_pct"].append(num * 100 // den)
+                out["n_samples"].append(n_out)
+                out["bytes"].append(audio.encode(y, "pcm_s16le"))
+        return pa.table(
+            {n: pa.array(out[n], SPEED_SCHEMA.field(n).type)
+             for n in SPEED_SCHEMA.names})
+
+
 # ------------------------------------------------------------------ packing
 
 PACK_SCHEMA = pa.schema([

@@ -318,3 +318,61 @@ def test_audio_knn_replicas_retrieve_their_base(ray_session):
         base = f"clip-{int(r.query_id[6:]):08d}"
         assert r.neighbor_id == base, (r.query_id, r.neighbor_id)
         assert r.cos >= 0.9999, (r.query_id, r.cos)
+
+
+# ------------------------------------------------------------ speed perturb
+
+def test_speed_perturb_lengths_and_interpolation():
+    from metrics_ray.stages.audio_ops import SpeedPerturb, speed_n_out
+
+    sr, dur = 8000, 1000  # n = 8000 samples
+    t = _clips_table([("clip-speed-a", sr, dur, "pcm_s16le", None)])
+    out = _run_stage(t, SpeedPerturb()).sort_by("speed_pct")
+    assert out.column("speed_pct").to_pylist() == [90, 110]
+    n = audio.n_samples_for(sr, dur)
+    # speed 0.9 stretches (round(10n/9)), 1.1 compresses (round(10n/11))
+    assert out.column("n_samples").to_pylist() == [
+        speed_n_out(n, 9, 10), speed_n_out(n, 11, 10)]
+    # payload decodes to exactly np.interp of the quantized source PCM
+    src = audio.synth_pcm(audio.clip_seed("clip-speed-a"), n)
+    q = (np.clip(np.rint(src * 32767.0), -32768, 32767) / 32767.0)
+    for row, (num, den) in zip(range(2), ((9, 10), (11, 10))):
+        _, pcm = audio.decode(out.column("bytes")[row].as_py())
+        n_out = speed_n_out(n, num, den)
+        pos = np.arange(n_out, dtype=np.float64) * (num / den)
+        ref = np.interp(pos, np.arange(n, dtype=np.float64), q)
+        assert len(pcm) == n_out
+        np.testing.assert_allclose(pcm, ref.astype(np.float32),
+                                   atol=1.5 / 32767.0)
+
+
+def test_speed_n_out_matches_exact_rounding():
+    from metrics_ray.stages.audio_ops import speed_n_out
+    from fractions import Fraction
+
+    for n in list(range(1, 200)) + [7993, 8000, 44100, 123457]:
+        for num, den in ((9, 10), (11, 10), (3, 4), (5, 4)):
+            exact = Fraction(n * den, num)
+            # round half UP (ties away from zero on positives)
+            want = (exact.numerator * 2 + exact.denominator) // (
+                2 * exact.denominator)
+            assert speed_n_out(n, num, den) == want, (n, num, den)
+
+
+def test_speed_perturb_skips_undecodable_and_bad_sr():
+    from metrics_ray.stages.audio_ops import SpeedPerturb
+
+    t = _clips_table([
+        ("clip-speed-ok", 8000, 500, "flac", None),
+        ("clip-speed-trunc", 8000, 500, "opus", lambda p: p[:7]),
+    ])
+    # third row: sr <= 0
+    t2 = pa.table({
+        "clip_id": pa.array(t.column("clip_id").to_pylist() + ["clip-speed-sr0"]),
+        "bytes": pa.array(t.column("bytes").to_pylist() + [
+            audio.encode(np.zeros(100, np.float32) + 0.5, "pcm_s16le")]),
+        "sr_hz": pa.array(np.asarray([8000, 8000, 0], dtype="int32")),
+    })
+    out = _run_stage(t2, SpeedPerturb())
+    assert sorted(set(out.column("clip_id").to_pylist())) == ["clip-speed-ok"]
+    assert out.num_rows == 2

@@ -662,6 +662,90 @@ FROM clips WHERE dur_ms > 0
 GROUP BY bucket ORDER BY bucket"""
 
 
+# ------------------------------------------------ quality-tiered downsampling
+
+FLAGGED_KEEP_PCT = 25
+
+
+def q_quality_sample(sf_dir: str) -> pa.Table:
+    """Quality-weighted corpus downsampling (the curation step between
+    validation and training: keep everything that passes the metadata
+    gates, keep a fixed fraction of the rest for audit/relabel queues).
+    Tier per clip is row-local metadata: 'clean' iff sr/duration/codec are
+    valid, the transcript is real, and the speaking rate is plausible;
+    'flagged' otherwise. Clean rows are always kept; flagged rows keep a
+    deterministic FLAGGED_KEEP_PCT% via md5(clip_id) % 100 — the same
+    oracle-mirrorable coin as doc_split, so the sample is stable across
+    runs, batch sizes, workers and corpus growth. Pure row-local pass, no
+    shuffle, no payload."""
+    import pyarrow.compute as pc
+
+    from ..sketches import md5_lower64
+
+    ds = _meta_ds(sf_dir)
+
+    def sample(b: pa.Table) -> pa.Table:
+        tr = b.column("transcript")
+        n_chars = pc.utf8_length(pc.fill_null(tr, "")).cast(pa.float64())
+        dur = b.column("dur_ms").cast(pa.float64())
+        rate_ok = pc.and_(
+            pc.greater(b.column("dur_ms"), 0),
+            pc.and_(
+                pc.greater_equal(pc.divide(pc.multiply(n_chars, 1000.0), dur),
+                                 SPEAK_RATE_LO),
+                pc.less_equal(pc.divide(pc.multiply(n_chars, 1000.0), dur),
+                              SPEAK_RATE_HI)))
+        clean = pc.and_(
+            pc.and_(
+                pc.and_(pc.is_in(b.column("sr_hz").cast(pa.int64()),
+                                 value_set=pa.array(list(VALID_SR_HZ),
+                                                    pa.int64())),
+                        pc.and_(pc.greater_equal(b.column("dur_ms"),
+                                                 MIN_DUR_MS),
+                                pc.less_equal(b.column("dur_ms"),
+                                              MAX_DUR_MS))),
+                pc.is_in(b.column("codec"),
+                         value_set=pa.array(list(VALID_CODECS)))),
+            pc.and_(pc.and_(pc.is_valid(tr), pc.greater(n_chars, 0.0)),
+                    rate_ok))
+        clean_np = pc.fill_null(clean, False).to_numpy(
+            zero_copy_only=False).astype(bool)
+        ids = b.column("clip_id").to_pylist()
+        coin = (md5_lower64(ids) % np.uint64(100)).astype(np.int64)
+        keep = clean_np | (coin < FLAGGED_KEEP_PCT)
+        t = b.select(["clip_id"]).filter(pa.array(keep))
+        return pa.table({
+            "clip_id": t.column("clip_id"),
+            "tier": pa.array(
+                np.where(clean_np[keep], "clean", "flagged").tolist(),
+                pa.string()),
+        })
+
+    t = _collect_simple(ds.map_batches(sample, batch_format="pyarrow"))
+    if t is None:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "tier": pa.array([], pa.string())})
+    return t.sort_by([("clip_id", "ascending"), ("tier", "ascending")])
+
+
+SQL_QUALITY_SAMPLE = f"""WITH {synth.CLIPS_SQL},
+tiers AS (
+    SELECT clip_id,
+           CASE WHEN sr_hz IN (8000, 16000, 22050, 44100, 48000)
+                 AND dur_ms BETWEEN {MIN_DUR_MS} AND {MAX_DUR_MS}
+                 AND codec IN ('pcm_s16le', 'flac', 'mp3', 'opus')
+                 AND transcript IS NOT NULL AND length(transcript) > 0
+                 AND length(transcript) * 1000.0 / dur_ms
+                     BETWEEN {SPEAK_RATE_LO} AND {SPEAK_RATE_HI}
+                THEN 'clean' ELSE 'flagged' END AS tier
+    FROM clips
+)
+SELECT clip_id, tier FROM tiers
+WHERE tier = 'clean'
+   OR md5_number_lower(clip_id) % 100 < {FLAGGED_KEEP_PCT}
+ORDER BY clip_id, tier"""
+
+
 def q_check_summary(sf_dir: str) -> pa.Table:
     """Metric summary over the metadata check family: the metricValue()
     readout (check_id, rows_scanned, rows_violating, metric_value)."""
@@ -2326,6 +2410,7 @@ VALIDATION_QUERIES = {
     "val_audio_speed": (q_audio_speed, SQL_AUDIO_SPEED),
     "val_speaking_rate": (q_speaking_rate, SQL_SPEAKING_RATE),
     "val_batch_buckets": (q_batch_buckets, SQL_BATCH_BUCKETS),
+    "val_quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
     "val_curation": (q_curation, SQL_CURATION),
     "img_format_mismatch": (q_img_format_mismatch, SQL_IMG_FORMAT_MISMATCH),
@@ -2364,6 +2449,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "ev_funnel", "ev_retention", "rel_pricing_summary",
     # round-3 session-2 additions — never driver-verified by definition
     "val_audio_speed", "val_speaking_rate", "val_batch_buckets",
+    "val_quality_sample",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},

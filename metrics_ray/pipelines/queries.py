@@ -1925,6 +1925,42 @@ SELECT clip_id, speed_pct, n_samples FROM variants
 ORDER BY clip_id, speed_pct, n_samples"""
 
 
+def q_audio_noisemix(sf_dir: str) -> pa.Table:
+    """SNR-controlled noise augmentation (stages/audio_ops.py NoiseMix,
+    targets 5 dB and 20 dB): one mixed variant per target per decodable
+    clip, length-preserving by construction. The mixing DSP (exact
+    achieved SNR, clip behavior, noise determinism) is golden-tested; the
+    oracle certifies the GEOMETRY — exactly the physical decodable rows,
+    one row per target, each variant the same length as its source —
+    i.e. the decode→mix→encode chain ran on precisely the right rows.
+    n_samples is read back from the REAL stage output."""
+    from ..stages.audio_ops import NoiseMix
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes", "sr_hz"])
+    res = (ds.map_batches(NoiseMix(), batch_format="pyarrow",
+                          batch_size=128)
+           .select_columns(["clip_id", "snr_db", "n_samples"]))
+    t = _collect_simple(res)
+    if t is None:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "snr_db": pa.array([], pa.int32()),
+                         "n_samples": pa.array([], pa.int64())})
+    return t.sort_by([("clip_id", "ascending"), ("snr_db", "ascending"),
+                      ("n_samples", "ascending")])
+
+
+SQL_AUDIO_NOISEMIX = f"""WITH {_AUDIO_GEO_SQL},
+variants AS (
+    SELECT clip_id, CAST(5 AS INTEGER) AS snr_db, n AS n_samples
+    FROM geo WHERE n > 0
+    UNION ALL
+    SELECT clip_id, CAST(20 AS INTEGER), n FROM geo WHERE n > 0
+)
+SELECT clip_id, snr_db, n_samples FROM variants
+ORDER BY clip_id, snr_db, n_samples"""
+
+
 def q_clip_packing(sf_dir: str) -> pa.Table:
     """Concat-then-chunk sequence packing assignment (stages/audio_ops.py
     pack_clips): deterministic (pack_id, offset_ms) per clip from the
@@ -2408,6 +2444,7 @@ VALIDATION_QUERIES = {
     "val_audio_knn": (q_audio_knn, None),
     "val_audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
     "val_audio_speed": (q_audio_speed, SQL_AUDIO_SPEED),
+    "val_audio_noisemix": (q_audio_noisemix, SQL_AUDIO_NOISEMIX),
     "val_speaking_rate": (q_speaking_rate, SQL_SPEAKING_RATE),
     "val_batch_buckets": (q_batch_buckets, SQL_BATCH_BUCKETS),
     "val_quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
@@ -2449,7 +2486,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "ev_funnel", "ev_retention", "rel_pricing_summary",
     # round-3 session-2 additions — never driver-verified by definition
     "val_audio_speed", "val_speaking_rate", "val_batch_buckets",
-    "val_quality_sample",
+    "val_quality_sample", "val_audio_noisemix",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},

@@ -355,6 +355,71 @@ class SpeedPerturb:
              for n in SPEED_SCHEMA.names})
 
 
+NOISE_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("snr_db", pa.int32()),
+    ("n_samples", pa.int64()),
+    ("bytes", pa.binary()),
+])
+
+NOISE_SNRS_DB = (5, 20)
+
+
+class NoiseMix:
+    """SNR-controlled additive-noise augmentation (the second standard
+    speech augmentation next to speed perturb): each decodable clip emits
+    one variant per target SNR with a deterministic noise signal — synth
+    from a seed derived from the clip's own id — scaled so the
+    signal-to-noise power ratio hits the target EXACTLY:
+
+        gain = rms(signal) / (rms(noise) · 10^(snr_db/20))
+
+    Output is canonical pcm_s16le, same length as the input (one decode,
+    all variants from the same PCM). Silent, undecodable or sr<=0 rows
+    yield nothing. The noise is a pure function of (clip_id, length), so
+    any downstream consumer can reconstruct it — the mix is reproducible
+    across runs, workers and batch sizes."""
+
+    columns = ("clip_id", "bytes", "sr_hz")
+
+    def __init__(self, snrs_db: tuple[int, ...] = NOISE_SNRS_DB):
+        self.snrs_db = tuple(int(s) for s in snrs_db)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("clip_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False)
+        out = {k: [] for k in NOISE_SCHEMA.names}
+        for cid, payload, sr in zip(ids, payloads, srs):
+            if int(sr) <= 0:
+                continue
+            try:
+                _, pcm = audio.decode(payload)
+            except (ValueError, TypeError):
+                continue
+            if len(pcm) == 0:
+                continue
+            x = pcm.astype(np.float64)
+            rms_sig = float(np.sqrt(np.mean(x * x)))
+            if rms_sig == 0.0:
+                continue
+            noise = audio.synth_pcm(
+                audio.clip_seed(cid + "#noise"), len(pcm)).astype(np.float64)
+            rms_noise = float(np.sqrt(np.mean(noise * noise)))
+            if rms_noise == 0.0:
+                continue
+            for snr in self.snrs_db:
+                gain = rms_sig / (rms_noise * 10.0 ** (snr / 20.0))
+                y = np.clip(x + gain * noise, -1.0, 1.0).astype(np.float32)
+                out["clip_id"].append(cid)
+                out["snr_db"].append(snr)
+                out["n_samples"].append(len(y))
+                out["bytes"].append(audio.encode(y, "pcm_s16le"))
+        return pa.table(
+            {n: pa.array(out[n], NOISE_SCHEMA.field(n).type)
+             for n in NOISE_SCHEMA.names})
+
+
 # ------------------------------------------------------------------ packing
 
 PACK_SCHEMA = pa.schema([

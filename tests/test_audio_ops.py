@@ -376,3 +376,58 @@ def test_speed_perturb_skips_undecodable_and_bad_sr():
     out = _run_stage(t2, SpeedPerturb())
     assert sorted(set(out.column("clip_id").to_pylist())) == ["clip-speed-ok"]
     assert out.num_rows == 2
+
+
+# -------------------------------------------------------------- noise mixing
+
+def test_noisemix_hits_target_snr_exactly():
+    from metrics_ray.stages.audio_ops import NoiseMix
+
+    sr, dur = 16000, 800
+    t = _clips_table([("clip-noise-a", sr, dur, "pcm_s16le", None)])
+    out = _run_stage(t, NoiseMix()).sort_by("snr_db")
+    assert out.column("snr_db").to_pylist() == [5, 20]
+    n = audio.n_samples_for(sr, dur)
+    assert out.column("n_samples").to_pylist() == [n, n]
+    src = audio.synth_pcm(audio.clip_seed("clip-noise-a"), n)
+    q = np.clip(np.rint(src * 32767.0), -32768, 32767) / 32767.0
+    noise = audio.synth_pcm(audio.clip_seed("clip-noise-a#noise"), n)
+    for row, snr in ((0, 5), (1, 20)):
+        _, mixed = audio.decode(out.column("bytes")[row].as_py())
+        # reconstruct the exact mix from the documented recipe
+        x = q.astype(np.float64)
+        rms_sig = np.sqrt(np.mean(x * x))
+        nn = noise.astype(np.float64)
+        gain = rms_sig / (np.sqrt(np.mean(nn * nn)) * 10.0 ** (snr / 20.0))
+        ref = np.clip(x + gain * nn, -1.0, 1.0)
+        np.testing.assert_allclose(mixed, ref.astype(np.float32),
+                                   atol=1.5 / 32767.0)
+        # achieved SNR (pre-clip) equals the target to float precision
+        err = gain * nn
+        achieved = 10.0 * np.log10(np.mean(x * x) / np.mean(err * err))
+        assert abs(achieved - snr) < 1e-9
+
+
+def test_noisemix_noise_is_reproducible_and_per_clip():
+    from metrics_ray.stages.audio_ops import NoiseMix
+
+    t = _clips_table([("clip-noise-b", 8000, 300, "flac", None),
+                      ("clip-noise-c", 8000, 300, "flac", None)])
+    out1 = _run_stage(t, NoiseMix()).sort_by("clip_id")
+    out2 = _run_stage(t, NoiseMix()).sort_by("clip_id")
+    assert out1.column("bytes").to_pylist() == out2.column("bytes").to_pylist()
+    # different clips get different noise: the 5 dB variants differ
+    b = {(r["clip_id"], r["snr_db"]): r["bytes"] for r in out1.to_pylist()}
+    assert b[("clip-noise-b", 5)] != b[("clip-noise-c", 5)]
+
+
+def test_noisemix_skips_undecodable():
+    from metrics_ray.stages.audio_ops import NoiseMix
+
+    t = _clips_table([
+        ("clip-noise-ok", 8000, 300, "mp3", None),
+        ("clip-noise-bad", 8000, 300, "opus", lambda p: p[:7]),
+    ])
+    out = _run_stage(t, NoiseMix())
+    assert sorted(set(out.column("clip_id").to_pylist())) == ["clip-noise-ok"]
+    assert out.num_rows == 2

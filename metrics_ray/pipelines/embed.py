@@ -853,7 +853,60 @@ def q_emb_kcenter(sf_dir: str) -> pa.Table:
     })
 
 
+def q_emb_centroids(sf_dir: str) -> pa.Table:
+    """Per-label class centroids (the distributed-mean op behind
+    prototype classifiers, per-class drift baselines and balanced
+    sampling): mean embedding per label. Scale shape: per-batch
+    (label, dim, partial_sum, n) combiner rows — labels×d per batch
+    regardless of batch size — one tiny groupby-sum, division only
+    after the merge (same shape as q_emb_drift)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(b).astype(np.float64)
+        rows = {"label": [], "dim": [], "s": [], "n": []}
+        for lv in np.unique(lab):
+            sel = lab == lv
+            s = m[sel].sum(axis=0)
+            rows["label"].extend([int(lv)] * m.shape[1])
+            rows["dim"].extend(range(1, m.shape[1] + 1))
+            rows["s"].extend(s.tolist())
+            rows["n"].extend([int(sel.sum())] * m.shape[1])
+        return pa.table({
+            "label": pa.array(rows["label"], pa.int64()),
+            "dim": pa.array(rows["dim"], pa.int64()),
+            "s": pa.array(rows["s"], pa.float64()),
+            "n": pa.array(rows["n"], pa.int64()),
+        })
+
+    out = (embeddings_ds(sf_dir, ["embedding", "label"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    df = out.to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    return pa.table({
+        "label": pa.array(df["label"].astype("int64")),
+        "dim": pa.array(df["dim"].astype("int64")),
+        "n": pa.array(df["n"].astype("int64")),
+        "centroid": pa.array(
+            round_half_away(df["s"].to_numpy(np.float64)
+                            / df["n"].to_numpy(np.float64), 6),
+            pa.float64()),
+    })
+
+
+SQL_EMB_CENTROIDS = """SELECT CAST(label AS BIGINT) AS label, i AS dim,
+       COUNT(*) AS n,
+       round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid
+FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+GROUP BY label, i ORDER BY label, dim"""
+
+
 EMB_QUERIES = {
+    "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),
     "emb_kcenter": (q_emb_kcenter, None),
     "emb_norm_check": (q_emb_norm_check, SQL_EMB_NORM_CHECK),
     "emb_drift": (q_emb_drift, SQL_EMB_DRIFT),

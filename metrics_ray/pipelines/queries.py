@@ -2486,7 +2486,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "ev_funnel", "ev_retention", "rel_pricing_summary",
     # round-3 session-2 additions — never driver-verified by definition
     "val_audio_speed", "val_speaking_rate", "val_batch_buckets",
-    "val_quality_sample", "val_audio_noisemix",
+    "val_quality_sample", "val_audio_noisemix", "emb_centroids",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},

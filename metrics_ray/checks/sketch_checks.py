@@ -178,15 +178,24 @@ class DriftCheck(BatchCheck):
     per_partition_sketch = False
 
     def __init__(self, check_id: str, column: str, psi_threshold: float = 0.2):
+        from ..schema import declared_histogram_edges
+
         self.check_id = check_id
         self.column = column
         self.psi_threshold = psi_threshold
         self.columns = (column, "partition")
-        self._edges: np.ndarray | None = None
+        # edges come from the DECLARED domain (schema.py), so the per-batch
+        # observed histogram needs no side input — the baseline profile
+        # (counts) is consumed only at driver-side finalize. This lets the
+        # suite overlap the baseline-profile pass with the main pass
+        # instead of building it up front (clips.py validate_with_factory).
+        self._edges: np.ndarray = np.asarray(
+            declared_histogram_edges(column), dtype=np.float64)
         self._baseline_counts: np.ndarray | None = None
 
     def setup(self, ctx: CheckContext) -> None:
-        prof = ctx.baseline_profile.get(self.column)
+        prof = ctx.baseline_profile
+        prof = prof.get(self.column) if isinstance(prof, dict) else None
         if prof is not None:
             self._edges = np.asarray(prof["edges"], dtype=np.float64)
             self._baseline_counts = np.asarray(prof["counts"], dtype=np.int64)

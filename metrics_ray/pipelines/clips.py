@@ -312,14 +312,21 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
     from .. import harden_fsspec_race
 
     harden_fsspec_race()
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_profile = pool.submit(build_baseline_profile,
-                                  baseline_factory or factory)
-        fut_index = (None if dist_referential else
-                     pool.submit(transcript_index_df, sf_dir, replicas))
-        profile = fut_profile.result()
-        index = fut_index.result() if fut_index is not None else None
-    ctx = default_ctx(transcript_index=index, baseline_profile=profile)
+    import time as _time
+    t_side = _time.time()
+    # the transcript index (broadcast path) gates the pass — build it now;
+    # the baseline profile is consumed only at driver-side finalize
+    # (DriftCheck bins on declared edges), so its Ray pass runs
+    # CONCURRENTLY with the suite and is resolved lazily by run_suite
+    pool = ThreadPoolExecutor(max_workers=2)
+    fut_profile = pool.submit(build_baseline_profile,
+                              baseline_factory or factory)
+    index = (None if dist_referential
+             else transcript_index_df(sf_dir, replicas))
+    pool.shutdown(wait=False)
+    side_inputs_s = round(_time.time() - t_side, 3)
+    ctx = default_ctx(transcript_index=index,
+                      baseline_profile=fut_profile.result)
     keyed_from_keys = None
     if with_content_dedup and fuse_content_dedup:
         keyed_from_keys = {"content_dedup": (ContentHashCheck(),
@@ -330,11 +337,13 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
         keyed["referential_transcript"] = lambda f: referential_violations_dist(
             f(["clip_id", "transcript", "partition"]),
             transcript_index_ds(sf_dir, replicas))
-    return run_suite(factory,
-                     full_checks(with_decode=with_decode,
-                                 with_referential=not dist_referential),
-                     ctx=ctx,
-                     keyed=keyed,
-                     batch_size=batch_size,
-                     concurrency=concurrency,
-                     keyed_from_keys=keyed_from_keys)
+    report = run_suite(factory,
+                       full_checks(with_decode=with_decode,
+                                   with_referential=not dist_referential),
+                       ctx=ctx,
+                       keyed=keyed,
+                       batch_size=batch_size,
+                       concurrency=concurrency,
+                       keyed_from_keys=keyed_from_keys)
+    report.manifest["side_inputs_s"] = side_inputs_s
+    return report

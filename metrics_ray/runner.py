@@ -516,6 +516,18 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
 
     t0 = time.time()
     ctx = ctx or CheckContext()
+    # a CALLABLE baseline_profile is a deferred side input (e.g. the
+    # profile pass running concurrently with this suite): ship the pass a
+    # stripped copy — DriftCheck bins on declared-domain edges and only
+    # consumes baseline COUNTS at driver-side finalize — and resolve the
+    # callable just before assembly, by which time the concurrent build
+    # has long finished under the main pass.
+    deferred_profile = (ctx.baseline_profile
+                        if callable(ctx.baseline_profile) else None)
+    if deferred_profile is not None:
+        import dataclasses
+
+        ctx = dataclasses.replace(ctx, baseline_profile={})
     keyed_from_keys = keyed_from_keys or {}
     emitters = [em for em, _ in keyed_from_keys.values()]
     pass_checks = checks + emitters
@@ -533,12 +545,18 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
     keyed_schema = pa.schema([f for f in VIOLATION_SCHEMA
                               if f.name != "check_id"])
 
-    def collect_keyed(kv_ds):
+    keyed_wall: dict[str, float] = {}
+
+    def collect_keyed(kv_ds, kid: str = ""):
+        tk = time.time()
         tables = [t.cast(keyed_schema)
                   for t in ray.get(arrow_refs(kv_ds))
                   if t.num_rows]
-        return (pa.concat_tables(tables) if tables
-                else keyed_schema.empty_table())
+        out = (pa.concat_tables(tables) if tables
+               else keyed_schema.empty_table())
+        if kid:
+            keyed_wall[kid] = round(time.time() - tk, 3)
+        return out
 
     # build every dataset plan serially (read_parquet path resolution is
     # not thread-safe when optional fs backends are missing); only the
@@ -557,12 +575,12 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
         # interleaving of concurrent pipelines adds wall-time variance;
         # sequential execution trades peak overlap for stability
         batch_out, pass_wall_s = timed_batch()
-        keyed_results = [(kid, collect_keyed(kv_ds))
+        keyed_results = [(kid, collect_keyed(kv_ds, kid))
                          for kid, kv_ds in keyed_plans]
     else:
         with ThreadPoolExecutor(max_workers=1 + len(keyed_plans)) as pool:
             fut_batch = pool.submit(timed_batch)
-            fut_keyed = [(kid, pool.submit(collect_keyed, kv_ds))
+            fut_keyed = [(kid, pool.submit(collect_keyed, kv_ds, kid))
                          for kid, kv_ds in keyed_plans]
             batch_out, pass_wall_s = fut_batch.result()
             keyed_results = [(kid, f.result()) for kid, f in fut_keyed]
@@ -577,10 +595,25 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
                       "partition": b.column("partition"),
                       "clip_id": b.column("clip_id"),
                   }), batch_format="pyarrow"))
-            keyed_results.append((kid, collect_keyed(fn(kd))))
+            keyed_results.append((kid, collect_keyed(fn(kd), kid)))
     else:
         viol, counters, partials = batch_out
 
+    if deferred_profile is not None:
+        import dataclasses
+
+        from .schema import declared_histogram_edges
+
+        prof = deferred_profile() or {}
+        for col, p in prof.items():
+            want = declared_histogram_edges(col)
+            got = np.asarray(p["edges"], dtype=np.float64)
+            if got.shape != want.shape or not np.allclose(got, want):
+                raise ValueError(
+                    f"deferred baseline profile for {col!r} was not built "
+                    "on the declared-domain edges; the pass binned on "
+                    "declared edges, so the comparison basis would differ")
+        ctx = dataclasses.replace(ctx, baseline_profile=prof)
     metrics = assemble_metrics(checks, counters, partials, ctx=ctx)
 
     total_rows = int(counters[counters.check_id == checks[0].check_id]["scanned"].sum()) if checks else 0
@@ -621,6 +654,9 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
         # the streaming batch-check pass alone (concurrent with keyed
         # shuffles) — the component that dominates at production row counts
         "pass_wall_s": round(pass_wall_s, 3),
+        # per-keyed-pipeline wall (thread-submit → collected); concurrent
+        # with the pass EXCEPT the fused stages, which start after it
+        "keyed_wall_s": keyed_wall,
     }
     if error_budget is not None:
         brk = counters[counters.check_id == "__circuit__"]

@@ -84,3 +84,19 @@ MIN_DUR_MS = 1
 MAX_DUR_MS = 30_000
 CLIP_ID_RE = r"^clip-[0-9]{8}$"
 SNR_THRESHOLD_DB = 30.0
+
+
+def declared_histogram_edges(column: str, n_bins: int = 30):
+    """Histogram edges derived from a column's DECLARED domain (its schema
+    range constraint), not from data. Shared by the baseline-profile build
+    and DriftCheck so a clean-run profile and a later observed histogram are
+    always on identical, mergeable edges — and so the drift check's
+    per-batch binning needs NO side input (the baseline counts are consumed
+    only at driver-side finalize). Log-spaced: duration/rate columns span
+    orders of magnitude."""
+    import numpy as np
+
+    lo, hi = {"dur_ms": (float(MIN_DUR_MS), float(MAX_DUR_MS)),
+              "sr_hz": (1.0, 192_000.0)}.get(column, (0.0, 1.0))
+    return (np.geomspace(lo, hi, n_bins + 1) if lo > 0
+            else np.linspace(lo, hi, n_bins + 1))

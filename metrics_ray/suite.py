@@ -111,18 +111,18 @@ def build_baseline_profile(ds_factory, column: str = "dur_ms",
     identical edges, mergeable and comparable across runs — and the build
     costs one pass instead of two."""
     import ray.data  # noqa: F401
-    from .schema import MAX_DUR_MS, MIN_DUR_MS
+    from .schema import declared_histogram_edges
     from .sketches import FixedHistogram, loads_any, merge_blobs
 
     if domain is None:
-        domain = {"dur_ms": (float(MIN_DUR_MS), float(MAX_DUR_MS)),
-                  "sr_hz": (1.0, 192_000.0)}.get(column, (0.0, 1.0))
-    # log-spaced edges: duration/rate-style columns span orders of
-    # magnitude; linear bins would lump realistic values into one bin and
-    # blind the PSI comparison
-    edges = (np.geomspace(domain[0], domain[1], n_bins + 1)
-             if domain[0] > 0 else np.linspace(domain[0], domain[1],
-                                               n_bins + 1))
+        edges = declared_histogram_edges(column, n_bins)
+    else:
+        # log-spaced edges: duration/rate-style columns span orders of
+        # magnitude; linear bins would lump realistic values into one bin
+        # and blind the PSI comparison
+        edges = (np.geomspace(domain[0], domain[1], n_bins + 1)
+                 if domain[0] > 0 else np.linspace(domain[0], domain[1],
+                                                   n_bins + 1))
     ds = ds_factory([column, "partition"])
 
     def hist_partial(b: pa.Table) -> pa.Table:

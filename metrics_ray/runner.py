@@ -249,7 +249,8 @@ def run_batch_checks(ds, checks: list[BatchCheck],
                      use_actors: bool = False,
                      violations_sink: str | None = None,
                      return_keys: bool = False,
-                     error_budget: int | None = None):
+                     error_budget: int | None = None,
+                     on_keys=None):
     """Single streaming pass → (violations, counters_df, partials dict).
 
     Default execution is TASK-based (reused worker processes + per-process
@@ -307,6 +308,11 @@ def run_batch_checks(ds, checks: list[BatchCheck],
         tagged = tagged.materialize()
         if return_keys:
             keys_ds = tagged.filter(expr='kind == "k"')
+            if on_keys is not None:
+                # hand the key stream to the caller the moment the pass
+                # materializes, so fused keyed shuffles overlap the
+                # driver-side counter/violation collection below
+                on_keys(keys_ds)
         if violations_sink is not None:
             (tagged.filter(expr='kind == "v"')
                    .select_columns(VIOLATION_SCHEMA.names)
@@ -561,15 +567,27 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
     # build every dataset plan serially (read_parquet path resolution is
     # not thread-safe when optional fs backends are missing); only the
     # EXECUTION runs concurrently
-    def timed_batch():
+    def _fused_plan(keys_ds, kid):
+        # fused keyed stages shuffle the already-computed key rows
+        # (kind='k': key in 'actual'); the payload was read exactly once
+        return (keys_ds.filter(expr=f'check_id == "{kid}"')
+                .map_batches(lambda b: pa.table({
+                    "key": b.column("actual"),
+                    "partition": b.column("partition"),
+                    "clip_id": b.column("clip_id"),
+                }), batch_format="pyarrow"))
+
+    def timed_batch(on_keys=None):
         tb = time.time()
         out = run_batch_checks(ds, pass_checks, ctx, batch_size=batch_size,
                                concurrency=concurrency,
                                return_keys=bool(emitters),
-                               error_budget=error_budget)
+                               error_budget=error_budget,
+                               on_keys=on_keys)
         return out, time.time() - tb
 
     keyed_plans = [(kid, fn(ds_factory)) for kid, fn in (keyed or {}).items()]
+    fused_futs: dict[str, Any] = {}
     if os.environ.get("METRICS_RAY_SEQUENTIAL_PIPELINES"):
         # deterministic sequencing knob: on few contended cores the
         # interleaving of concurrent pipelines adds wall-time variance;
@@ -578,24 +596,32 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
         keyed_results = [(kid, collect_keyed(kv_ds, kid))
                          for kid, kv_ds in keyed_plans]
     else:
-        with ThreadPoolExecutor(max_workers=1 + len(keyed_plans)) as pool:
-            fut_batch = pool.submit(timed_batch)
+        pool = ThreadPoolExecutor(
+            max_workers=1 + len(keyed_plans) + len(keyed_from_keys))
+
+        def _launch_fused(keys_ds):
+            # called from inside the batch pass the moment the tagged
+            # stream materializes: the fused shuffles overlap the pass's
+            # driver-side collection instead of queueing behind it
+            for kid, (_em, fn) in keyed_from_keys.items():
+                fused_futs[kid] = pool.submit(
+                    collect_keyed, fn(_fused_plan(keys_ds, kid)), kid)
+
+        with pool:
+            fut_batch = pool.submit(
+                timed_batch, _launch_fused if emitters else None)
             fut_keyed = [(kid, pool.submit(collect_keyed, kv_ds, kid))
                          for kid, kv_ds in keyed_plans]
             batch_out, pass_wall_s = fut_batch.result()
             keyed_results = [(kid, f.result()) for kid, f in fut_keyed]
+            keyed_results += [(kid, f.result())
+                              for kid, f in fused_futs.items()]
     if emitters:
         viol, counters, partials, keys_ds = batch_out
-        # fused keyed stages shuffle the already-computed key rows
-        # (kind='k': key in 'actual'); the payload was read exactly once
-        for kid, (_em, fn) in keyed_from_keys.items():
-            kd = (keys_ds.filter(expr=f'check_id == "{kid}"')
-                  .map_batches(lambda b: pa.table({
-                      "key": b.column("actual"),
-                      "partition": b.column("partition"),
-                      "clip_id": b.column("clip_id"),
-                  }), batch_format="pyarrow"))
-            keyed_results.append((kid, collect_keyed(fn(kd), kid)))
+        if not fused_futs:  # sequential mode: run fused stages inline
+            for kid, (_em, fn) in keyed_from_keys.items():
+                keyed_results.append(
+                    (kid, collect_keyed(fn(_fused_plan(keys_ds, kid)), kid)))
     else:
         viol, counters, partials = batch_out
 

@@ -746,6 +746,146 @@ WHERE tier = 'clean'
 ORDER BY clip_id, tier"""
 
 
+# ------------------------------------------------- CTC alignability gate
+
+CTC_HOP_MS = 10  # standard 10 ms feature hop => frames = dur_ms // 10
+
+
+def q_ctc_feasible(sf_dir: str) -> pa.Table:
+    """CTC-alignability gate (the ASR training feasibility check): a CTC
+    loss over T frames can emit at most (T+1)//2 distinct-with-repeats
+    labels, so any clip with frames < 2·tokens − 1 can NEVER align its
+    transcript — a harder failure than an implausible speaking rate
+    (val_speaking_rate bounds chars/sec; this bounds the token count
+    against the feature-frame budget). Tokens use the corpus-standard
+    re2 ``\\S+`` tokenizer (the doc_token_counts mirror), frames the
+    standard 10 ms hop. Pure row-local Arrow kernels, no shuffle."""
+    import pyarrow.compute as pc
+
+    ds = _meta_ds(sf_dir).select_columns(["clip_id", "transcript", "dur_ms"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("transcript"), "")
+        toks = pc.count_substring_regex(txt, r"\S+").cast(pa.int64())
+        dur = b.column("dur_ms").cast(pa.int64())
+        frames = pc.divide(dur, CTC_HOP_MS)  # int/int => floor division
+        bad = pc.and_(
+            pc.and_(pc.is_valid(b.column("transcript")),
+                    pc.greater(dur, 0)),
+            pc.and_(pc.greater(toks, 0),
+                    pc.less(frames,
+                            pc.subtract(pc.multiply(toks, 2), 1))))
+        t = pa.table({"clip_id": b.column("clip_id"),
+                      "n_tokens": toks,
+                      "frames": frames}).filter(bad)
+        return t
+
+    t = _collect_simple(ds.map_batches(flag, batch_format="pyarrow"))
+    if t is None:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "frames": pa.array([], pa.int64())})
+    return t.sort_by([("clip_id", "ascending"), ("n_tokens", "ascending"),
+                      ("frames", "ascending")])
+
+
+SQL_CTC_FEASIBLE = f"""WITH {synth.CLIPS_SQL}
+SELECT clip_id,
+       len(regexp_extract_all(transcript, '\\S+')) AS n_tokens,
+       dur_ms // {CTC_HOP_MS} AS frames
+FROM clips
+WHERE transcript IS NOT NULL AND dur_ms > 0
+  AND len(regexp_extract_all(transcript, '\\S+')) > 0
+  AND dur_ms // {CTC_HOP_MS}
+      < 2 * len(regexp_extract_all(transcript, '\\S+')) - 1
+ORDER BY clip_id, n_tokens, frames"""
+
+
+# ---------------------------------------------- split-contamination audit
+
+def q_split_leakage(sf_dir: str) -> pa.Table:
+    """Train/eval split-contamination audit (the leakage check every
+    training pipeline needs after dedup + split): one row per transcript
+    shared by MORE THAN ONE distinct clip, with its md5 key, member/row
+    counts, the sorted distinct splits its members landed in, and a
+    ``leaked`` verdict (spans >1 split — eval contamination). Split
+    assignment is the doc_split coin (md5(clip_id) % 100) so the audit is
+    a pure function of the corpus. Scale shape: row-local assignment +
+    digest, then ONE bucketed co-group on the 16-byte content key
+    (grouped_apply) — group cardinality is O(duplicate transcripts), not
+    corpus size."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ..checks.keyed import grouped_apply
+    from ..sketches import md5_lower64
+    from .docs import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    ds = _meta_ds(sf_dir).select_columns(["clip_id", "transcript"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        tr = b.column("transcript")
+        t = b.filter(pc.and_(pc.is_valid(tr),
+                             pc.greater(pc.utf8_length(
+                                 pc.fill_null(tr, "")), 0)))
+        ids = t.column("clip_id").to_pylist()
+        bucket = (md5_lower64(ids) % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < SPLIT_TRAIN_PCT, "train",
+                         np.where(bucket < SPLIT_VAL_PCT, "val", "test"))
+        tkey = [hashlib.md5(s.encode()).hexdigest()
+                for s in t.column("transcript").to_pylist()]
+        return pa.table({
+            "t_key": pa.array(tkey, pa.string()),
+            "clip_id": pa.array(ids, pa.string()),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    out_schema = pa.schema([
+        ("t_key", pa.string()), ("n_clips", pa.int64()),
+        ("n_splits", pa.int64()), ("splits", pa.string()),
+        ("leaked", pa.bool_()),
+    ])
+
+    def audit(df):
+        import pandas as pd
+
+        g = df.groupby("t_key").agg(
+            n_clips=("clip_id", "size"),
+            n_distinct=("clip_id", "nunique"),
+            n_splits=("split", "nunique"),
+            splits=("split", lambda s: ",".join(sorted(set(s)))),
+        ).reset_index()
+        g = g[g["n_distinct"] > 1].drop(columns="n_distinct")
+        g["leaked"] = g["n_splits"] > 1
+        return g
+
+    out = grouped_apply(ds.map_batches(assign, batch_format="pyarrow"),
+                        "t_key", audit, out_schema=out_schema)
+    t = _collect_simple(out)
+    if t is None:
+        return out_schema.empty_table()
+    return t.sort_by("t_key")
+
+
+SQL_SPLIT_LEAKAGE = f"""WITH {synth.CLIPS_SQL},
+s AS (
+    SELECT clip_id, transcript,
+           CASE WHEN md5_number_lower(clip_id) % 100 < 90 THEN 'train'
+                WHEN md5_number_lower(clip_id) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM clips
+    WHERE transcript IS NOT NULL AND length(transcript) > 0
+)
+SELECT md5(transcript) AS t_key,
+       COUNT(*) AS n_clips,
+       COUNT(DISTINCT split) AS n_splits,
+       string_agg(DISTINCT split, ',' ORDER BY split) AS splits,
+       COUNT(DISTINCT split) > 1 AS leaked
+FROM s GROUP BY transcript HAVING COUNT(DISTINCT clip_id) > 1
+ORDER BY t_key"""
+
+
 def q_check_summary(sf_dir: str) -> pa.Table:
     """Metric summary over the metadata check family: the metricValue()
     readout (check_id, rows_scanned, rows_violating, metric_value)."""
@@ -1961,6 +2101,48 @@ SELECT clip_id, snr_db, n_samples FROM variants
 ORDER BY clip_id, snr_db, n_samples"""
 
 
+def q_audio_specmask(sf_dir: str) -> pa.Table:
+    """SpecAugment-style time masking (stages/audio_ops.py TimeMask): one
+    masked variant per decodable clip, length-preserving. Unlike the
+    noise/speed oracles (geometry-only), the mask PLACEMENT itself is
+    oracle-verified: mask_len and mask_start are integer functions of
+    (clip_id, n) via md5_number_lower, so the SQL recomputes the exact
+    zeroed span per clip. The masking DSP (zeroed region, untouched
+    remainder) is golden-tested. All values are read back from the REAL
+    stage output, not recomputed."""
+    from ..stages.audio_ops import TimeMask
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes", "sr_hz"])
+    res = (ds.map_batches(TimeMask(), batch_format="pyarrow",
+                          batch_size=128)
+           .select_columns(["clip_id", "n_samples", "mask_start",
+                            "mask_len"]))
+    t = _collect_simple(res)
+    if t is None:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "n_samples": pa.array([], pa.int64()),
+                         "mask_start": pa.array([], pa.int64()),
+                         "mask_len": pa.array([], pa.int64())})
+    return t.sort_by([("clip_id", "ascending"), ("n_samples", "ascending"),
+                      ("mask_start", "ascending")])
+
+
+from ..stages.audio_ops import MASK_PCT as _MASK_PCT  # noqa: E402
+
+SQL_AUDIO_SPECMASK = f"""WITH {_AUDIO_GEO_SQL},
+m AS (
+    SELECT clip_id, n,
+           LEAST(GREATEST(1, n * {_MASK_PCT} // 100), n) AS mask_len
+    FROM geo WHERE n > 0
+)
+SELECT clip_id, n AS n_samples,
+       CAST(md5_number_lower(clip_id || '#mask') % (n - mask_len + 1)
+            AS BIGINT) AS mask_start,
+       mask_len
+FROM m ORDER BY clip_id, n_samples, mask_start"""
+
+
 def q_clip_packing(sf_dir: str) -> pa.Table:
     """Concat-then-chunk sequence packing assignment (stages/audio_ops.py
     pack_clips): deterministic (pack_id, offset_ms) per clip from the
@@ -2445,6 +2627,9 @@ VALIDATION_QUERIES = {
     "val_audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
     "val_audio_speed": (q_audio_speed, SQL_AUDIO_SPEED),
     "val_audio_noisemix": (q_audio_noisemix, SQL_AUDIO_NOISEMIX),
+    "val_audio_specmask": (q_audio_specmask, SQL_AUDIO_SPECMASK),
+    "val_ctc_feasible": (q_ctc_feasible, SQL_CTC_FEASIBLE),
+    "val_split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
     "val_speaking_rate": (q_speaking_rate, SQL_SPEAKING_RATE),
     "val_batch_buckets": (q_batch_buckets, SQL_BATCH_BUCKETS),
     "val_quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
@@ -2487,6 +2672,8 @@ _DRIVER_UNVERIFIED_FIRST = [
     # round-3 session-2 additions — never driver-verified by definition
     "val_audio_speed", "val_speaking_rate", "val_batch_buckets",
     "val_quality_sample", "val_audio_noisemix", "emb_centroids",
+    # round-3 session-3 additions
+    "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},

@@ -420,6 +420,69 @@ class NoiseMix:
              for n in NOISE_SCHEMA.names})
 
 
+MASK_SCHEMA = pa.schema([
+    ("clip_id", pa.string()),
+    ("n_samples", pa.int64()),
+    ("mask_start", pa.int64()),
+    ("mask_len", pa.int64()),
+    ("bytes", pa.binary()),
+])
+
+MASK_PCT = 10
+
+
+class TimeMask:
+    """SpecAugment-style time masking (the third standard speech
+    augmentation next to speed perturb and noise mixing): each decodable
+    clip emits one variant with a contiguous ``mask_pct``% span of samples
+    zeroed. Mask geometry is a pure integer function of (clip_id, length)
+    via the oracle-mirrorable md5 hash —
+
+        mask_len   = clamp(n · mask_pct // 100, 1, n)
+        mask_start = md5_lower64(clip_id + "#mask") % (n − mask_len + 1)
+
+    — so the SQL oracle recomputes not just the row set but the exact
+    mask placement, and the augmentation is reproducible across runs,
+    workers and batch sizes. Output is canonical pcm_s16le, same length
+    as the input. Undecodable / sr<=0 / empty rows yield nothing."""
+
+    columns = ("clip_id", "bytes", "sr_hz")
+
+    def __init__(self, mask_pct: int = MASK_PCT):
+        self.mask_pct = int(mask_pct)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sketches import md5_lower64
+
+        ids = batch.column("clip_id").to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        srs = batch.column("sr_hz").to_numpy(zero_copy_only=False)
+        out = {k: [] for k in MASK_SCHEMA.names}
+        for cid, payload, sr in zip(ids, payloads, srs):
+            if int(sr) <= 0:
+                continue
+            try:
+                _, pcm = audio.decode(payload)
+            except (ValueError, TypeError):
+                continue
+            n = len(pcm)
+            if n == 0:
+                continue
+            mlen = min(max(1, n * self.mask_pct // 100), n)
+            start = int(md5_lower64([cid + "#mask"])[0]
+                        % np.uint64(n - mlen + 1))
+            y = pcm.astype(np.float32, copy=True)
+            y[start:start + mlen] = 0.0
+            out["clip_id"].append(cid)
+            out["n_samples"].append(n)
+            out["mask_start"].append(start)
+            out["mask_len"].append(mlen)
+            out["bytes"].append(audio.encode(y, "pcm_s16le"))
+        return pa.table(
+            {n: pa.array(out[n], MASK_SCHEMA.field(n).type)
+             for n in MASK_SCHEMA.names})
+
+
 # ------------------------------------------------------------------ packing
 
 PACK_SCHEMA = pa.schema([

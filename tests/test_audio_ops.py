@@ -431,3 +431,45 @@ def test_noisemix_skips_undecodable():
     out = _run_stage(t, NoiseMix())
     assert sorted(set(out.column("clip_id").to_pylist())) == ["clip-noise-ok"]
     assert out.num_rows == 2
+
+
+# ----------------------------------------------------------------- time mask
+
+
+def test_timemask_zeroes_exact_span_and_preserves_rest():
+    from metrics_ray.sketches import md5_lower64
+    from metrics_ray.stages.audio_ops import MASK_PCT, TimeMask
+
+    t = _clips_table([("clip-mask-a", 8000, 500, "pcm_s16le", None)])
+    out = _run_stage(t, TimeMask())
+    assert out.num_rows == 1
+    row = out.to_pylist()[0]
+    n = audio.n_samples_for(8000, 500)
+    assert row["n_samples"] == n
+    mlen = min(max(1, n * MASK_PCT // 100), n)
+    start = int(md5_lower64(["clip-mask-a#mask"])[0] % np.uint64(n - mlen + 1))
+    assert row["mask_len"] == mlen
+    assert row["mask_start"] == start
+    _, y = audio.decode(row["bytes"])
+    assert len(y) == n
+    # masked span is exactly zero
+    assert np.all(y[start:start + mlen] == 0.0)
+    # remainder matches the s16-quantized source to 1 LSB
+    src = audio.synth_pcm(audio.clip_seed("clip-mask-a"), n)
+    keep = np.ones(n, dtype=bool)
+    keep[start:start + mlen] = False
+    np.testing.assert_allclose(y[keep], src[keep], atol=1.5 / 32767.0)
+
+
+def test_timemask_skips_undecodable_and_bad_sr():
+    from metrics_ray.stages.audio_ops import TimeMask
+
+    t = _clips_table([
+        ("clip-mask-ok", 8000, 300, "flac", None),
+        ("clip-mask-bad", 8000, 300, "opus", lambda p: p[:7]),
+    ])
+    t2 = pa.table({"clip_id": pa.array(t.column("clip_id").to_pylist()),
+                   "bytes": t.column("bytes"),
+                   "sr_hz": pa.array(np.asarray([8000, 0], dtype="int32"))})
+    out = _run_stage(t2, TimeMask())
+    assert out.column("clip_id").to_pylist() == ["clip-mask-ok"]

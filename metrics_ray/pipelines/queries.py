@@ -886,6 +886,102 @@ FROM s GROUP BY transcript HAVING COUNT(DISTINCT clip_id) > 1
 ORDER BY t_key"""
 
 
+# ------------------------------------------------ vocabulary coverage (OOV)
+
+OOV_VOCAB_K = 256
+
+
+def q_oov_rate(sf_dir: str) -> pa.Table:
+    """Out-of-vocabulary audit against the corpus' own top-K vocabulary
+    (the lexicon-coverage gate an ASR pipeline runs before committing to
+    a tokenizer / LM vocab): per clip with ≥1 token, how many of its
+    transcript tokens fall outside the K most frequent corpus tokens.
+
+    Scale shape — the canonical two-phase broadcast pattern: phase 1
+    builds the exact top-K vocabulary with per-batch Arrow value_counts
+    partials → tiny groupby-sum → distributed sort + limit (one
+    (token, partial_count) row per DISTINCT token per batch crosses the
+    wire, never the token stream; ties broken token-ascending so the K
+    boundary is deterministic). Phase 2 ``ray.put``s the K-token array
+    ONCE and every batch membership-tests with ``pc.is_in`` + bincount
+    segment sums — row-local, no second shuffle, no python-per-row."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..checks.keyed import shuffle_blocks
+
+    meta = _meta_ds(sf_dir).select_columns(["clip_id", "transcript"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern_regex(
+            pc.fill_null(b.column("transcript"), ""), pattern=r"\s+"))
+        vc = pc.value_counts(toks)
+        t = pa.table({"token": vc.field("values"),
+                      "n": vc.field("counts").cast(pa.int64())})
+        return t.filter(pc.invert(pc.equal(t.column("token"), "")))
+
+    vocab_rows = (meta.map_batches(partial_counts, batch_format="pyarrow")
+                  .groupby("token", num_partitions=shuffle_blocks())
+                  .aggregate(Sum("n", alias_name="n"))
+                  .sort(key=["n", "token"], descending=[True, False])
+                  .limit(OOV_VOCAB_K)
+                  .take_all())
+    vocab_ref = ray.put(
+        pa.array([r["token"] for r in vocab_rows], pa.string()))
+
+    def flag(b: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        lst = pc.split_pattern_regex(
+            pc.fill_null(b.column("transcript"), ""), pattern=r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        offsets = lst.offsets.to_numpy(zero_copy_only=False)
+        values = lst.values
+        row_idx = np.repeat(np.arange(len(lst)), np.diff(offsets))
+        nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+        in_vocab = pc.is_in(values, value_set=vocab).to_numpy(
+            zero_copy_only=False)
+        n_tokens = np.bincount(row_idx[nonempty], minlength=len(lst))
+        n_oov = np.bincount(row_idx[nonempty & ~in_vocab],
+                            minlength=len(lst))
+        keep = n_tokens > 0
+        return pa.table({
+            "clip_id": b.column("clip_id"),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+        }).filter(pa.array(keep))
+
+    t = _collect_simple(meta.map_batches(flag, batch_format="pyarrow"))
+    if t is None:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "n_oov": pa.array([], pa.int64())})
+    return t.sort_by("clip_id")
+
+
+# The engine is row-local (one output row per input ROW, so the fixture's
+# seeded duplicate clip_ids each keep their own row); rid mirrors that.
+SQL_OOV_RATE = f"""WITH {synth.CLIPS_SQL},
+rows_ AS (
+    SELECT clip_id, transcript, row_number() OVER () AS rid
+    FROM clips WHERE transcript IS NOT NULL
+),
+toks AS (
+    SELECT clip_id, rid,
+           unnest(regexp_extract_all(transcript, '\\S+')) AS tok
+    FROM rows_
+),
+vocab AS (
+    SELECT tok FROM toks GROUP BY tok
+    ORDER BY COUNT(*) DESC, tok LIMIT {OOV_VOCAB_K}
+)
+SELECT clip_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM toks GROUP BY clip_id, rid ORDER BY clip_id"""
+
+
 def q_check_summary(sf_dir: str) -> pa.Table:
     """Metric summary over the metadata check family: the metricValue()
     readout (check_id, rows_scanned, rows_violating, metric_value)."""
@@ -2630,6 +2726,7 @@ VALIDATION_QUERIES = {
     "val_audio_specmask": (q_audio_specmask, SQL_AUDIO_SPECMASK),
     "val_ctc_feasible": (q_ctc_feasible, SQL_CTC_FEASIBLE),
     "val_split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
+    "val_oov_rate": (q_oov_rate, SQL_OOV_RATE),
     "val_speaking_rate": (q_speaking_rate, SQL_SPEAKING_RATE),
     "val_batch_buckets": (q_batch_buckets, SQL_BATCH_BUCKETS),
     "val_quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
@@ -2674,6 +2771,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "val_quality_sample", "val_audio_noisemix", "emb_centroids",
     # round-3 session-3 additions
     "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
+    "val_oov_rate",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},

@@ -218,6 +218,55 @@ def exact_duplicate_keys(ds, column: str = "clip_id",
         out_schema=KEYED_VIOLATION_SCHEMA)
 
 
+def exact_duplicate_keys_from_keys(keys_ds, column: str = "clip_id"):
+    """Same uniqueness semantics over the pass-emitted key stream — the
+    FUSED path: the shared batch pass emits (key=<column>, partition,
+    clip_id) rows via KeyUniquenessEmitter, so no second source scan runs
+    concurrently with (and contends against) the decode-heavy pass; only
+    per-batch (key, partition, cnt) partials enter the exchange."""
+    pre = keys_ds.map_batches(lambda b: _preagg_key_counts(b, "key"),
+                              batch_format="pyarrow")
+    return grouped_apply(
+        pre, "key",
+        lambda g: _dup_bucket_rows(g, Codes.DUPLICATE_KEY,
+                                   "unique " + column),
+        out_schema=KEYED_VIOLATION_SCHEMA)
+
+
+class KeyUniquenessEmitter:
+    """Key-emitting pseudo-check for the fused key-uniqueness path
+    (ValidIFPUsage.java:42-148 semantics, same reduce as
+    exact_duplicate_keys): emits (key=<column value>, partition, clip_id)
+    rows from inside the shared batch pass; the duplicate reduce happens
+    in the keyed stage over those rows."""
+
+    check_id = "clipid_unique_exact"
+    is_estimate = False
+    per_partition_sketch = False
+
+    def __init__(self, column: str = "clip_id"):
+        self.column = column
+        self.columns = (column, "clip_id", "partition")
+
+    def setup(self, ctx) -> None:  # noqa: B027
+        pass
+
+    def evaluate(self, batch: pa.Table):
+        from .base import BatchOutcome
+
+        return BatchOutcome(keys=pa.table({
+            "key": batch.column(self.column).cast(pa.string()),
+            "partition": batch.column("partition"),
+            "clip_id": batch.column("clip_id"),
+        }))
+
+    def merge(self, partials):
+        return None
+
+    def finalize_value(self, scanned, violating, merged):
+        return 1.0, True, ""
+
+
 def _binary_views(col) -> list:
     """Per-row zero-copy memoryview slices of a Binary/String column
     (None for null rows). Avoids both to_pylist's full materialization

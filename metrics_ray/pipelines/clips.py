@@ -295,7 +295,12 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
     the index is derived distributedly (transcript_index_ds) and checked
     via one bucketed co-group (referential_violations_dist) — identical
     verdicts, no driver materialization."""
-    from ..checks.keyed import ContentHashCheck, content_duplicates_from_keys
+    from ..checks.keyed import (
+        ContentHashCheck,
+        KeyUniquenessEmitter,
+        content_duplicates_from_keys,
+        exact_duplicate_keys_from_keys,
+    )
     from ..checks.referential import referential_violations_dist
 
     budget = (BROADCAST_BUDGET_ROWS if broadcast_budget_rows is None
@@ -328,11 +333,18 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
     ctx = default_ctx(transcript_index=index,
                       baseline_profile=fut_profile.result)
     keyed_from_keys = None
-    if with_content_dedup and fuse_content_dedup:
-        keyed_from_keys = {"content_dedup": (ContentHashCheck(),
-                                             content_duplicates_from_keys)}
-    keyed = keyed_checks(with_content_dedup=(with_content_dedup
-                                             and not fuse_content_dedup))
+    if fuse_content_dedup:
+        # fused mode: EVERY keyed check consumes key rows emitted by the
+        # shared batch pass — one source scan total, and no independent
+        # pipeline contends with the decode-heavy pass for cpus
+        keyed_from_keys = {"clipid_unique_exact": (
+            KeyUniquenessEmitter(), exact_duplicate_keys_from_keys)}
+        if with_content_dedup:
+            keyed_from_keys["content_dedup"] = (
+                ContentHashCheck(), content_duplicates_from_keys)
+        keyed = {}
+    else:
+        keyed = keyed_checks(with_content_dedup=with_content_dedup)
     if dist_referential:
         keyed["referential_transcript"] = lambda f: referential_violations_dist(
             f(["clip_id", "transcript", "partition"]),

@@ -292,3 +292,29 @@ def test_distributed_referential_matches_broadcast(report, sf_unit):
     b = report.verdicts.to_pandas().set_index("partition")["passed"]
     d = dist.verdicts.to_pandas().set_index("partition")["passed"]
     assert d.to_dict() == b.to_dict()
+
+
+def test_unfused_keyed_path_matches_fused(report, sf_unit):
+    """The fused keyed path (key rows emitted inside the shared batch
+    pass — content_dedup AND clipid_unique_exact) must reproduce the
+    independent-pipeline path's violation sets and verdicts exactly."""
+    from metrics_ray.pipelines.clips import (clips_factory,
+                                             ensure_clips_parquet,
+                                             validate_with_factory)
+
+    path = ensure_clips_parquet(sf_unit)
+    unfused = validate_with_factory(clips_factory(path), sf_unit,
+                                    concurrency=2,
+                                    fuse_content_dedup=False)
+
+    def keyed_rows(rep, cid):
+        df = rep.violations.to_pandas()
+        df = df[df.check_id == cid]
+        return sorted(zip(df.code, df.clip_id, df.partition, df.actual))
+
+    for cid in ("content_dedup", "clipid_unique_exact"):
+        assert keyed_rows(unfused, cid) == keyed_rows(report, cid), cid
+        assert keyed_rows(report, cid), cid  # fixture seeds violations
+    f = report.verdicts.to_pandas().set_index("partition")["passed"]
+    u = unfused.verdicts.to_pandas().set_index("partition")["passed"]
+    assert u.to_dict() == f.to_dict()

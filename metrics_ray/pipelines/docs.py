@@ -31,6 +31,7 @@ import pyarrow.parquet as pq
 from ..checks.keyed import cap_group_members, grouped_apply, shuffle_blocks
 from ..functions import text as T
 from ..functions.rounding import round_half_away
+from ..sketches import hash64
 from ..collect import arrow_refs
 
 NEAR_DUP_TAU = 0.8
@@ -286,12 +287,27 @@ def _pair_frame(a, b, **extra) -> pd.DataFrame:
 
 _MEMBER_SCHEMA = pa.schema([
     ("key", pa.int64()), ("side", pa.string()),
-    ("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text", pa.string()),
+    ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+    ("sh", pa.list_(pa.uint64())),
 ])
 _ATTACHED_SCHEMA = pa.schema([
     ("doc_a", pa.int64()), ("doc_b", pa.int64()),
-    ("member", pa.int64()), ("text", pa.string()),
+    ("member", pa.int64()), ("sh", pa.list_(pa.uint64())),
 ])
+
+
+def shingle_hash_array(text: str) -> np.ndarray:
+    """Sorted distinct 64-bit shingle hashes of a document (the same
+    hash64 the MinHash signature consumes). Set algebra on these mirrors
+    set algebra on the string shingles themselves up to a WITHIN-PAIR
+    64-bit collision (p ≈ n²/2⁶⁵ per pair, ~1e-15 at n≈400 shingles) —
+    deterministic across runs/workers, so the verified Jaccard equals the
+    string-set value with overwhelming probability at any corpus size."""
+    sh = T.word_shingles(text)
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(hash64(np.array(sorted(sh), dtype=object))
+                     .astype(np.uint64))
 
 
 def verify_pairs_distributed(cand, corpus, tau: float = NEAR_DUP_TAU):
@@ -301,12 +317,15 @@ def verify_pairs_distributed(cand, corpus, tau: float = NEAR_DUP_TAU):
 
     Dataflow (all bucketed hash co-groups; checks/keyed.py grouped_apply):
       1. explode each candidate pair into two member rows keyed by the
-         member doc_id, union with the (doc_id, text) corpus stream;
-      2. co-group on doc_id → each member row picks up its text; the full
-         corpus text crosses the exchange exactly ONCE, member rows are
+         member doc_id, union with the corpus stream carrying each doc's
+         sorted shingle-hash array (shingled ONCE per doc, row-local —
+         not once per candidate pair — and ~2x smaller on the wire than
+         the text);
+      2. co-group on doc_id → each member row picks up its hash array;
+         the corpus crosses the exchange exactly ONCE, member rows are
          O(candidates) (rare by construction);
-      3. co-group on (doc_a, doc_b) → the two attached texts meet, exact
-         Jaccard, keep >= tau.
+      3. co-group on (doc_a, doc_b) → the two attached arrays meet,
+         exact Jaccard via sorted-array intersection, keep >= tau.
     At 10^12 rows every stage is a key-hash shuffle with per-bucket
     vectorized reduction; nothing scales with corpus size on the driver."""
     def explode(b: pa.Table) -> pa.Table:
@@ -318,40 +337,42 @@ def verify_pairs_distributed(cand, corpus, tau: float = NEAR_DUP_TAU):
             "side": pa.array(["m"] * len(key), pa.string()),
             "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
             "doc_b": pa.array(np.concatenate([bb, bb]), pa.int64()),
-            "text": pa.array([None] * len(key), pa.string()),
+            "sh": pa.array([None] * len(key), pa.list_(pa.uint64())),
         })
 
     def tag_corpus(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        sh = [shingle_hash_array(t or "")
+              for t in b.column("text").to_pylist()]
         return pa.table({
             "key": b.column("doc_id").cast(pa.int64()),
             "side": pa.array(["t"] * n, pa.string()),
             "doc_a": pa.array([None] * n, pa.int64()),
             "doc_b": pa.array([None] * n, pa.int64()),
-            "text": b.column("text"),
+            "sh": pa.array(sh, pa.list_(pa.uint64())),
         })
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         t = df[df["side"] == "t"]
         # a pair surfaced by several bands arrives as identical member
         # rows in the SAME bucket (key = member doc) — dedupe here, before
-        # any text is attached, so duplicate candidates never amplify the
-        # downstream exchange (multiplicity can reach the band count, 32)
+        # any payload is attached, so duplicate candidates never amplify
+        # the downstream exchange (multiplicity can reach the band count)
         m = df[df["side"] == "m"].drop_duplicates(["key", "doc_a", "doc_b"])
         if m.empty:
             return pd.DataFrame({
                 "doc_a": pd.Series(dtype="int64"),
                 "doc_b": pd.Series(dtype="int64"),
                 "member": pd.Series(dtype="int64"),
-                "text": pd.Series(dtype="object"),
+                "sh": pd.Series(dtype="object"),
             })
-        tmap = pd.Series(t["text"].to_numpy(), index=t["key"].to_numpy())
+        tmap = pd.Series(t["sh"].to_numpy(), index=t["key"].to_numpy())
         tmap = tmap[~tmap.index.duplicated()]
         return pd.DataFrame({
             "doc_a": m["doc_a"].astype("int64"),
             "doc_b": m["doc_b"].astype("int64"),
             "member": m["key"].astype("int64"),
-            "text": m["key"].map(tmap),
+            "sh": m["key"].map(tmap),
         })
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -362,11 +383,18 @@ def verify_pairs_distributed(cand, corpus, tau: float = NEAR_DUP_TAU):
         # the co-group brings them together and dict() dedupes — so
         # callers need NO separate dedupe shuffle before verification.
         for (a, bb), g in df.groupby(["doc_a", "doc_b"], sort=False):
-            tx = dict(zip(g["member"], g["text"]))
+            tx = dict(zip(g["member"], g["sh"]))
             ta, tb = tx.get(a), tx.get(bb)
             if ta is None or tb is None:
                 continue
-            j = T.jaccard(T.word_shingles(ta), T.word_shingles(tb))
+            ha = np.asarray(ta, dtype=np.uint64)
+            hb = np.asarray(tb, dtype=np.uint64)
+            if not len(ha) and not len(hb):
+                j = 1.0
+            else:
+                inter = np.intersect1d(ha, hb, assume_unique=True).size
+                union = len(ha) + len(hb) - inter
+                j = inter / union if union else 1.0
             if j >= tau:
                 rows_a.append(int(a)); rows_b.append(int(bb))
                 rows_j.append(round_half_away(j, 6))

@@ -45,6 +45,26 @@ from ..sketches import hash64
 from ..collect import arrow_refs
 
 
+def _key_str(col) -> pa.Array:
+    """Stringified join key as an Arrow string array — vectorized for the
+    common key types (strings pass through; integers via pc.cast, whose
+    decimal form equals Python ``str()``); Python-loop fallback for
+    anything else. Nulls stay null. This is the per-row hot path of every
+    tag stage, so no ``to_pylist`` for string/int keys."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        out = col
+    elif pa.types.is_integer(t):
+        out = pc.cast(col, pa.string())
+    else:
+        out = pa.array([None if k is None else str(k)
+                        for k in col.to_pylist()], pa.string())
+    return (out.combine_chunks() if isinstance(out, pa.ChunkedArray)
+            else out)
+
+
 def broadcast_enrich(ds, sides: list[tuple], defaults: dict | None = None):
     """``sides``: list of (table: pa.Table, left_key, right_key, carry)
     where ``carry`` maps output column → right column. Each side becomes a
@@ -110,9 +130,7 @@ def bucketed_inner_join(left_ds, right_ds, left_key: str, right_key: str,
         def f(b: pa.Table) -> pa.Table:
             n = b.num_rows
             cols = {
-                "__key": pa.array(
-                    [None if k is None else str(k)
-                     for k in b.column(key_col).to_pylist()], pa.string()),
+                "__key": _key_str(b.column(key_col)),
                 "__side": pa.array([side] * n, pa.string()),
             }
             for name, typ in lfields + rfields:
@@ -173,9 +191,7 @@ def bucketed_asof_join(left_ds, right_ds, left_key: str, right_key: str,
         def f(b: pa.Table) -> pa.Table:
             n = b.num_rows
             cols = {
-                "__key": pa.array(
-                    [None if k is None else str(k)
-                     for k in b.column(key_col).to_pylist()], pa.string()),
+                "__key": _key_str(b.column(key_col)),
                 "__side": pa.array([side] * n, pa.string()),
                 "__ts": b.column(ts_col).combine_chunks().cast(ts_type),
             }
@@ -334,9 +350,12 @@ def bloom_anti_join(left_ds, right_ds, left_key: str, right_key: str,
     from ..sketches import BloomFilter, merge_blobs
 
     def bloom_partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         bf = BloomFilter(m_bits, k)
-        bf.add(np.array([str(x) for x in b.column(right_key).to_pylist()],
-                        dtype=object))
+        # fill_null("None") preserves the historical str(None) key form
+        bf.add(pc.fill_null(_key_str(b.column(right_key)), "None")
+               .to_numpy(zero_copy_only=False))
         return pa.table({"blob": pa.array([bf.dumps()], pa.binary())})
 
     blobs = [t.column("blob").to_pylist()
@@ -352,9 +371,11 @@ def bloom_anti_join(left_ds, right_ds, left_key: str, right_key: str,
 
     def split(want_maybe: bool):
         def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             bf = ray.get(bloom_ref)
-            keys = np.array([str(x) for x in b.column(left_key).to_pylist()],
-                            dtype=object)
+            keys = (pc.fill_null(_key_str(b.column(left_key)), "None")
+                    .to_numpy(zero_copy_only=False))
             maybe = bf.contains(keys)
             mask = maybe if want_maybe else ~maybe
             return b.select(left_cols).filter(pa.array(mask))
@@ -364,10 +385,10 @@ def bloom_anti_join(left_ds, right_ds, left_key: str, right_key: str,
 
     def tag(side: str, key_col: str):
         def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             cols = {
-                "__key": pa.array(
-                    [str(x) for x in b.column(key_col).to_pylist()],
-                    pa.string()),
+                "__key": pc.fill_null(_key_str(b.column(key_col)), "None"),
                 "__side": pa.array([side] * b.num_rows, pa.string()),
             }
             for name, typ in out_fields:

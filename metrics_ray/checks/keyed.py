@@ -119,10 +119,8 @@ def cap_group_members(ids: np.ndarray, cap: int,
 def _preagg_key_counts(batch: pa.Table, col: str) -> pa.Table:
     """Per-batch (key, partition, cnt) partial counts (combiner before the
     groupby shuffle, 'Aggregation at scale' pattern)."""
-    df = pd.DataFrame({
-        "key": batch.column(col).to_pylist(),
-        "partition": batch.column("partition").to_numpy(zero_copy_only=False),
-    })
+    df = batch.select([col, "partition"]).to_pandas()
+    df.columns = ["key", "partition"]
     g = df.groupby(["key", "partition"], sort=False).size().reset_index(name="cnt")
     return pa.table({
         "key": pa.array(g["key"].tolist(), pa.string()),

@@ -908,6 +908,59 @@ FROM s GROUP BY transcript HAVING COUNT(DISTINCT clip_id) > 1
 ORDER BY t_key"""
 
 
+# ------------------------------------------- WebDataset tar shard sink
+
+def q_wds_shards(sf_dir: str) -> pa.Table:
+    """WebDataset tar-shard sink (sinks/webdataset.py): the clips table
+    sharded into deterministic ``partition=P/shard-%05d.tar`` training
+    shards cut by a per-shard duration budget; one row per written shard
+    with member count and total duration, read back from the REAL
+    committed ``_SUCCESS`` manifests. The /tmp output is wiped first so
+    every invocation measures a full write, not the resume fast path
+    (resume is crash-tested in tests/test_webdataset.py). The oracle
+    recomputes the shard cut as a pure prefix-scan over (partition,
+    clip_id, dur_ms); tar BYTES (member layout, payload equality,
+    determinism) are golden-tested — payloads are Ray-only."""
+    import os
+    import shutil
+
+    from ..sinks.webdataset import write_webdataset_sf
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/metrics_ray_wds_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    manifest = write_webdataset_sf(sf_dir, out_dir)
+    rows = {"partition": [], "shard_idx": [], "n_members": [],
+            "total_ms": []}
+    for pname in sorted(manifest["partitions"]):
+        for s in manifest["partitions"][pname]["shards"]:
+            rows["partition"].append(int(pname.split("=")[1]))
+            rows["shard_idx"].append(int(s["shard_idx"]))
+            rows["n_members"].append(int(s["n_members"]))
+            rows["total_ms"].append(int(s["total_ms"]))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+
+
+from ..sinks.webdataset import SHARD_MS as _SHARD_MS  # noqa: E402
+
+SQL_WDS_SHARDS = f"""WITH {synth.CLIPS_SQL},
+d AS (
+    SELECT partition, clip_id, dur_ms FROM clips WHERE dur_ms > 0
+),
+s AS (
+    SELECT partition, dur_ms,
+           COALESCE(SUM(dur_ms) OVER (
+               PARTITION BY partition ORDER BY clip_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix_ms
+    FROM d
+)
+SELECT CAST(partition AS BIGINT) AS partition,
+       CAST(prefix_ms // {_SHARD_MS} AS BIGINT) AS shard_idx,
+       COUNT(*) AS n_members, CAST(SUM(dur_ms) AS BIGINT) AS total_ms
+FROM s GROUP BY partition, shard_idx ORDER BY partition, shard_idx"""
+
+
 # ------------------------------------------------ vocabulary coverage (OOV)
 
 OOV_VOCAB_K = 256
@@ -2749,6 +2802,7 @@ VALIDATION_QUERIES = {
     "val_ctc_feasible": (q_ctc_feasible, SQL_CTC_FEASIBLE),
     "val_split_leakage": (q_split_leakage, SQL_SPLIT_LEAKAGE),
     "val_oov_rate": (q_oov_rate, SQL_OOV_RATE),
+    "val_wds_shards": (q_wds_shards, SQL_WDS_SHARDS),
     "val_speaking_rate": (q_speaking_rate, SQL_SPEAKING_RATE),
     "val_batch_buckets": (q_batch_buckets, SQL_BATCH_BUCKETS),
     "val_quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
@@ -2793,7 +2847,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "val_quality_sample", "val_audio_noisemix", "emb_centroids",
     # round-3 session-3 additions
     "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
-    "val_oov_rate",
+    "val_oov_rate", "val_wds_shards",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},

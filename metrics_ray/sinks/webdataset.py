@@ -1,0 +1,200 @@
+"""WebDataset-style tar shard sink for audio clip + transcript pairs.
+
+The standard multimodal training-data layout (tar shards consumed
+sequentially by data loaders): each sample contributes members
+``<clip_id>.bin`` (payload bytes), ``<clip_id>.json`` (metadata) and
+``<clip_id>.txt`` (transcript, omitted for null transcripts — the
+WebDataset missing-member convention); samples are grouped into
+``partition=P/shard-%05d.tar`` files cut by a per-shard DURATION budget.
+Duration is a metadata column, so the shard assignment is a pure
+SQL-mirrorable function of the corpus (``val_wds_shards``'s oracle) —
+payload byte sizes are codec-compressed and data-dependent, so a
+byte-budget cut could not be oracle-verified.
+
+Deterministic bytes: members in clip_id order, zeroed mtimes/owners/modes,
+so a committed shard is byte-identical across runs, workers and batch
+sizes (asserted by tests/test_webdataset.py).
+
+Resumability (the pipelines/curate.py contract): one directory per
+partition, committed atomically with a ``_SUCCESS`` manifest carrying the
+partition's counts and shard list; a re-run skips committed partitions.
+
+Scale shape: shard assignment is the pack_clips prefix scan over
+metadata keys only (O(partition rows) keys on the coordinating thread,
+bounded by shard-layout design exactly like curate's pack map); payload
+bytes move exactly once, from the partition scan into the tar-writer
+task that owns the shard (one groupby exchange keyed by shard index,
+one writer task per shard). Partitions are processed in concurrent
+waves — parallelism across partitions at design scale, across shards
+within one.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import shutil
+import tarfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SHARD_MS = 120_000  # duration budget per tar shard
+
+_WDS_COLUMNS = ("clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                "transcript")
+
+
+def shard_assign(keys: pd.DataFrame, shard_ms: int = SHARD_MS
+                 ) -> pd.DataFrame:
+    """Deterministic shard index per clip within ONE partition: clips in
+    clip_id order, shard = exclusive-prefix-duration // shard_ms (the
+    pack_clips cut). Non-positive durations are excluded (they are the
+    range check's violations, not trainable samples)."""
+    keys = keys[keys["dur_ms"] > 0].sort_values("clip_id", kind="stable")
+    dur = keys["dur_ms"].to_numpy(dtype="int64")
+    prefix = np.cumsum(dur) - dur
+    return pd.DataFrame({
+        "clip_id": keys["clip_id"].to_numpy(),
+        "dur_ms": dur,
+        "shard_idx": prefix // shard_ms,
+    })
+
+
+def _tar_bytes(rows: list[dict]) -> bytes:
+    """One deterministic tar: rows (already one shard) in clip_id order,
+    three members per sample, zeroed metadata."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for r in sorted(rows, key=lambda r: r["clip_id"]):
+            meta = {"clip_id": r["clip_id"], "sr_hz": int(r["sr_hz"]),
+                    "dur_ms": int(r["dur_ms"]), "codec": r["codec"]}
+            members = [(r["clip_id"] + ".bin", r["bytes"] or b""),
+                       (r["clip_id"] + ".json",
+                        json.dumps(meta, sort_keys=True).encode())]
+            if r["transcript"] is not None:
+                members.append((r["clip_id"] + ".txt",
+                                r["transcript"].encode()))
+            for name, payload in members:
+                ti = tarfile.TarInfo(name=name)
+                ti.size = len(payload)
+                ti.mtime = 0
+                ti.uid = ti.gid = 0
+                ti.uname = ti.gname = ""
+                ti.mode = 0o644
+                tf.addfile(ti, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def _write_partition(part_dir: str, out_part_dir: str,
+                     shard_ms: int) -> dict:
+    """Shard one partition's clips into tars; returns its manifest counts.
+    Payload rows are tagged with their shard index via a broadcast
+    assignment map (metadata-only prefix scan), co-grouped by shard, and
+    each shard's writer task emits one tar + one manifest row."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..checks.keyed import grouped_apply
+
+    meta = (rd.read_parquet(part_dir, columns=["clip_id", "dur_ms"])
+            .to_pandas())
+    assign = shard_assign(meta, shard_ms)
+    assign_ref = ray.put((
+        pa.array(assign["clip_id"], pa.string()),
+        pd.Series(assign["shard_idx"].to_numpy(),
+                  index=assign["clip_id"].to_numpy(), dtype="int64")))
+
+    def tag(b: pa.Table) -> pa.Table:
+        keep_keys, shard_map = ray.get(assign_ref)
+        kept = b.filter(pc.is_in(b.column("clip_id"), value_set=keep_keys))
+        ids = pd.Series(kept.column("clip_id").to_pylist())
+        return kept.append_column(
+            "shard_idx", pa.array(ids.map(shard_map).to_numpy(np.int64)))
+
+    tmp_dir = out_part_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    out_schema = pa.schema([
+        ("shard_idx", pa.int64()), ("n_members", pa.int64()),
+        ("total_ms", pa.int64()), ("sha256", pa.string()),
+    ])
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for sid, g in df.groupby("shard_idx", sort=False):
+            blob = _tar_bytes(g.to_dict("records"))
+            path = os.path.join(tmp_dir, f"shard-{int(sid):05d}.tar")
+            with open(path + ".part", "wb") as f:
+                f.write(blob)
+            os.replace(path + ".part", path)
+            outs.append({"shard_idx": int(sid),
+                         "n_members": len(g),
+                         "total_ms": int(g["dur_ms"].sum()),
+                         "sha256": hashlib.sha256(blob).hexdigest()})
+        return pd.DataFrame(outs, columns=[f.name for f in out_schema])
+
+    ds = rd.read_parquet(part_dir, columns=list(_WDS_COLUMNS))
+    manifest_rows = grouped_apply(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        "shard_idx", write_shard, out_schema=out_schema).to_pandas()
+    manifest_rows = manifest_rows.sort_values("shard_idx")
+    counts = {
+        "n_members": int(manifest_rows["n_members"].sum()),
+        "n_shards": int(len(manifest_rows)),
+        "total_ms": int(manifest_rows["total_ms"].sum()),
+        "shards": manifest_rows.to_dict("records"),
+    }
+    # atomic partition commit: tars land under .tmp, the rename IS the
+    # commit point, the _SUCCESS manifest makes the skip decision durable
+    shutil.rmtree(out_part_dir, ignore_errors=True)
+    os.replace(tmp_dir, out_part_dir)
+    with open(os.path.join(out_part_dir, "_SUCCESS"), "w") as f:
+        json.dump(counts, f, sort_keys=True)
+    return counts
+
+
+def write_webdataset_sf(sf_dir: str, out_dir: str,
+                        shard_ms: int = SHARD_MS, replicas: int = 1,
+                        wave_size: int | None = None) -> dict:
+    """Shard the derived clips table into WebDataset tars under
+    ``out_dir/partition=P/``; re-entrant (committed partitions are
+    skipped). Returns the merged manifest."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import harden_fsspec_race
+    from ..pipelines.clips import ensure_clips_hive
+
+    harden_fsspec_race()
+    hive = ensure_clips_hive(sf_dir, replicas=replicas)
+    parts = sorted(d for d in os.listdir(hive) if d.startswith("partition="))
+    os.makedirs(out_dir, exist_ok=True)
+
+    manifest: dict = {"partitions": {}, "resumed_skips": 0}
+    pending: list[str] = []
+    for pname in parts:
+        marker = os.path.join(out_dir, pname, "_SUCCESS")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                manifest["partitions"][pname] = json.load(f)
+            manifest["resumed_skips"] += 1
+        else:
+            pending.append(pname)
+
+    def one(pname: str) -> tuple[str, dict]:
+        return pname, _write_partition(os.path.join(hive, pname),
+                                       os.path.join(out_dir, pname),
+                                       shard_ms)
+
+    if pending:
+        if wave_size is None:
+            wave_size = min(8, len(pending))
+        with ThreadPoolExecutor(max_workers=max(1, wave_size)) as pool:
+            for pname, counts in pool.map(one, pending):
+                manifest["partitions"][pname] = counts
+    return manifest

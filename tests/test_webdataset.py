@@ -1,0 +1,109 @@
+"""WebDataset tar shard sink (sinks/webdataset.py): tar-byte goldens the
+SQL oracle can't reach (payloads are Ray-only), determinism, and the
+partition-commit resume contract."""
+
+import json
+import os
+import shutil
+import tarfile
+
+import pyarrow.parquet as pq
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+OUT = "/tmp/metrics_ray_wds_test"
+
+
+@pytest.fixture(scope="module")
+def manifest(sf_unit):
+    from metrics_ray.sinks.webdataset import write_webdataset_sf
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    return write_webdataset_sf(sf_unit, OUT)
+
+
+def _source_rows(sf_unit):
+    from metrics_ray.pipelines.clips import ensure_clips_parquet
+
+    t = pq.read_table(ensure_clips_parquet(sf_unit))
+    # duplicate clip_ids exist ACROSS partitions (the seeded dup-id family);
+    # within one partition clip_id is unique, so (partition, clip_id) keys
+    return {(r["partition"], r["clip_id"]): r for r in t.to_pylist()}
+
+
+def test_roundtrip_payload_and_transcript(manifest, sf_unit):
+    src = _source_rows(sf_unit)
+    seen = 0
+    for pname, counts in manifest["partitions"].items():
+        part = int(pname.split("=")[1])
+        for s in counts["shards"]:
+            path = os.path.join(OUT, pname,
+                                f"shard-{s['shard_idx']:05d}.tar")
+            with tarfile.open(path) as tf:
+                members = {m.name: tf.extractfile(m).read()
+                           for m in tf.getmembers()}
+            ids = sorted({n.rsplit(".", 1)[0] for n in members})
+            assert len(ids) == s["n_members"]
+            for cid in ids:
+                row = src[(part, cid)]
+                assert members[cid + ".bin"] == (row["bytes"] or b"")
+                meta = json.loads(members[cid + ".json"])
+                assert meta["sr_hz"] == row["sr_hz"]
+                assert meta["dur_ms"] == row["dur_ms"]
+                assert meta["codec"] == row["codec"]
+                if row["transcript"] is None:
+                    assert cid + ".txt" not in members
+                else:
+                    assert members[cid + ".txt"].decode() == row["transcript"]
+                seen += 1
+    # every positive-duration clip landed in exactly one shard
+    expect = sum(1 for r in src.values() if r["dur_ms"] > 0)
+    assert seen == expect
+
+
+def test_shards_are_byte_deterministic(manifest, sf_unit):
+    from metrics_ray.sinks.webdataset import write_webdataset_sf
+
+    out2 = OUT + "_again"
+    shutil.rmtree(out2, ignore_errors=True)
+    m2 = write_webdataset_sf(sf_unit, out2)
+    for pname, counts in manifest["partitions"].items():
+        a = {s["shard_idx"]: s["sha256"] for s in counts["shards"]}
+        b = {s["shard_idx"]: s["sha256"]
+             for s in m2["partitions"][pname]["shards"]}
+        assert a == b, pname
+    shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_resume_skips_committed_partitions(manifest, sf_unit):
+    from metrics_ray.sinks.webdataset import write_webdataset_sf
+
+    parts = sorted(manifest["partitions"])
+    victim, survivor = parts[0], parts[1]
+    os.remove(os.path.join(OUT, victim, "_SUCCESS"))
+    survivor_tar = os.path.join(
+        OUT, survivor,
+        f"shard-{manifest['partitions'][survivor]['shards'][0]['shard_idx']:05d}.tar")
+    mtime_before = os.path.getmtime(survivor_tar)
+
+    m2 = write_webdataset_sf(sf_unit, OUT)
+    assert m2["resumed_skips"] == len(parts) - 1
+    assert os.path.getmtime(survivor_tar) == mtime_before  # untouched
+    assert m2["partitions"][victim] == manifest["partitions"][victim]
+
+
+def test_shard_assignment_matches_prefix_scan(sf_unit):
+    import pandas as pd
+
+    from metrics_ray.sinks.webdataset import SHARD_MS, shard_assign
+
+    keys = pd.DataFrame({
+        "clip_id": ["c", "a", "b", "z", "d"],
+        "dur_ms": [50_000, 80_000, 0, 70_000, -3],
+    })
+    out = shard_assign(keys)
+    # order a(80k) -> c(50k) -> z(70k); cut at 120k: prefixes 0, 80k, 130k
+    assert list(out["clip_id"]) == ["a", "c", "z"]
+    assert list(out["shard_idx"]) == [0, 80_000 // SHARD_MS,
+                                      130_000 // SHARD_MS]

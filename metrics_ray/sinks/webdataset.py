@@ -159,6 +159,67 @@ def _write_partition(part_dir: str, out_part_dir: str,
     return counts
 
 
+def read_webdataset(root: str):
+    """Dataset over a WebDataset directory written by
+    ``write_webdataset_sf``: one untar task per tar shard (shard paths
+    fan out via from_items; a flat map_batches re-assembles each shard's
+    members into clip rows) — shard-parallel and streaming, the standard
+    consumption shape for tar-sharded training data. Missing ``.txt``
+    members yield null transcripts (the sink's null convention)."""
+    import ray.data as rd
+
+    items = []
+    for pname in sorted(os.listdir(root)):
+        pdir = os.path.join(root, pname)
+        # only COMMITTED partitions: a ``partition=<int>`` dir carrying its
+        # _SUCCESS manifest; ``.tmp`` crash leftovers and partials are
+        # invisible to readers (the commit contract)
+        if not (pname.startswith("partition=") and os.path.isdir(pdir)
+                and pname.split("=")[1].isdigit()
+                and os.path.exists(os.path.join(pdir, "_SUCCESS"))):
+            continue
+        part = int(pname.split("=")[1])
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".tar"):
+                items.append({"path": os.path.join(pdir, f),
+                              "partition": part})
+
+    def untar(b: pa.Table) -> pa.Table:
+        rows = {"clip_id": [], "bytes": [], "sr_hz": [], "dur_ms": [],
+                "codec": [], "transcript": [], "partition": []}
+        for path, part in zip(b.column("path").to_pylist(),
+                              b.column("partition").to_pylist()):
+            samples: dict[str, dict] = {}
+            with tarfile.open(path) as tf:
+                for m in tf.getmembers():
+                    cid, ext = m.name.rsplit(".", 1)
+                    samples.setdefault(cid, {})[ext] = \
+                        tf.extractfile(m).read()
+            for cid in sorted(samples):
+                s = samples[cid]
+                meta = json.loads(s["json"])
+                rows["clip_id"].append(cid)
+                rows["bytes"].append(s["bin"])
+                rows["sr_hz"].append(int(meta["sr_hz"]))
+                rows["dur_ms"].append(int(meta["dur_ms"]))
+                rows["codec"].append(meta["codec"])
+                rows["transcript"].append(
+                    s["txt"].decode() if "txt" in s else None)
+                rows["partition"].append(part)
+        return pa.table({
+            "clip_id": pa.array(rows["clip_id"], pa.string()),
+            "bytes": pa.array(rows["bytes"], pa.binary()),
+            "sr_hz": pa.array(rows["sr_hz"], pa.int32()),
+            "dur_ms": pa.array(rows["dur_ms"], pa.int32()),
+            "codec": pa.array(rows["codec"], pa.string()),
+            "transcript": pa.array(rows["transcript"], pa.string()),
+            "partition": pa.array(rows["partition"], pa.int32()),
+        })
+
+    return rd.from_items(items).map_batches(untar, batch_format="pyarrow",
+                                            batch_size=1)
+
+
 def write_webdataset_sf(sf_dir: str, out_dir: str,
                         shard_ms: int = SHARD_MS, replicas: int = 1,
                         wave_size: int | None = None) -> dict:

@@ -107,3 +107,41 @@ def test_shard_assignment_matches_prefix_scan(sf_unit):
     assert list(out["clip_id"]) == ["a", "c", "z"]
     assert list(out["shard_idx"]) == [0, 80_000 // SHARD_MS,
                                       130_000 // SHARD_MS]
+
+
+def test_read_webdataset_roundtrips_the_clips_table(manifest, sf_unit):
+    import ray
+
+    from metrics_ray.sinks.webdataset import read_webdataset
+
+    ds = read_webdataset(OUT)
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    got = {(r["partition"], r["clip_id"]): r
+           for t in tables for r in t.to_pylist()}
+    src = _source_rows(sf_unit)
+    expect = {k: r for k, r in src.items() if r["dur_ms"] > 0}
+    assert set(got) == set(expect)
+    for k, r in expect.items():
+        g = got[k]
+        for col in ("bytes", "sr_hz", "dur_ms", "codec", "transcript"):
+            assert g[col] == r[col], (k, col)
+
+
+def test_read_webdataset_ignores_uncommitted_dirs(manifest):
+    from metrics_ray.sinks.webdataset import read_webdataset
+
+    stale = os.path.join(OUT, "partition=0.tmp")
+    os.makedirs(stale, exist_ok=True)
+    try:
+        n_parts = {r["partition"]
+                   for t in _read_all(read_webdataset(OUT))
+                   for r in t.to_pylist()}
+        assert len(n_parts) == len(manifest["partitions"])
+    finally:
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def _read_all(ds):
+    import ray
+
+    return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]

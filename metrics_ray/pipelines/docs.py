@@ -306,7 +306,10 @@ def shingle_hash_array(text: str) -> np.ndarray:
     sh = T.word_shingles(text)
     if not sh:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(hash64(np.array(sorted(sh), dtype=object))
+    # no pre-sort needed: hash64 is elementwise and np.unique both
+    # dedupes and sorts, so the result is deterministic regardless of
+    # set iteration order
+    return np.unique(hash64(np.array(list(sh), dtype=object))
                      .astype(np.uint64))
 
 

@@ -299,11 +299,15 @@ def q_transcript_mismatch_dist(sf_dir: str) -> pa.Table:
     hashes its transcript to 64 bits (sketches.hash_column, zero-copy
     polars; null hashes to the engine's constant, so hash equality
     mirrors IS NOT DISTINCT FROM), and the exchange carries
-    (clip_id, 8-byte digest) instead of the full transcript on BOTH
-    sides. A missed mismatch needs an exact 64-bit collision on a SINGLE
-    joined pair (p = 2^-64 per row — a per-pair event, not a corpus-wide
-    birthday bound), ~5e-8 expected misses at the 10^12-row design
-    point; measured 4-5x faster than shipping text at sf0.1."""
+    (clip_id, digest) instead of the full transcript on BOTH sides. The
+    digest travels as its DECIMAL STRING, not uint64: the padded join
+    union makes the column nullable, and Arrow→pandas coerces nullable
+    uint64 to float64, which would silently drop the low ~11 bits of
+    every digest (2^-53 miss odds, not 2^-64). As strings the compare is
+    exact: a missed mismatch needs a true 64-bit collision on a SINGLE
+    joined pair (a per-pair event, not a corpus-wide birthday bound),
+    ~5e-8 expected misses at the 10^12-row design point; measured 4-5x
+    faster than shipping text at sf0.1."""
     import ray
 
     from ..sketches import hash_column
@@ -312,9 +316,12 @@ def q_transcript_mismatch_dist(sf_dir: str) -> pa.Table:
 
     def hashed(src_col: str, out_col: str):
         def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             h = hash_column(b.column(src_col))
+            dig = pc.cast(pa.array(h, pa.uint64()), pa.string())
             return pa.table({"clip_id": b.column("clip_id"),
-                             out_col: pa.array(h, pa.uint64())})
+                             out_col: dig})
         return f
 
     left = (_meta_ds(sf_dir).select_columns(["clip_id", "transcript"])
@@ -890,11 +897,16 @@ def q_split_leakage(sf_dir: str) -> pa.Table:
     return t.sort_by("t_key")
 
 
+from .docs import SPLIT_TRAIN_PCT as _SPLIT_TRAIN  # noqa: E402
+from .docs import SPLIT_VAL_PCT as _SPLIT_VAL  # noqa: E402
+
 SQL_SPLIT_LEAKAGE = f"""WITH {synth.CLIPS_SQL},
 s AS (
     SELECT clip_id, transcript,
-           CASE WHEN md5_number_lower(clip_id) % 100 < 90 THEN 'train'
-                WHEN md5_number_lower(clip_id) % 100 < 95 THEN 'val'
+           CASE WHEN md5_number_lower(clip_id) % 100 < {_SPLIT_TRAIN}
+                THEN 'train'
+                WHEN md5_number_lower(clip_id) % 100 < {_SPLIT_VAL}
+                THEN 'val'
                 ELSE 'test' END AS split
     FROM clips
     WHERE transcript IS NOT NULL AND length(transcript) > 0

@@ -19,6 +19,12 @@ Resumability (the pipelines/curate.py contract): one directory per
 partition, committed atomically with a ``_SUCCESS`` manifest carrying the
 partition's counts and shard list; a re-run skips committed partitions.
 
+Filesystem contract: ``out_dir`` must be visible to every node (shared /
+distributed filesystem or object-store mount) — the SAME assumption
+``Dataset.write_parquet`` makes — because shard-writer tasks run on
+workers while the partition commit (directory rename + manifest) runs on
+the coordinating driver thread.
+
 Scale shape: shard assignment is the pack_clips prefix scan over
 metadata keys only (O(partition rows) keys on the coordinating thread,
 bounded by shard-layout design exactly like curate's pack map); payload
@@ -55,6 +61,16 @@ def shard_assign(keys: pd.DataFrame, shard_ms: int = SHARD_MS
     pack_clips cut). Non-positive durations are excluded (they are the
     range check's violations, not trainable samples)."""
     keys = keys[keys["dur_ms"] > 0].sort_values("clip_id", kind="stable")
+    dup = keys["clip_id"].duplicated()
+    if dup.any():
+        # within-partition clip_id uniqueness is the layout invariant this
+        # sink (member names, assignment map) is built on — the same
+        # invariant clipid_unique_exact validates. Fail loudly instead of
+        # colliding tar member names / crashing in pandas map.
+        raise ValueError(
+            "duplicate clip_id within a partition "
+            f"(e.g. {keys.loc[dup, 'clip_id'].iloc[0]!r}); run the "
+            "key-uniqueness check / dedup before sharding")
     dur = keys["dur_ms"].to_numpy(dtype="int64")
     prefix = np.cumsum(dur) - dur
     return pd.DataFrame({

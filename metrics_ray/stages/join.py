@@ -54,9 +54,11 @@ def _key_str(col) -> pa.Array:
     import pyarrow.compute as pc
 
     t = col.type
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
+    if pa.types.is_string(t):
         out = col
-    elif pa.types.is_integer(t):
+    elif pa.types.is_integer(t) or pa.types.is_large_string(t):
+        # large_string is cast down so BOTH join sides always emit the
+        # same pa.string() __key type (the union's schema must unify)
         out = pc.cast(col, pa.string())
     else:
         out = pa.array([None if k is None else str(k)

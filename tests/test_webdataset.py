@@ -145,3 +145,14 @@ def _read_all(ds):
     import ray
 
     return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+
+
+def test_shard_assign_rejects_duplicate_ids():
+    import pandas as pd
+
+    from metrics_ray.sinks.webdataset import shard_assign
+
+    keys = pd.DataFrame({"clip_id": ["a", "a", "b"],
+                         "dur_ms": [100, 200, 300]})
+    with pytest.raises(ValueError, match="duplicate clip_id"):
+        shard_assign(keys)

@@ -334,7 +334,14 @@ def sample_matrix(ds, rate_inv: int = 4, seed: int = 0x1F3D) -> np.ndarray:
     tables = [t for t in
               ray.get(arrow_refs(ds.map_batches(samp, batch_format="pyarrow")
                       )) if t.num_rows]
-    M = _emb_matrix(pa.concat_tables(tables))
+    t = pa.concat_tables(tables)
+    # canonical vec_id order: block arrival order varies with the worker
+    # count/layout, and downstream k-means (seeded init from row
+    # positions, per-cell float sums) is order-sensitive — sorting makes
+    # the trained centroids partition-invariant
+    order = np.argsort(
+        t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64))
+    M = _emb_matrix(t)[order]
     return M / np.linalg.norm(M, axis=1, keepdims=True)
 
 

@@ -346,3 +346,51 @@ def test_hash_column_chunk_layout_invariant(vals, n_chunks):
     sl = tbl.slice(len(vals) // 2)
     h4 = hash_column(sl.column("k"))
     assert np.array_equal(h4, h1[len(vals) // 2:])
+
+
+@given(st.lists(st.tuples(st.integers(0, 10**6),
+                          st.integers(-100, 400_000)),
+                min_size=0, max_size=200))
+@settings(**_SETTINGS)
+def test_shard_assign_covers_each_positive_row_once(rows):
+    """WebDataset shard assignment (sinks/webdataset.py): every
+    positive-duration clip lands in exactly one shard; shard indices are
+    non-decreasing along clip_id order starting at 0; a shard's duration
+    never exceeds the budget plus one clip (the prefix-cut guarantee)."""
+    import pandas as pd
+
+    from metrics_ray.sinks.webdataset import SHARD_MS, shard_assign
+
+    keys = pd.DataFrame({
+        "clip_id": [f"c{k:07d}" for k, _ in rows],
+        "dur_ms": [d for _, d in rows],
+    }).drop_duplicates("clip_id")
+    out = shard_assign(keys)
+    positive = keys[keys["dur_ms"] > 0]
+    assert len(out) == len(positive)
+    assert set(out["clip_id"]) == set(positive["clip_id"])
+    if len(out):
+        s = out["shard_idx"].to_numpy()
+        assert s[0] == 0
+        assert (np.diff(s) >= 0).all()
+        g = out.groupby("shard_idx")["dur_ms"]
+        assert (g.sum() <= SHARD_MS + g.last()).all()
+
+
+@given(st.integers(1, 48_000), st.integers(1, 3_000))
+@settings(**_SETTINGS)
+def test_timemask_geometry_bounds(sr, dur_ms):
+    """TimeMask placement (stages/audio_ops.py): for any (sr, dur) the
+    mask is a valid in-bounds span of the clamped length — the exact
+    integers the SQL oracle recomputes."""
+    from metrics_ray import audio
+    from metrics_ray.sketches import md5_lower64
+    from metrics_ray.stages.audio_ops import MASK_PCT
+
+    n = audio.n_samples_for(sr, dur_ms)
+    if n <= 0:
+        return
+    mlen = min(max(1, n * MASK_PCT // 100), n)
+    start = int(md5_lower64(["x#mask"])[0] % np.uint64(n - mlen + 1))
+    assert 1 <= mlen <= n
+    assert 0 <= start <= n - mlen

@@ -90,7 +90,10 @@ def grouped_apply(ds, key, fn, n_buckets: int | None = None,
         return out
 
     return (ds.map_batches(tag, batch_format="pyarrow")
-            .groupby("__bucket", num_partitions=shuffle_blocks())
+            # never more sort partitions than distinct bucket keys — a
+            # caller-shrunk B otherwise pays for empty reduce partitions
+            .groupby("__bucket", num_partitions=min(int(B),
+                                                    shuffle_blocks()))
             .map_groups(apply, batch_format="pyarrow"))
 
 

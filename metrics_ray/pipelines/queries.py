@@ -2840,9 +2840,11 @@ VALIDATION_QUERIES = {
 # queries should be inserted into this priority list.
 _DRIVER_UNVERIFIED_FIRST = [
     "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",
-    # upgraded from rows-only to oracle-backed in round 3 — re-verify with
-    # the hash compare, not just the rows-only check they got in r02
-    "val_curation", "val_audio_neardup",
+    # round-3 session-3 additions — never driver-run; ahead of the two
+    # re-verification upgrades (moved to the list tail) so a 50-entry
+    # gate reaches every never-verified oracle first
+    "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
+    "val_oov_rate", "val_wds_shards",
     "doc_license", "doc_dup_clusters", "doc_top_tokens",
     "doc_top_tokens_approx", "doc_tfidf_top_term", "doc_mix", "doc_chunking",
     "doc_normalize", "doc_postings", "doc_pii", "doc_repetition",
@@ -2857,9 +2859,10 @@ _DRIVER_UNVERIFIED_FIRST = [
     # round-3 session-2 additions — never driver-verified by definition
     "val_audio_speed", "val_speaking_rate", "val_batch_buckets",
     "val_quality_sample", "val_audio_noisemix", "emb_centroids",
-    # round-3 session-3 additions
-    "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
-    "val_oov_rate", "val_wds_shards",
+    # upgraded from rows-only to oracle-backed in round 3 — re-verify with
+    # the hash compare; they already carry r02 rows-only green rows, so
+    # they rank below every never-verified oracle
+    "val_curation", "val_audio_neardup",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},

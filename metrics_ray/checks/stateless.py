@@ -119,6 +119,94 @@ class RegexCheck(BatchCheck):
                              self.pattern)
 
 
+class SpeakingRateCheck(BatchCheck):
+    """Transcript/audio alignment sanity — chars-per-second joint gate
+    (the ASR analog of the reference's joint-coherence family,
+    MisusedOwlDatatypeOrObjectProperties-style cross-column semantics):
+    rows with a real transcript and positive duration whose
+    len(transcript)·1000/dur_ms falls outside [lo, hi] violate. Null /
+    empty transcripts and non-positive durations are the non-null and
+    range checks' problems, not this one's. Row-local Arrow kernels."""
+
+    def __init__(self, check_id: str = "speaking_rate",
+                 lo: float | None = None, hi: float | None = None):
+        from ..schema import SPEAK_RATE_HI, SPEAK_RATE_LO
+
+        self.check_id = check_id
+        self.lo = SPEAK_RATE_LO if lo is None else float(lo)
+        self.hi = SPEAK_RATE_HI if hi is None else float(hi)
+        self.columns = ("transcript", "dur_ms", "clip_id", "partition")
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        tr = batch.column("transcript")
+        n_chars = pc.utf8_length(pc.fill_null(tr, "")).cast(pa.float64())
+        dur = batch.column("dur_ms").cast(pa.float64())
+        eligible = pc.and_(
+            pc.and_(pc.is_valid(tr), pc.greater(n_chars, 0.0)),
+            pc.greater(batch.column("dur_ms"), 0))
+        rate = pc.divide(pc.multiply(n_chars, 1000.0), dur)
+        bad = pc.and_(eligible, pc.or_(pc.less(rate, self.lo),
+                                       pc.greater(rate, self.hi)))
+        mask = pc.fill_null(bad, False).to_numpy(
+            zero_copy_only=False).astype(bool)
+        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        counters = per_partition_counts(part, mask)
+        viol = None
+        if mask.any():
+            idx = np.nonzero(mask)[0]
+            r = rate.to_numpy(zero_copy_only=False)[idx]
+            viol = violations_table(
+                part[idx],
+                batch.column("clip_id").take(pa.array(idx)).to_pylist(),
+                Codes.SPEAKING_RATE,
+                [f"{v:.1f} chars/s" for v in r],
+                f"[{self.lo}, {self.hi}] chars/s")
+        return BatchOutcome(violations=viol, counters=counters)
+
+
+class CtcFeasibilityCheck(BatchCheck):
+    """CTC-alignability gate: a CTC loss over T feature frames can emit
+    at most (T+1)//2 labels, so a clip whose 10 ms frame budget
+    (dur_ms // hop) is below 2·tokens − 1 can NEVER align its transcript
+    — a harder failure than an implausible speaking rate. Tokens via the
+    corpus-standard re2 ``\\S+`` count. Row-local Arrow kernels."""
+
+    def __init__(self, check_id: str = "ctc_feasible",
+                 hop_ms: int | None = None):
+        from ..schema import CTC_HOP_MS
+
+        self.check_id = check_id
+        self.hop_ms = CTC_HOP_MS if hop_ms is None else int(hop_ms)
+        self.columns = ("transcript", "dur_ms", "clip_id", "partition")
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        tr = batch.column("transcript")
+        toks = pc.count_substring_regex(
+            pc.fill_null(tr, ""), r"\S+").cast(pa.int64())
+        dur = batch.column("dur_ms").cast(pa.int64())
+        frames = pc.divide(dur, self.hop_ms)  # int/int => floor division
+        bad = pc.and_(
+            pc.and_(pc.is_valid(tr), pc.greater(dur, 0)),
+            pc.and_(pc.greater(toks, 0),
+                    pc.less(frames, pc.subtract(pc.multiply(toks, 2), 1))))
+        mask = pc.fill_null(bad, False).to_numpy(
+            zero_copy_only=False).astype(bool)
+        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        counters = per_partition_counts(part, mask)
+        viol = None
+        if mask.any():
+            idx = np.nonzero(mask)[0]
+            f = frames.to_numpy(zero_copy_only=False)[idx]
+            t = toks.to_numpy(zero_copy_only=False)[idx]
+            viol = violations_table(
+                part[idx],
+                batch.column("clip_id").take(pa.array(idx)).to_pylist(),
+                Codes.CTC_INFEASIBLE,
+                [f"{fi} frames < 2*{ti}-1" for fi, ti in zip(f, t)],
+                "frames >= 2*tokens-1")
+        return BatchOutcome(violations=viol, counters=counters)
+
+
 class OwnershipCheck(BatchCheck):
     """Partition-authority predicate — the OntologyHijacking analog
     (OntologyHijacking.java:143-155: a document must not redefine terms

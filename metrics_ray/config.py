@@ -34,9 +34,11 @@ from .checks.sketch_checks import (
 )
 from .checks.stateless import (
     CrossColumnCheck,
+    CtcFeasibilityCheck,
     EnumCheck,
     NonNullCheck,
     OwnershipCheck,
+    SpeakingRateCheck,
     RangeCheck,
     RegexCheck,
     SchemaCheck,
@@ -76,6 +78,9 @@ CHECK_REGISTRY = {
     "ownership": lambda c: OwnershipCheck(
         c["id"], c.get("n_partitions", 8), c.get("id_re")),
     "cross": _build_cross,
+    "speaking_rate": lambda c: SpeakingRateCheck(
+        c["id"], c.get("lo"), c.get("hi")),
+    "ctc": lambda c: CtcFeasibilityCheck(c["id"], c.get("hop_ms")),
     "hll_distinct": lambda c: DistinctHLLCheck(
         c["id"], c["column"], c.get("tolerance", 0.02)),
     "quantile_profile": lambda c: QuantileProfileCheck(c["id"], c["column"]),

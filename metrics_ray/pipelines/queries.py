@@ -560,8 +560,7 @@ FROM clips GROUP BY partition ORDER BY partition"""
 
 # ------------------------------------------- transcript/audio joint quality
 
-SPEAK_RATE_LO = 80.0    # chars/sec below which alignment is implausible
-SPEAK_RATE_HI = 1500.0  # and above which the transcript can't be speech
+from ..schema import SPEAK_RATE_HI, SPEAK_RATE_LO  # noqa: E402
 
 
 def q_speaking_rate(sf_dir: str) -> pa.Table:
@@ -777,7 +776,7 @@ ORDER BY clip_id, tier"""
 
 # ------------------------------------------------- CTC alignability gate
 
-CTC_HOP_MS = 10  # standard 10 ms feature hop => frames = dur_ms // 10
+from ..schema import CTC_HOP_MS  # noqa: E402  (10 ms hop => frames = dur_ms // 10)
 
 
 def q_ctc_feasible(sf_dir: str) -> pa.Table:
@@ -1117,6 +1116,20 @@ counts AS (
   SELECT 'cross_kind', COUNT(*),
          SUM(CASE WHEN (dur_ms > 0 AND NOT (sr_hz > 0))
                     OR (codec = '' AND NOT (transcript IS NULL OR transcript = ''))
+                  THEN 1 ELSE 0 END) FROM clips
+  UNION ALL
+  SELECT 'speaking_rate', COUNT(*),
+         SUM(CASE WHEN transcript IS NOT NULL AND length(transcript) > 0
+                   AND dur_ms > 0
+                   AND (length(transcript) * 1000.0 / dur_ms < {SPEAK_RATE_LO}
+                        OR length(transcript) * 1000.0 / dur_ms > {SPEAK_RATE_HI})
+                  THEN 1 ELSE 0 END) FROM clips
+  UNION ALL
+  SELECT 'ctc_feasible', COUNT(*),
+         SUM(CASE WHEN transcript IS NOT NULL AND dur_ms > 0
+                   AND len(regexp_extract_all(transcript, '\\S+')) > 0
+                   AND dur_ms // {CTC_HOP_MS}
+                       < 2 * len(regexp_extract_all(transcript, '\\S+')) - 1
                   THEN 1 ELSE 0 END) FROM clips
 )
 SELECT check_id, CAST(rows_scanned AS BIGINT) AS rows_scanned,

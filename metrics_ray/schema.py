@@ -73,6 +73,8 @@ class Codes:
     LANG_MISMATCH = "LangMismatch"
     WRONG_PARTITION = "WrongPartition"
     KIND_MISMATCH = "KindMismatch"
+    SPEAKING_RATE = "SpeakingRate"
+    CTC_INFEASIBLE = "CtcInfeasible"
 
 
 # Declared validity domains (the engine's "vocabulary", VocabularyLoader analog —
@@ -82,6 +84,11 @@ VALID_CODECS = ("pcm_s16le", "flac", "mp3", "opus")
 DEPRECATED_CODECS = ("gsm", "amr", "g722")
 MIN_DUR_MS = 1
 MAX_DUR_MS = 30_000
+# transcript/audio joint-quality domains (chars-per-second plausibility;
+# CTC frame budget at the standard 10 ms feature hop)
+SPEAK_RATE_LO = 80.0
+SPEAK_RATE_HI = 1500.0
+CTC_HOP_MS = 10
 CLIP_ID_RE = r"^clip-[0-9]{8}$"
 SNR_THRESHOLD_DB = 30.0
 

@@ -22,9 +22,11 @@ from .checks.sketch_checks import (
 )
 from .checks.stateless import (
     CrossColumnCheck,
+    CtcFeasibilityCheck,
     EnumCheck,
     NonNullCheck,
     OwnershipCheck,
+    SpeakingRateCheck,
     RangeCheck,
     RegexCheck,
     SchemaCheck,
@@ -64,6 +66,8 @@ def metadata_checks() -> list[BatchCheck]:
         RegexCheck("clipid_format", "clip_id", CLIP_ID_RE),
         OwnershipCheck("partition_ownership"),
         CrossColumnCheck("cross_kind", CROSS_RULES),
+        SpeakingRateCheck("speaking_rate"),
+        CtcFeasibilityCheck("ctc_feasible"),
     ]
 
 

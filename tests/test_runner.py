@@ -318,3 +318,19 @@ def test_unfused_keyed_path_matches_fused(report, sf_unit):
     f = report.verdicts.to_pandas().set_index("partition")["passed"]
     u = unfused.verdicts.to_pandas().set_index("partition")["passed"]
     assert u.to_dict() == f.to_dict()
+
+
+def test_speaking_rate_and_ctc_checks_match_their_queries(report, sf_unit):
+    """The two joint-quality suite checks (speaking_rate, ctc_feasible)
+    flag exactly the rows their standalone oracle-backed queries return —
+    the suite path and the driver-query path share semantics."""
+    from metrics_ray.pipelines.queries import q_ctc_feasible, q_speaking_rate
+
+    df = report.violations.to_pandas()
+    got_sr = sorted(df[df.check_id == "speaking_rate"].clip_id)
+    got_ctc = sorted(df[df.check_id == "ctc_feasible"].clip_id)
+    assert got_sr == sorted(
+        q_speaking_rate(sf_unit).column("clip_id").to_pylist())
+    assert got_ctc == sorted(
+        q_ctc_feasible(sf_unit).column("clip_id").to_pylist())
+    assert got_sr and got_ctc  # fixture seeds both families

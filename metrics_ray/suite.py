@@ -75,6 +75,8 @@ def sketch_checks() -> list[BatchCheck]:
     return [
         DistinctHLLCheck("clipid_unique_hll", "clip_id"),
         QuantileProfileCheck("dur_profile", "dur_ms"),
+        # the north star names BOTH dur_ms and sr_hz t-digest profiles
+        QuantileProfileCheck("sr_profile", "sr_hz"),
         ReservoirQuantileCheck("dur_reservoir", "dur_ms"),
         DriftCheck("dur_drift_psi", "dur_ms"),
     ]

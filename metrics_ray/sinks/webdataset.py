@@ -236,6 +236,78 @@ def read_webdataset(root: str):
                                             batch_size=1)
 
 
+def verify_webdataset(root: str):
+    """Integrity audit of a WebDataset directory against its committed
+    manifests (the pre-training check that catches partial copies,
+    truncated tars and bit-rot): one Ray task per manifest shard entry
+    re-hashes the tar and compares sha256 + member count. Returns a
+    Dataset of (partition, shard_idx, ok, reason) — shard-parallel, no
+    payload leaves the hashing task. Missing tars and tars on disk that
+    the manifest doesn't list are both violations."""
+    import ray.data as rd
+
+    items = []
+    for pname in sorted(os.listdir(root)):
+        pdir = os.path.join(root, pname)
+        marker = os.path.join(pdir, "_SUCCESS")
+        if not (pname.startswith("partition=") and os.path.isdir(pdir)
+                and pname.split("=")[1].isdigit()
+                and os.path.exists(marker)):
+            continue
+        part = int(pname.split("=")[1])
+        with open(marker) as f:
+            counts = json.load(f)
+        listed = set()
+        for s in counts["shards"]:
+            listed.add(int(s["shard_idx"]))
+            items.append({"partition": part, "shard_idx": int(s["shard_idx"]),
+                          "path": os.path.join(
+                              pdir, f"shard-{int(s['shard_idx']):05d}.tar"),
+                          "sha256": s["sha256"],
+                          "n_members": int(s["n_members"])})
+        for f_ in os.listdir(pdir):
+            if f_.endswith(".tar"):
+                sid = int(f_[len("shard-"):-len(".tar")])
+                if sid not in listed:
+                    items.append({"partition": part, "shard_idx": sid,
+                                  "path": os.path.join(pdir, f_),
+                                  "sha256": None, "n_members": -1})
+
+    def audit(b: pa.Table) -> pa.Table:
+        rows = {"partition": [], "shard_idx": [], "ok": [], "reason": []}
+        for r in b.to_pylist():
+            ok, reason = True, ""
+            if r["sha256"] is None:
+                ok, reason = False, "unlisted tar on disk"
+            elif not os.path.exists(r["path"]):
+                ok, reason = False, "missing tar"
+            else:
+                with open(r["path"], "rb") as f:
+                    blob = f.read()
+                if hashlib.sha256(blob).hexdigest() != r["sha256"]:
+                    ok, reason = False, "sha256 mismatch"
+                else:
+                    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+                        n = len({m.name.rsplit(".", 1)[0]
+                                 for m in tf.getmembers()})
+                    if n != r["n_members"]:
+                        ok, reason = False, (f"member count {n} != "
+                                             f"{r['n_members']}")
+            rows["partition"].append(r["partition"])
+            rows["shard_idx"].append(r["shard_idx"])
+            rows["ok"].append(ok)
+            rows["reason"].append(reason)
+        return pa.table({
+            "partition": pa.array(rows["partition"], pa.int64()),
+            "shard_idx": pa.array(rows["shard_idx"], pa.int64()),
+            "ok": pa.array(rows["ok"], pa.bool_()),
+            "reason": pa.array(rows["reason"], pa.string()),
+        })
+
+    return rd.from_items(items).map_batches(audit, batch_format="pyarrow",
+                                            batch_size=1)
+
+
 def write_webdataset_sf(sf_dir: str, out_dir: str,
                         shard_ms: int = SHARD_MS, replicas: int = 1,
                         wave_size: int | None = None) -> dict:

@@ -156,3 +156,44 @@ def test_shard_assign_rejects_duplicate_ids():
                          "dur_ms": [100, 200, 300]})
     with pytest.raises(ValueError, match="duplicate clip_id"):
         shard_assign(keys)
+
+
+def test_verify_webdataset_flags_corruption_and_unlisted(manifest):
+    import ray
+
+    from metrics_ray.sinks.webdataset import verify_webdataset
+
+    def results():
+        return {(r["partition"], r["shard_idx"]): r
+                for t in [t for t in ray.get(
+                    verify_webdataset(OUT).to_arrow_refs()) if t.num_rows]
+                for r in t.to_pylist()}
+
+    clean = results()
+    assert clean and all(r["ok"] for r in clean.values())
+
+    # corrupt one committed tar: flagged as sha256 mismatch, others clean
+    parts = sorted(manifest["partitions"])
+    victim = parts[0]
+    part = int(victim.split("=")[1])
+    sid = manifest["partitions"][victim]["shards"][0]["shard_idx"]
+    path = os.path.join(OUT, victim, f"shard-{sid:05d}.tar")
+    orig = open(path, "rb").read()
+    try:
+        with open(path, "r+b") as f:
+            f.seek(0)
+            f.write(b"\x00" * 8)
+        stale = os.path.join(OUT, victim, "shard-09999.tar")
+        with open(stale, "wb") as f:
+            f.write(b"junk")
+        got = results()
+        assert got[(part, sid)]["ok"] is False
+        assert got[(part, sid)]["reason"] == "sha256 mismatch"
+        assert got[(part, 9999)]["reason"] == "unlisted tar on disk"
+        others = [r for k, r in got.items()
+                  if k not in {(part, sid), (part, 9999)}]
+        assert all(r["ok"] for r in others)
+    finally:
+        with open(path, "wb") as f:
+            f.write(orig)
+        os.remove(stale)

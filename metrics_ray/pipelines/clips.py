@@ -245,10 +245,11 @@ def staged_factory(parquet_dir: str):
     """Materialize the clip table into the Ray object store once and serve
     column selections from it (the in-memory input for scaling runs).
 
-    The materialized blocks are re-wrapped via ``from_arrow_refs`` to BREAK
-    LINEAGE: transforms on a MaterializedDataset re-plan from the original
-    source (re-reading parquet), while a from_arrow_refs dataset always
-    starts from the in-store blocks."""
+    The materialized blocks are re-wrapped via ``from_arrow_refs`` so
+    every derived dataset provably starts from the in-store blocks
+    independent of Ray's MaterializedDataset re-planning behavior (the
+    pinned 2.49.2 already rebases materialize() on InputData; the wrap
+    guards the scaling-bench contract against version drift)."""
     import ray
     import ray.data as rd
 

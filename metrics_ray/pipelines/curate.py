@@ -257,8 +257,10 @@ def _curate_partition(part_dir: str, out_part_dir: str, drop_ids: set,
     n_input = _partition_rows(part_dir)
     staged = ds.map_batches(stage, batch_format="pyarrow", batch_size=128)
     # partition-scoped materialization (bounded by shard size by design);
-    # re-wrap via from_arrow_refs so downstream transforms don't re-execute
-    # lineage (Ray 2.49 re-plans MaterializedDataset from the source)
+    # the from_arrow_refs re-wrap pins downstream transforms to the
+    # in-store blocks regardless of how future Ray versions re-plan a
+    # MaterializedDataset (in the pinned 2.49.2 materialize() already
+    # rebases on InputData, so this is belt-and-suspenders, not a fix)
     mat = rd.from_arrow_refs(staged.materialize().to_arrow_refs())
     counts, kept_keys = _stats_and_kept_keys(mat)
 
@@ -321,6 +323,24 @@ def _curate_partition(part_dir: str, out_part_dir: str, drop_ids: set,
     }
 
 
+def _load_drop_sets(drop_dir: str) -> dict[int, set]:
+    """Per-partition dedup drop sets from the committed drop list. A
+    duplicate-free corpus writes ZERO parquet files (Ray skips all-empty
+    blocks), so the read must tolerate an empty committed directory —
+    otherwise every resume wedges on the same ArrowInvalid forever."""
+    import glob
+
+    files = glob.glob(os.path.join(drop_dir, "*.parquet"))
+    drop_sets: dict[int, set] = {}
+    if not files:
+        return drop_sets
+    drop_tbl = pq.read_table(files, columns=["partition", "clip_id"])
+    for p, cid in zip(drop_tbl.column("partition").to_pylist(),
+                      drop_tbl.column("clip_id").to_pylist()):
+        drop_sets.setdefault(int(p), set()).add(cid)
+    return drop_sets
+
+
 def curate_sf(sf_dir: str, out_dir: str, replicas: int = 1,
               target_sr: int = TARGET_SR, pack_cap_ms: int | None = None,
               min_speech: float = MIN_SPEECH_RATIO,
@@ -345,6 +365,27 @@ def curate_sf(sf_dir: str, out_dir: str, replicas: int = 1,
     parts = sorted(d for d in os.listdir(hive) if d.startswith("partition="))
     os.makedirs(out_dir, exist_ok=True)
 
+    # config fingerprint: a resume against the same out_dir with DIFFERENT
+    # curation parameters would silently reuse committed partitions (and
+    # the stale drop list) under the old parameters — refuse instead, the
+    # state/checkpoint.py contract
+    config = {"target_sr": int(target_sr), "pack_cap_ms": int(pack_cap_ms),
+              "min_speech": float(min_speech),
+              "max_clipping": float(max_clipping),
+              "replicas": int(replicas), "sf_dir": os.path.abspath(sf_dir)}
+    cfg_path = os.path.join(out_dir, "_CONFIG.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            prev = json.load(f)
+        if prev != config:
+            raise ValueError(
+                f"curate_sf resume config mismatch for {out_dir!r}: "
+                f"committed {prev} vs requested {config}; use a fresh "
+                "output dir (or delete this one) to change parameters")
+    else:
+        with open(cfg_path, "w") as f:
+            json.dump(config, f, sort_keys=True)
+
     # phase 1: global dedup decisions (skipped when already committed).
     # The drop list is O(duplicate rows) — tiny relative to the corpus —
     # so it is written FLAT (partition kept as a data column): Ray's
@@ -364,11 +405,7 @@ def curate_sf(sf_dir: str, out_dir: str, replicas: int = 1,
         with open(drop_done, "w") as f:
             f.write("ok")
 
-    drop_tbl = pq.read_table(drop_dir, columns=["partition", "clip_id"])
-    drop_sets: dict[int, set] = {}
-    for p, cid in zip(drop_tbl.column("partition").to_pylist(),
-                      drop_tbl.column("clip_id").to_pylist()):
-        drop_sets.setdefault(int(p), set()).add(cid)
+    drop_sets = _load_drop_sets(drop_dir)
 
     def drop_ids_for(pname: str) -> set:
         return drop_sets.get(int(pname.split("=")[1]), set())

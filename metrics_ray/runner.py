@@ -149,8 +149,12 @@ class SuiteExecutor:
                     "payload": pa.array([None] * n_k, pa.binary()),
                 }))
             parts = list(o.counters.keys())
+            if o.partials:
+                # a per-partition blob with no counter row must still ship:
+                # count 0/0 for partitions only the sketch saw
+                parts += [p for p in o.partials if p not in o.counters]
             n_p = len(parts)
-            if n_p or o.partial is not None or o.partials:
+            if n_p or o.partial is not None:
                 payloads: list[bytes | None] = [None] * n_p
                 if o.partials:
                     payloads = [o.partials.get(p) for p in parts]
@@ -159,6 +163,7 @@ class SuiteExecutor:
                         parts, payloads = [-1], [None]
                         n_p = 1
                     payloads[0] = o.partial  # one sketch blob per batch
+                counts = [o.counters.get(p, (0, 0)) for p in parts]
                 out.append(pa.table({
                     "kind": pa.array(["p"] * n_p),
                     "check_id": pa.array([check.check_id] * n_p),
@@ -169,9 +174,9 @@ class SuiteExecutor:
                     "expected": pa.array([None] * n_p, pa.string()),
                     "detail": pa.array([None] * n_p, pa.string()),
                     "scanned": pa.array(
-                        [o.counters[p][0] for p in parts], pa.int64()),
+                        [c[0] for c in counts], pa.int64()),
                     "violating": pa.array(
-                        [o.counters[p][1] for p in parts], pa.int64()),
+                        [c[1] for c in counts], pa.int64()),
                     "payload": pa.array(payloads, pa.binary()),
                 }))
         if self.breaker is not None and batch_violations:
@@ -548,8 +553,7 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
     # their tasks; per-pipeline fixed costs (stage startup, scheduling,
     # driver-side collection) overlap instead of stacking — this is what
     # keeps scaling efficiency high when each individual pipeline is short.
-    keyed_schema = pa.schema([f for f in VIOLATION_SCHEMA
-                              if f.name != "check_id"])
+    from .checks.keyed import KEYED_VIOLATION_SCHEMA as keyed_schema
 
     keyed_wall: dict[str, float] = {}
 
@@ -659,7 +663,12 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
             bad = dict(zip(uniq.tolist(), cnt.tolist()))
         else:
             bad = {}
-        for p in sorted(set(counters["partition"])):
+        # real data partitions only — the circuit breaker's synthetic
+        # partition=-1 counter row must not spawn keyed metric rows (it
+        # would collide with the global -1 row above)
+        for p in sorted(set(
+                counters.loc[counters.check_id != "__circuit__",
+                             "partition"])):
             nv = int(bad.get(p, 0))
             sc = int(counters[(counters.check_id == checks[0].check_id) &
                               (counters.partition == p)]["scanned"].sum()) if checks else 0

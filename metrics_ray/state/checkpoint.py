@@ -101,6 +101,13 @@ class CheckpointStore:
             json.dump(rec, f)
         os.replace(tmp, self.partition_path(p))
 
+    def load_partition_meta(self, p: int) -> dict[str, Any]:
+        """The pN.json record alone — lineage/counters/wall, WITHOUT
+        reading the violations parquet (cheap enough to call for every
+        completed partition during resume validation)."""
+        with open(self.partition_path(p)) as f:
+            return json.load(f)
+
     def load_partition(self, p: int) -> tuple[pd.DataFrame,
                                               dict[str, list[bytes]],
                                               pa.Table, dict[str, Any]]:
@@ -178,6 +185,16 @@ def checkpointed_validate(
 
     parts = partition_dirs(parquet_dir)
     done = set(manifest["completed"])
+    # lineage staleness: a "completed" partition whose CURRENT file list
+    # differs from the checkpointed lineage (files added/replaced since
+    # the crash) must be re-validated, not silently served from stale
+    # counters — this is what save_partition persists the lineage FOR
+    stale = [p for p in sorted(done) if p in parts
+             and store.load_partition_meta(p)["lineage"] != parts[p]]
+    if stale:
+        done -= set(stale)
+        manifest["completed"] = [p for p in manifest["completed"]
+                                 if p not in set(stale)]
     todo = [p for p in sorted(parts) if p not in done]
 
     waves = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
@@ -212,8 +229,9 @@ def checkpointed_validate(
 
     # ---- re-merge everything from the checkpoint ------------------------
     all_counters, all_partials, all_viol = [], {}, []
+    recs: dict[int, dict] = {}
     for p in sorted(parts):
-        counters, partials, violations, _rec = store.load_partition(p)
+        counters, partials, violations, recs[p] = store.load_partition(p)
         all_counters.append(counters)
         for cid, blobs in partials.items():
             all_partials.setdefault(cid, []).extend((p, b) for b in blobs)
@@ -243,8 +261,7 @@ def checkpointed_validate(
                         _cast_partition, batch_format="pyarrow",
                         zero_copy_batch=True)
 
-            keyed_schema = pa.schema(
-                [f for f in VIOLATION_SCHEMA if f.name != "check_id"])
+            from ..checks.keyed import KEYED_VIOLATION_SCHEMA as keyed_schema
             tables = [t.cast(keyed_schema)
                       for t in ray.get(arrow_refs(fn(factory)))
                       if t.num_rows]
@@ -279,8 +296,7 @@ def checkpointed_validate(
         "n_violations": int(viol.num_rows),
         "n_checks": len(checks) + len(keyed or {}),
         "checkpoint_dir": checkpoint_dir,
-        "partitions": {str(p): store.load_partition(p)[3]["lineage"]
-                       for p in sorted(parts)},
+        "partitions": {str(p): recs[p]["lineage"] for p in sorted(parts)},
         "resumed_from": sorted(done),
     }
     return SuiteReport(metrics=metrics, violations=viol, verdicts=verdicts,

@@ -158,3 +158,35 @@ def test_checkpointed_distributed_referential_matches_broadcast(sf_unit, tmp_pat
     d2 = validate_checkpointed(sf_unit, str(tmp_path / "dist"),
                                broadcast_budget_rows=0)
     assert ref_rows(d2) == ref_rows(d)
+
+
+def test_resume_detects_stale_partition_lineage(sf_unit, tmp_path_factory):
+    """A 'completed' partition whose file list changed since the crash
+    (new/replaced parquet) must be re-validated on resume, not served
+    from stale checkpointed counters — the lineage save exists for this."""
+    from metrics_ray.pipelines.clips import ensure_clips_hive
+    from metrics_ray.state.checkpoint import checkpointed_validate
+    from metrics_ray.suite import metadata_checks
+
+    src = ensure_clips_hive(sf_unit)
+    data = str(tmp_path_factory.mktemp("stale_hive"))
+    for d in os.listdir(src):
+        if d.startswith("partition="):
+            shutil.copytree(os.path.join(src, d), os.path.join(data, d))
+    ck = str(tmp_path_factory.mktemp("ckpt_stale"))
+    first = checkpointed_validate(data, metadata_checks(),
+                                  checkpoint_dir=ck, wave_size=8,
+                                  concurrency=2)
+    rows0 = first.manifest["rows_scanned"]
+    assert first.manifest["resumed_from"] == []
+
+    p0 = os.path.join(data, "partition=0")
+    f0 = sorted(f for f in os.listdir(p0) if f.endswith(".parquet"))[0]
+    shutil.copy(os.path.join(p0, f0), os.path.join(p0, "zz_extra.parquet"))
+
+    second = checkpointed_validate(data, metadata_checks(),
+                                   checkpoint_dir=ck, wave_size=8,
+                                   concurrency=2)
+    assert 0 not in second.manifest["resumed_from"]
+    assert sorted(second.manifest["resumed_from"]) == list(range(1, 8))
+    assert second.manifest["rows_scanned"] > rows0  # partition 0 re-counted

@@ -141,3 +141,23 @@ def test_manifest_file_written(curated):
     with open(os.path.join(out, "_MANIFEST.json")) as f:
         saved = json.load(f)
     assert saved["totals"] == {k: int(v) for k, v in m["totals"].items()}
+
+
+def test_load_drop_sets_tolerates_empty_committed_dir(tmp_path):
+    """A duplicate-free corpus writes ZERO drop parquet files; the loader
+    must return empty sets instead of wedging every resume on
+    ArrowInvalid."""
+    from metrics_ray.pipelines.curate import _load_drop_sets
+
+    d = tmp_path / "_dedup_drops"
+    d.mkdir()
+    (d / "_SUCCESS").write_text("ok")
+    assert _load_drop_sets(str(d)) == {}
+
+
+def test_rerun_with_different_config_refuses(curated):
+    from metrics_ray.pipelines.curate import curate_sf
+
+    out_dir, _manifest = curated
+    with pytest.raises(ValueError, match="config mismatch"):
+        curate_sf("/root/testdata/sf0.001", out_dir, min_speech=0.99)

@@ -334,3 +334,21 @@ def test_speaking_rate_and_ctc_checks_match_their_queries(report, sf_unit):
     assert got_ctc == sorted(
         q_ctc_feasible(sf_unit).column("clip_id").to_pylist())
     assert got_sr and got_ctc  # fixture seeds both families
+
+
+def test_circuit_budget_with_keyed_has_unique_metric_rows(sf_unit):
+    """The circuit breaker's synthetic partition=-1 counter row must not
+    leak a second (check_id, -1) metric row into keyed checks' rollups —
+    every (check_id, partition) pair in the metric table is unique."""
+    from metrics_ray.pipelines.clips import clips_factory, ensure_clips_parquet
+    from metrics_ray.runner import run_suite
+    from metrics_ray.suite import keyed_checks, metadata_checks
+
+    factory = clips_factory(ensure_clips_parquet(sf_unit))
+    checks = [c for c in metadata_checks()
+              if c.check_id != "schema_conformance"]
+    rep = run_suite(factory, checks, keyed=keyed_checks(),
+                    batch_size=64, error_budget=100)
+    m = rep.metrics.to_pandas()
+    dup = m.groupby(["check_id", "partition"]).size()
+    assert (dup == 1).all(), dup[dup > 1]

@@ -974,7 +974,13 @@ FROM s GROUP BY partition, shard_idx ORDER BY partition, shard_idx"""
 
 # ------------------------------------------------ vocabulary coverage (OOV)
 
-OOV_VOCAB_K = 256
+# K below the fixture's 32-token vocabulary (the two rarest tokens — the
+# near-dup marker 'dup' at ~0.5% frequency and the mismatch marker 'X' —
+# fall outside), so the audit actually exercises the OOV path: clips
+# carrying those markers get n_oov > 0 and the oracle verifies the exact
+# counts. The rank-30/31 boundary is count 821 vs 26 at sf0.01, stable at
+# every sf.
+OOV_VOCAB_K = 30
 
 
 def q_oov_rate(sf_dir: str) -> pa.Table:

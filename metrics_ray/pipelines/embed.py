@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..checks.keyed import cap_group_members, grouped_apply, shuffle_blocks
+from ..checks.keyed import cap_group_members, grouped_apply
 from ..sketches import hash64
 from ..functions.rounding import round_half_away
 from ..collect import arrow_refs
@@ -34,6 +34,7 @@ NEAR_TAU = 0.98
 KNN_K = 5
 N_QUERIES = 10
 NEAR_OFF = 1_000_000
+EMB_DIM = 64  # the embeddings table's declared vector width
 _LSH_BITS = 8     # bits per table
 _LSH_TABLES = 8   # candidate = same bucket in ANY table
 _HYPER = np.random.RandomState(7).standard_normal(
@@ -55,6 +56,10 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
     flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
     offs = col.offsets.to_numpy(zero_copy_only=False)
     widths = np.diff(offs)
+    if len(widths) == 0:
+        # empty block (empty parquet fragment / fully-filtered upstream):
+        # a (0, EMB_DIM) matrix keeps downstream matmuls shape-correct
+        return np.zeros((0, EMB_DIM))
     if len(set(widths.tolist())) == 1:
         return flat.reshape(len(widths), int(widths[0]))
     # ragged fallback (dim violations): pad with NaN
@@ -94,9 +99,9 @@ vcorpus AS (
 
 
 def _collect(ds, sort_keys) -> pa.Table | None:
-    import ray
+    from ..collect import collect_tables
 
-    tables = [t for t in ray.get(arrow_refs(ds)) if t.num_rows]
+    tables = collect_tables(ds)
     if not tables:
         return None
     return pa.concat_tables(tables).sort_by(
@@ -112,15 +117,24 @@ def q_emb_norm_check(sf_dir: str) -> pa.Table:
         col = b.column("embedding")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        offs = col.offsets.to_numpy(zero_copy_only=False)
-        dims = np.diff(offs).astype(np.int64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        dims = np.diff(offs)
         flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
         nan_flags = np.isnan(flat)
-        sq = flat * flat
-        n_nan = np.add.reduceat(nan_flags.astype(np.int64), offs[:-1]) \
-            if len(dims) else np.array([], np.int64)
-        sumsq = np.add.reduceat(np.where(nan_flags, 0.0, sq), offs[:-1]) \
-            if len(dims) else np.array([])
+        # reduceat over NON-EMPTY segments only: plain reduceat returns a
+        # NEIGHBOR'S element for a zero-length row (repeated offset) and
+        # raises IndexError when the last row is empty — exactly the
+        # dim-violation rows this check exists to flag. Restricting the
+        # offsets to non-empty rows keeps per-row left-to-right float
+        # summation (the oracle's list_sum order); empties get exact 0.
+        nz = dims > 0
+        n_nan = np.zeros(len(dims), np.int64)
+        sumsq = np.zeros(len(dims))
+        if nz.any():
+            starts = offs[:-1][nz]
+            n_nan[nz] = np.add.reduceat(nan_flags.astype(np.int64), starts)
+            sumsq[nz] = np.add.reduceat(
+                np.where(nan_flags, 0.0, flat * flat), starts)
         return pa.table({
             "vec_id": b.column("vec_id"),
             "dim": pa.array(dims),
@@ -143,6 +157,34 @@ FROM embeddings ORDER BY vec_id"""
 
 
 # -------------------------------------------------------------- cosine top-k
+
+_TOPK_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("rank", pa.int64()),
+    ("neighbor_id", pa.int64()), ("cos", pa.float64()),
+])
+
+
+def _merge_topk(partial: pa.Table | None) -> pa.Table:
+    """Global top-k merge of per-batch partials: (rounded cos DESC,
+    neighbor_id ASC) within each query, rank 1..KNN_K. ONE definition of
+    the ranking contract, shared by the brute-force and IVF paths; a None
+    partial (empty query set / empty corpus) yields an empty typed
+    table instead of an AttributeError."""
+    if partial is None:
+        return _TOPK_SCHEMA.empty_table()
+    df = partial.to_pandas()
+    df = df.sort_values(["query_id", "cos", "neighbor_id"],
+                        ascending=[True, False, True], kind="stable")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= KNN_K].reset_index(drop=True)
+    return pa.table({
+        "query_id": pa.array(df["query_id"], pa.int64()),
+        "rank": pa.array(df["rank"], pa.int64()),
+        "neighbor_id": pa.array(df["neighbor_id"], pa.int64()),
+        "cos": pa.array(df["cos"], pa.float64()),
+    })
+
+
 
 def q_emb_knn(sf_dir: str) -> pa.Table:
     """Brute-force cosine top-k: the first N_QUERIES vectors are the query
@@ -183,20 +225,10 @@ def q_emb_knn(sf_dir: str) -> pa.Table:
             "cos": pa.array(rows_c, pa.float64()),
         })
 
-    partial = _collect(embeddings_ds(sf_dir, ["vec_id", "embedding"])
-                       .map_batches(topk, batch_format="pyarrow"),
-                       ["query_id", "neighbor_id"])
-    df = partial.to_pandas()
-    df = df.sort_values(["query_id", "cos", "neighbor_id"],
-                        ascending=[True, False, True], kind="stable")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= KNN_K].reset_index(drop=True)
-    return pa.table({
-        "query_id": pa.array(df["query_id"], pa.int64()),
-        "rank": pa.array(df["rank"], pa.int64()),
-        "neighbor_id": pa.array(df["neighbor_id"], pa.int64()),
-        "cos": pa.array(df["cos"], pa.float64()),
-    })
+    return _merge_topk(_collect(
+        embeddings_ds(sf_dir, ["vec_id", "embedding"])
+        .map_batches(topk, batch_format="pyarrow"),
+        ["query_id", "neighbor_id"]))
 
 
 SQL_EMB_KNN = f"""WITH q AS (
@@ -235,10 +267,13 @@ def q_emb_neardup(sf_dir: str) -> pa.Table:
     O(N·corpus) broadcast shape does not scale; q_emb_neardup_lsh is the
     production path (bucket-local verify, no corpus broadcast)."""
     import ray
+    import ray.data as rd
 
-    corpus = corpus_matrix(sf_dir)
-    ids_all, Mn_all = corpus
-    ref = ray.put(corpus)
+    # derive + materialize the vcorpus ONCE; the broadcast matrix and the
+    # pair scan both consume the in-store blocks (no second parquet scan)
+    refs = vcorpus_ds(sf_dir).materialize().to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    ref = ray.put(corpus_matrix_from_tables(tables))
 
     def pairs(b: pa.Table) -> pa.Table:
         c_ids, Cn = ray.get(ref)
@@ -255,7 +290,7 @@ def q_emb_neardup(sf_dir: str) -> pa.Table:
             "cos": pa.array(sims[ai, bj][keep], pa.float64()),
         })
 
-    ds = vcorpus_ds(sf_dir).map_batches(pairs, batch_format="pyarrow")
+    ds = rd.from_arrow_refs(refs).map_batches(pairs, batch_format="pyarrow")
     out = _collect(ds, ["vec_a", "vec_b"])
     if out is None:
         return pa.table({"vec_a": pa.array([], pa.int64()),
@@ -298,6 +333,13 @@ def corpus_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
     tables = [t for t in ray.get(arrow_refs(vcorpus_ds(sf_dir)))
               if t.num_rows]
+    return corpus_matrix_from_tables(tables)
+
+
+def corpus_matrix_from_tables(tables: list[pa.Table]
+                              ) -> tuple[np.ndarray, np.ndarray]:
+    """corpus_matrix over already-collected blocks (lets a caller that
+    materialized the vcorpus reuse the blocks instead of re-deriving)."""
     t = pa.concat_tables(tables)
     if t.num_rows > CORPUS_BROADCAST_MAX_ROWS:
         raise ValueError(
@@ -494,20 +536,10 @@ def q_emb_knn_ivf(sf_dir: str) -> pa.Table:
             "cos": pa.array(rows_c, pa.float64()),
         })
 
-    partial = _collect(embeddings_ds(sf_dir, ["vec_id", "embedding"])
-                       .map_batches(topk, batch_format="pyarrow"),
-                       ["query_id", "neighbor_id"])
-    df = partial.to_pandas()
-    df = df.sort_values(["query_id", "cos", "neighbor_id"],
-                        ascending=[True, False, True], kind="stable")
-    df["rank"] = df.groupby("query_id").cumcount() + 1
-    df = df[df["rank"] <= KNN_K].reset_index(drop=True)
-    return pa.table({
-        "query_id": pa.array(df["query_id"], pa.int64()),
-        "rank": pa.array(df["rank"], pa.int64()),
-        "neighbor_id": pa.array(df["neighbor_id"], pa.int64()),
-        "cos": pa.array(df["cos"], pa.float64()),
-    })
+    return _merge_topk(_collect(
+        embeddings_ds(sf_dir, ["vec_id", "embedding"])
+        .map_batches(topk, batch_format="pyarrow"),
+        ["query_id", "neighbor_id"]))
 
 
 # ------------------------------------------- semantic dup clusters

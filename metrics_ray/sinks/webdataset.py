@@ -159,6 +159,12 @@ def _write_partition(part_dir: str, out_part_dir: str,
     manifest_rows = grouped_apply(
         ds.map_batches(tag, batch_format="pyarrow"),
         "shard_idx", write_shard, out_schema=out_schema).to_pandas()
+    if manifest_rows.empty:
+        # a partition whose every clip fails the dur_ms > 0 filter writes
+        # zero shards but must still COMMIT (empty manifest), not KeyError
+        manifest_rows = pd.DataFrame(
+            {f.name: pd.Series(dtype=f.type.to_pandas_dtype())
+             for f in out_schema})
     manifest_rows = manifest_rows.sort_values("shard_idx")
     counts = {
         "n_members": int(manifest_rows["n_members"].sum()),
@@ -266,12 +272,18 @@ def verify_webdataset(root: str):
                           "sha256": s["sha256"],
                           "n_members": int(s["n_members"])})
         for f_ in os.listdir(pdir):
-            if f_.endswith(".tar"):
-                sid = int(f_[len("shard-"):-len(".tar")])
-                if sid not in listed:
-                    items.append({"partition": part, "shard_idx": sid,
-                                  "path": os.path.join(pdir, f_),
-                                  "sha256": None, "n_members": -1})
+            if not f_.endswith(".tar"):
+                continue
+            stem = f_[len("shard-"):-len(".tar")] \
+                if f_.startswith("shard-") else ""
+            # ANY tar the manifest doesn't list is a violation — including
+            # misnamed ones (backup.tar, shard-old.tar), which must be
+            # reported, not crash the audit on int()
+            sid = int(stem) if stem.isdigit() else -1
+            if sid not in listed:
+                items.append({"partition": part, "shard_idx": sid,
+                              "path": os.path.join(pdir, f_),
+                              "sha256": None, "n_members": -1})
 
     def audit(b: pa.Table) -> pa.Table:
         rows = {"partition": [], "shard_idx": [], "ok": [], "reason": []}

@@ -163,3 +163,26 @@ def test_kcenter_matches_numpy_greedy_traversal(ray_session):
     assert list(t["vec_id"]) == [int(ids[c]) for c in centers]
     assert np.allclose(t["dist"], np.round(dists, 6), atol=2e-6)
     assert list(t["rank"]) == list(range(KCENTER_K))
+
+
+def test_emb_norm_check_handles_empty_and_ragged_rows(tmp_path, ray_session):
+    """Zero-length embedding rows — the dim violations the check exists
+    to flag — must report their OWN zeros, not a neighbor's values (the
+    np.add.reduceat repeated-offset trap), including when the last row of
+    a batch is empty (the IndexError trap)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metrics_ray.pipelines.embed import q_emb_norm_check
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, float("nan")], [], [0.0, 0.0], [2.0], []],
+            pa.list_(pa.float64())),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = q_emb_norm_check(str(tmp_path)).to_pydict()
+    assert out["dim"] == [2, 0, 2, 1, 0]
+    assert out["n_nan"] == [1, 0, 0, 0, 0]
+    assert out["is_zero"] == [False, True, True, False, True]

@@ -197,3 +197,52 @@ def test_verify_webdataset_flags_corruption_and_unlisted(manifest):
         with open(path, "wb") as f:
             f.write(orig)
         os.remove(stale)
+
+
+def test_verify_webdataset_reports_misnamed_tar(manifest):
+    """A tar whose name doesn't parse as shard-%05d must surface as an
+    'unlisted tar on disk' violation, not crash the audit on int()."""
+    import ray
+
+    from metrics_ray.sinks.webdataset import verify_webdataset
+
+    pname = sorted(manifest["partitions"])[1]
+    stray = os.path.join(OUT, pname, "backup.tar")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    try:
+        rows = [r for t in [t for t in ray.get(
+                    verify_webdataset(OUT).to_arrow_refs()) if t.num_rows]
+                for r in t.to_pylist()]
+        bad = [r for r in rows if not r["ok"]]
+        assert len(bad) == 1
+        assert bad[0]["reason"] == "unlisted tar on disk"
+        assert bad[0]["shard_idx"] == -1
+    finally:
+        os.remove(stray)
+
+
+def test_write_partition_commits_empty_when_all_rows_filtered(tmp_path):
+    """A partition whose every clip fails dur_ms > 0 writes zero shards
+    but must still commit an (empty) manifest instead of KeyError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metrics_ray.sinks.webdataset import _write_partition
+
+    part_dir = tmp_path / "partition=0"
+    part_dir.mkdir()
+    t = pa.table({
+        "clip_id": pa.array(["a", "b"], pa.string()),
+        "bytes": pa.array([b"x", b"y"], pa.binary()),
+        "sr_hz": pa.array([8000, 8000], pa.int32()),
+        "dur_ms": pa.array([0, -5], pa.int32()),
+        "codec": pa.array(["pcm_s16le", "flac"], pa.string()),
+        "transcript": pa.array(["t", None], pa.string()),
+    })
+    pq.write_table(t, str(part_dir / "data.parquet"))
+    out_dir = tmp_path / "out" / "partition=0"
+    counts = _write_partition(str(part_dir), str(out_dir), 120_000)
+    assert counts == {"n_members": 0, "n_shards": 0, "total_ms": 0,
+                      "shards": []}
+    assert os.path.exists(out_dir / "_SUCCESS")

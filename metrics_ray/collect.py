@@ -35,3 +35,14 @@ def collect_tables(ds) -> list[pa.Table]:
     import ray
 
     return [t for t in ray.get(arrow_refs(ds)) if t.num_rows]
+
+
+def collect_sorted(ds, sort_keys) -> pa.Table | None:
+    """collect_tables + ascending sort — the query-result collection
+    contract shared by the docs/rel/embed pipelines (None when the
+    pipeline produced no rows)."""
+    tables = collect_tables(ds)
+    if not tables:
+        return None
+    return pa.concat_tables(tables).sort_by(
+        [(k, "ascending") for k in sort_keys])

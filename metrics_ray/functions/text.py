@@ -32,8 +32,13 @@ from .rounding import round_half_away
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols
 BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
-# SQL mirror (DuckDB regexp_extract_all) — keep in sync with BPE_RE
-BPE_SQL_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+# SQL mirror — the ENGINE evaluates BPE_RE.pattern under Arrow's RE2
+# (\s = ASCII [\t\n\f\r ]), and DuckDB's regexp functions are RE2 too, so
+# the mirror uses the same \s instead of a hand-expanded class (the old
+# '[^A-Za-z0-9 \t\n]' silently dropped \r and \f from the whitespace set).
+# Note BPE_RE compiled under Python `re` (the scalar reference API) treats
+# \s as Unicode whitespace; only the RE2 interpretations must agree.
+BPE_SQL_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def ws_tokens(text: str) -> list[str]:

@@ -21,12 +21,9 @@ group-by plumbing are unchanged.
 from __future__ import annotations
 
 import os
-from functools import partial
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from ..checks.keyed import cap_group_members, grouped_apply, shuffle_blocks
 from ..functions import text as T
@@ -54,7 +51,8 @@ def derive_corpus_batch(batch: pa.Table) -> pa.Table:
     """documents batch → corpus batch (row-pure: each input row expands to
     1-3 output rows independently)."""
     doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    txt = batch.column("text").to_pylist()
+    txt = [t if t is not None else "" for t
+           in batch.column("text").to_pylist()]
     lang = batch.column("lang").to_pylist()
     src = batch.column("source").to_pylist()
 
@@ -100,14 +98,10 @@ def corpus_ds(sf_dir: str):
             derive_corpus_batch, batch_format="pyarrow")
 
 
-def _collect(ds, sort_keys) -> pa.Table:
-    import ray
+def _collect(ds, sort_keys) -> pa.Table | None:
+    from ..collect import collect_sorted
 
-    tables = [t for t in ray.get(arrow_refs(ds)) if t.num_rows]
-    if not tables:
-        return None
-    return pa.concat_tables(tables).sort_by(
-        [(k, "ascending") for k in sort_keys])
+    return collect_sorted(ds, sort_keys)
 
 
 # ----------------------------------------------------- token counts / quality
@@ -153,11 +147,23 @@ def _quality_batch(b: pa.Table) -> pa.Table:
         zero_copy_only=False).astype(np.int64)
     n_punct = pc.count_substring_regex(txt, r"[^A-Za-z0-9\s]").to_numpy(
         zero_copy_only=False).astype(np.int64)
-    s = pd.Series(txt.to_pylist())
-    ex = s.str.split().explode().str.lower()
-    n_stop = (ex.isin(T.STOPWORDS).groupby(level=0).sum()
-              .reindex(s.index, fill_value=0).to_numpy().astype(np.int64))
-    nonspace = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy()
+    # stopword counting and non-space length use the SAME re2 \s as
+    # n_words/n_punct and the SQL mirror — pandas str.split()/\s+ honor
+    # UNICODE whitespace (\x0b, \xa0) and would tokenize differently
+    lst = pc.split_pattern_regex(pc.utf8_lower(txt), r"\s+")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    loffs = lst.offsets.to_numpy(zero_copy_only=False)
+    vals = lst.values
+    row_idx = np.repeat(np.arange(len(lst)), np.diff(loffs))
+    is_stop = pc.and_(
+        pc.not_equal(vals, ""),
+        pc.is_in(vals, value_set=pa.array(sorted(T.STOPWORDS)))
+    ).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(row_idx[is_stop],
+                         minlength=len(lst)).astype(np.int64)
+    nonspace = pc.utf8_length(pc.replace_substring_regex(
+        txt, r"\s+", "")).to_numpy(zero_copy_only=False)
     mean_wl = np.where(n_words == 0, 0.0,
                        round_half_away(
                            nonspace / np.maximum(n_words, 1), 6))
@@ -199,7 +205,7 @@ def q_doc_fingerprints(sf_dir: str) -> pa.Table:
         texts = b.column("text").to_pylist()
         return pa.table({
             "doc_id": b.column("doc_id"),
-            "fp_md5": pa.array([T.md5_fingerprint(t) for t in texts],
+            "fp_md5": pa.array([T.md5_fingerprint(t or "") for t in texts],
                                pa.string()),
         })
 
@@ -252,7 +258,7 @@ def q_doc_exact_dups(sf_dir: str) -> pa.Table:
     def key_batch(b: pa.Table) -> pa.Table:
         texts = b.column("text").to_pylist()
         return pa.table({
-            "key": pa.array([T.md5_fingerprint(t) for t in texts], pa.string()),
+            "key": pa.array([T.md5_fingerprint(t or "") for t in texts], pa.string()),
             "doc_id": b.column("doc_id"),
         })
 
@@ -423,7 +429,7 @@ def _band_batch(b: pa.Table) -> pa.Table:
     ids, keys = [], []
     for doc_id, txt in zip(b.column("doc_id").to_pylist(),
                            b.column("text").to_pylist()):
-        sig = T.minhash_signature(T.word_shingles(txt))
+        sig = T.minhash_signature(T.word_shingles(txt or ""))
         for k in T.lsh_band_keys(sig):
             ids.append(doc_id); keys.append(k)
     return pa.table({"band": pa.array(keys, pa.string()),
@@ -585,7 +591,7 @@ def q_doc_incremental_dups(sf_dir: str) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         texts = b.column("text").to_pylist()
         return pa.table({
-            "key": pa.array([T.md5_fingerprint(t) for t in texts],
+            "key": pa.array([T.md5_fingerprint(t or "") for t in texts],
                             pa.string()),
             "doc_id": pa.array(ids.astype(np.int64)),
             "side": pa.array(
@@ -716,7 +722,7 @@ def q_doc_neardup_simhash(sf_dir: str) -> pa.Table:
         ids, keys, sigs = [], [], []
         for doc_id, txt in zip(b.column("doc_id").to_pylist(),
                                b.column("text").to_pylist()):
-            sh = T.simhash64(txt.split())
+            sh = T.simhash64((txt or "").split())
             for k in T.simhash_chunk_keys(sh):
                 ids.append(doc_id); keys.append(k); sigs.append(sh)
         return pa.table({"chunk": pa.array(keys, pa.string()),
@@ -791,8 +797,6 @@ ORDER BY doc_a, doc_b"""
 def q_doc_ngram_jaccard(sf_dir: str) -> pa.Table:
     """Word-trigram Jaccard for the fixed pair set (2i, 2i+1) — the
     SQL-checkable exact-similarity kernel."""
-    import ray
-
     ds = documents_ds(sf_dir, ["doc_id", "text"])
 
     def tag(b: pa.Table) -> pa.Table:
@@ -1726,7 +1730,9 @@ def q_doc_mix(sf_dir: str) -> pa.Table:
     def expand(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
-        n = np.array([floors.get(l, 1) for l in langs], np.int64)
+        # unknown languages DROP (weight 0) — the SQL mirror's ELSE 0 arm
+        # is the contract; a silent weight-1 passthrough would diverge
+        n = np.array([floors.get(l, 0) for l in langs], np.int64)
         thresh = np.array([fracs_pm.get(l, 0) for l in langs], np.int64)
         n = n + ((ids * _MIX_MULT) % 1000 < thresh)
         idx = np.repeat(np.arange(len(ids)), n)

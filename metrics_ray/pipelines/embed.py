@@ -99,13 +99,9 @@ vcorpus AS (
 
 
 def _collect(ds, sort_keys) -> pa.Table | None:
-    from ..collect import collect_tables
+    from ..collect import collect_sorted
 
-    tables = collect_tables(ds)
-    if not tables:
-        return None
-    return pa.concat_tables(tables).sort_by(
-        [(k, "ascending") for k in sort_keys])
+    return collect_sorted(ds, sort_keys)
 
 
 # ---------------------------------------------------------- schema validation

@@ -50,13 +50,9 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _collect(ds, sort_keys) -> pa.Table | None:
-    import ray
+    from ..collect import collect_sorted
 
-    tables = [t for t in ray.get(arrow_refs(ds)) if t.num_rows]
-    if not tables:
-        return None
-    return pa.concat_tables(tables).sort_by(
-        [(k, "ascending") for k in sort_keys])
+    return collect_sorted(ds, sort_keys)
 
 
 # ------------------------------------------------------- referential anti-join
@@ -1087,15 +1083,13 @@ def q_ev_amount_outliers(sf_dir: str) -> pa.Table:
     out = _read(sf_dir, "events",
                 ["event_id", "event_type", "value"]).map_batches(
         scan, batch_format="pyarrow")
-    import ray
-
-    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
-    if not tables:
+    t = _collect(out, ["event_id"])
+    if t is None:
         return pa.table({"event_id": pa.array([], pa.int64()),
                          "event_type": pa.array([], pa.string()),
                          "value": pa.array([], pa.float64()),
                          "z": pa.array([], pa.float64())})
-    return pa.concat_tables(tables).sort_by("event_id")
+    return t
 
 
 # DuckDB TRY_CAST(VARCHAR AS DOUBLE) literal syntax (no underscores, no

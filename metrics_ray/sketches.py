@@ -466,12 +466,24 @@ class HeavyHitters:
 
 
 def loads_any(b: bytes):
-    tag = pickle.loads(b)[0]
-    return {"hll": HLL.loads, "tdigest": TDigest.loads,
-            "hist": FixedHistogram.loads,
-            "bottomk": BottomKSample.loads,
-            "mg": HeavyHitters.loads,
-            "bloom": BloomFilter.loads}[tag](b)
+    # unpickle ONCE and dispatch on the loaded tuple — the former
+    # tag-peek + Class.loads(b) deserialized every blob twice, doubling
+    # driver-side cost on exactly the hot path merge_blobs exists for
+    t = pickle.loads(b)
+    tag = t[0]
+    if tag == "hll":
+        return HLL(t[1], t[2])
+    if tag == "tdigest":
+        return TDigest(t[1], t[2], t[3])
+    if tag == "hist":
+        return FixedHistogram(t[1], t[2])
+    if tag == "bottomk":
+        return BottomKSample(t[1], t[2], t[3], t[4])
+    if tag == "mg":
+        return HeavyHitters(t[1], t[2], t[3], t[4])
+    if tag == "bloom":
+        return BloomFilter(t[1], t[2], t[3])
+    raise ValueError(f"unknown sketch tag {tag!r}")
 
 
 def merge_blobs(blobs: list[bytes]):
@@ -493,12 +505,18 @@ def merge_blobs(blobs: list[bytes]):
     if len(sketches) == 1:
         return first
     if isinstance(first, HLL):
+        assert all(s.p == first.p for s in sketches), "HLL p mismatch"
         regs = np.maximum.reduce([s.registers for s in sketches])
         return HLL(first.p, regs)
     if isinstance(first, FixedHistogram):
+        # the invariant the pairwise merge() enforced: identical edges
+        assert all(np.array_equal(s.edges, first.edges)
+                   for s in sketches), "histogram edge mismatch"
         counts = np.sum([s.counts for s in sketches], axis=0)
         return FixedHistogram(first.edges, counts)
     if isinstance(first, BloomFilter):
+        assert all(s.m_bits == first.m_bits and s.k == first.k
+                   for s in sketches), "bloom geometry mismatch"
         bits = np.bitwise_or.reduce([s.bits for s in sketches])
         return BloomFilter(first.m_bits, first.k, bits)
     if isinstance(first, HeavyHitters):
@@ -507,6 +525,8 @@ def merge_blobs(blobs: list[bytes]):
                   np.concatenate([s.counts for s in sketches]))
         return out
     if isinstance(first, BottomKSample):
+        assert all(s.k == first.k and s.seed == first.seed
+                   for s in sketches), "bottom-k seed/k mismatch"
         out = BottomKSample(
             first.k, first.seed,
             np.concatenate([s.priorities for s in sketches]),

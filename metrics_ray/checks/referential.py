@@ -77,7 +77,10 @@ def referential_violations_dist(clips_ds, index_ds,
         if (~present).any():
             miss = left[~present]
             out.append(pd.DataFrame({
-                "partition": miss["partition"].astype("int32"),
+                # fillna: a left side without a partition column tags null
+                # partitions (pa.nulls above) → NaN after to_pandas; the
+                # plain int32 cast would raise IntCastingNaNError
+                "partition": miss["partition"].fillna(-1).astype("int32"),
                 "clip_id": miss["key"].astype(str),
                 "code": Codes.MISSING_REFERENCE,
                 "actual": miss["key"].astype(str),
@@ -91,7 +94,7 @@ def referential_violations_dist(clips_ds, index_ds,
             if neq.any():
                 bad = left[neq]
                 out.append(pd.DataFrame({
-                    "partition": bad["partition"].astype("int32"),
+                    "partition": bad["partition"].fillna(-1).astype("int32"),
                     "clip_id": bad["key"].astype(str),
                     "code": Codes.TRANSCRIPT_MISMATCH,
                     "actual": bad["text"].map(
@@ -131,7 +134,11 @@ class ReferentialCheck(BatchCheck):
 
             idx = ray.get(idx)  # broadcast ObjectRef → local read-only copy
         if idx is not None:
-            idx = idx.set_index("clip_id")["ref_transcript"]
+            # dup-safe: keep the first row per key, exactly as the dist
+            # variant's drop_duplicates("key") — a duplicated index key
+            # must not crash every batch with InvalidIndexError
+            idx = (idx.drop_duplicates("clip_id")
+                   .set_index("clip_id")["ref_transcript"])
         self._index = idx
 
     def evaluate(self, batch: pa.Table) -> BatchOutcome:
@@ -141,7 +148,10 @@ class ReferentialCheck(BatchCheck):
                 counters=per_partition_counts(part, np.zeros(len(batch), bool)))
         ids = pd.Series(batch.column("clip_id").to_pylist())
         ref = ids.map(self._index)  # vectorized hash lookup
-        missing = ref.isna().to_numpy()
+        # membership, not ref.isna(): an index row whose ref_transcript is
+        # null is PRESENT (null==null counts as equal below) — same
+        # verdicts as referential_violations_dist's ids.isin(ref.index)
+        missing = (~ids.isin(self._index.index)).to_numpy()
         mask = missing.copy()
         tables = []
         if missing.any():

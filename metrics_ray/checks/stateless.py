@@ -238,7 +238,11 @@ class OwnershipCheck(BatchCheck):
             pc.fill_null(col, ""), self.id_re).to_numpy(
                 zero_copy_only=False).astype(bool)
         ids = pd.Series(col.to_pylist(), dtype="object")
-        num = pd.to_numeric(ids.str.slice(5), errors="coerce")
+        # owner id = the trailing digit run, whatever the prefix — a
+        # fixed slice(5) would silently mis-parse any custom id_re whose
+        # prefix is not exactly 5 chars (e.g. "audio-00000003" → -3)
+        num = pd.to_numeric(ids.str.extract(r"([0-9]+)$", expand=False),
+                            errors="coerce")
         owner = (num % self.n_partitions).to_numpy()
         mask = valid & (owner != part)
         counters = per_partition_counts(part, mask)
@@ -338,7 +342,12 @@ class SchemaCheck(BatchCheck):
         self.columns = ()  # needs whatever arrives; participates in no pruning
 
     def evaluate(self, batch: pa.Table) -> BatchOutcome:
-        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        # the partition column itself may be the drifted/dropped column
+        # this check exists to catch — report it, don't KeyError
+        if "partition" in batch.column_names:
+            part = batch.column("partition").to_numpy(zero_copy_only=False)
+        else:
+            part = np.full(len(batch), -1, dtype=np.int64)
         problems = []
         for f in self.expected:
             if f.name not in batch.column_names:

@@ -378,7 +378,12 @@ class NoiseMix:
     all variants from the same PCM). Silent, undecodable or sr<=0 rows
     yield nothing. The noise is a pure function of (clip_id, length), so
     any downstream consumer can reconstruct it — the mix is reproducible
-    across runs, workers and batch sizes."""
+    across runs, workers and batch sizes.
+
+    Caveat: the mixed signal is clamped to [-1, 1] before s16 encoding,
+    so for hot signals at low target SNR the ACHIEVED ratio deviates
+    from the target at clipped samples (and y − gain·noise ≠ x there) —
+    the standard full-scale trade-off; the gain formula itself is exact."""
 
     columns = ("clip_id", "bytes", "sr_hz")
 

@@ -83,6 +83,13 @@ def broadcast_enrich(ds, sides: list[tuple], defaults: dict | None = None):
     maps = []
     for table, left_key, right_key, carry in sides:
         idx = table.column(right_key).to_numpy(zero_copy_only=False)
+        if pd.Index(idx).has_duplicates:
+            # fail at build time on the driver with a clear message —
+            # a duplicated dimension key would otherwise raise pandas
+            # InvalidIndexError inside every map task
+            raise ValueError(
+                f"broadcast_enrich: dimension side keyed on "
+                f"{right_key!r} has duplicate key values")
         series_map = {out_col: pd.Series(
             table.column(src_col).to_numpy(zero_copy_only=False), index=idx)
             for out_col, src_col in carry.items()}
@@ -130,6 +137,11 @@ def bucketed_inner_join(left_ds, right_ds, left_key: str, right_key: str,
 
     def tag(side: str, key_col: str, present: list, absent: list):
         def f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # SQL inner-join semantics: NULL keys never match (pandas
+            # merge would pair NaN==NaN) — drop them before the shuffle
+            b = b.filter(pc.is_valid(b.column(key_col)))
             n = b.num_rows
             cols = {
                 "__key": _key_str(b.column(key_col)),
@@ -371,7 +383,13 @@ def bloom_anti_join(left_ds, right_ds, left_key: str, right_key: str,
     out_fields = [(c, lsch[c]) for c in left_cols]
     out_schema = pa.schema(out_fields)
 
+    # the maybe-branch feeds tag(), which re-reads the key column — keep
+    # it in the projection even when the caller's left_cols omit it
+    maybe_cols = list(dict.fromkeys(left_cols + [left_key]))
+
     def split(want_maybe: bool):
+        proj = maybe_cols if want_maybe else left_cols
+
         def f(b: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
@@ -380,7 +398,7 @@ def bloom_anti_join(left_ds, right_ds, left_key: str, right_key: str,
                     .to_numpy(zero_copy_only=False))
             maybe = bf.contains(keys)
             mask = maybe if want_maybe else ~maybe
-            return b.select(left_cols).filter(pa.array(mask))
+            return b.select(proj).filter(pa.array(mask))
         return f
 
     definite = left_ds.map_batches(split(False), batch_format="pyarrow")

@@ -57,7 +57,12 @@ def stratified_sample(ds, fraction: float, row_key: str,
 
     ``priority="md5"`` selects the DuckDB-mirrorable hash (see
     ``md5_lower64``) so the sampled set itself is SQL-checkable."""
-    thr = np.uint64(int(min(max(fraction, 0.0), 1.0) * float(2**64 - 1)))
+    # float(2**64 - 1) == 2.0**64 exactly, so fraction == 1.0 would scale
+    # to 2**64 and overflow uint64 — cap at the max representable value
+    # (keep-everything); fractions < 1.0 are unchanged (same formula as
+    # the SQL mirrors' threshold constants).
+    thr = np.uint64(min(int(min(max(fraction, 0.0), 1.0) * float(2**64 - 1)),
+                        2**64 - 1))
 
     def samp(b: pa.Table) -> pa.Table:
         pri = _row_priorities(b.column(row_key).to_pylist(), seed, priority)

@@ -183,7 +183,13 @@ class VideoFrameSampler:
                 out["luma_mean"].append(float("nan"))
                 continue
             offs = frame_offsets(payload)
-            frames = sample_frames(payload, self.stride)
+            try:
+                frames = sample_frames(payload, self.stride)
+            except (ValueError, TypeError):
+                # a complete-length but undecodable frame blob is the
+                # decode CHECK's finding, not this stage's crash — emit
+                # structural stats with no sampled frames
+                frames = []
             if frames:
                 luma = float(np.mean([
                     (0.2126 * f[..., 0].astype(np.float64)

@@ -7,6 +7,7 @@ import pyarrow as pa
 import pytest
 
 from metrics_ray.checks.base import CheckContext
+from metrics_ray.schema import Codes
 from metrics_ray.checks.decode import DecodeCheck
 from metrics_ray.checks.referential import ReferentialCheck
 from metrics_ray.checks.sketch_checks import (
@@ -137,3 +138,90 @@ def test_noise_filter_is_selective():
         "Operator produced a RefBundle with a different schema than ..."))
     assert _NOISE_FILTER.filter(rec("Failed to unify schemas: boom"))
     assert _NOISE_FILTER.filter(rec("spilling 2 GiB to disk"))
+
+
+def _ref_batch(ids, transcripts, parts=None):
+    n = len(ids)
+    return pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "transcript": pa.array(transcripts, pa.string()),
+        "partition": pa.array(parts or [0] * n, pa.int32()),
+    })
+
+
+def test_referential_broadcast_null_ref_is_present_not_missing():
+    """An index row whose ref_transcript is null is PRESENT — null==null
+    counts as equal (the dist variant's rule); ref.isna() used to emit a
+    false MissingReference here."""
+    import pandas as pd
+
+    idx = pd.DataFrame({"clip_id": ["c1", "c2"],
+                        "ref_transcript": ["hello", None]})
+    chk = ReferentialCheck()
+    chk.setup(CheckContext(params={"transcript_index": idx}))
+    out = chk.evaluate(_ref_batch(["c1", "c2", "c3"],
+                                  ["hello", None, "x"]))
+    v = out.violations.to_pandas()
+    assert list(v["clip_id"]) == ["c3"]  # only the truly-absent key
+    assert list(v["code"].unique()) == [Codes.MISSING_REFERENCE]
+
+
+def test_referential_broadcast_duplicate_index_keys():
+    """Duplicate index keys keep the first row (dist variant's
+    drop_duplicates) instead of raising InvalidIndexError per batch."""
+    import pandas as pd
+
+    idx = pd.DataFrame({"clip_id": ["c1", "c1"],
+                        "ref_transcript": ["first", "second"]})
+    chk = ReferentialCheck()
+    chk.setup(CheckContext(params={"transcript_index": idx}))
+    out = chk.evaluate(_ref_batch(["c1"], ["first"]))
+    assert out.violations is None  # matches the kept (first) row
+
+
+def test_referential_dist_left_without_partition(ray_session):
+    """A left side lacking the partition column reports partition -1
+    instead of IntCastingNaNError inside the co-group task."""
+    import ray.data as rd
+
+    from metrics_ray.checks.referential import referential_violations_dist
+
+    clips = rd.from_arrow(pa.table({
+        "clip_id": ["c1", "c9"],
+        "transcript": ["hello", "orphan"],
+    }))
+    index = rd.from_arrow(pa.table({
+        "clip_id": ["c1"], "ref_transcript": ["hello"],
+    }))
+    df = referential_violations_dist(clips, index).to_pandas()
+    assert list(df["clip_id"]) == ["c9"]
+    assert list(df["partition"]) == [-1]
+
+
+def test_schema_check_missing_partition_column_reports():
+    """Dropping the partition column itself is reported as SCHEMA_MISMATCH,
+    not a KeyError that kills the suite pass."""
+    from metrics_ray.checks.stateless import SchemaCheck
+
+    chk = SchemaCheck("schema", pa.schema([("clip_id", pa.string()),
+                                           ("partition", pa.int32())]))
+    out = chk.evaluate(pa.table({"clip_id": pa.array(["a"], pa.string())}))
+    v = out.violations.to_pandas()
+    assert "<column:partition>" in set(v["clip_id"])
+
+
+def test_ownership_custom_prefix_length():
+    """Owner digits come from the trailing digit run, not a hard-coded
+    slice(5) — a 6-char prefix must still assign the right owner."""
+    from metrics_ray.checks.stateless import OwnershipCheck
+
+    chk = OwnershipCheck("ownership", id_re=r"^audio-[0-9]{8}$",
+                         n_partitions=8)
+    batch = pa.table({
+        "clip_id": pa.array(["audio-00000003", "audio-00000011"]),
+        "partition": pa.array([3, 0], pa.int32()),
+    })
+    out = chk.evaluate(batch)
+    v = out.violations.to_pandas()
+    # owner(3)=3 stored at 3 → fine; owner(11)=3 stored at 0 → violation
+    assert list(v["clip_id"]) == ["audio-00000011"]

@@ -243,3 +243,44 @@ def test_bloom_anti_join_matches_plain_anti_join():
     want = want.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert len(got) == 500  # odd ids 1..999
+
+
+def test_bucketed_inner_join_null_keys_never_match():
+    """SQL semantics: NULL join keys match nothing (pandas merge would
+    pair NaN==NaN) — null-keyed rows on both sides must vanish."""
+    from metrics_ray.stages.join import bucketed_inner_join
+
+    left = pa.table({"lk": pa.array([1, None, 2], pa.int64()),
+                     "lv": [10, 11, 20]})
+    right = pa.table({"rk": pa.array([None, 2], pa.int64()),
+                      "rv": ["nullrow", "two"]})
+    out = bucketed_inner_join(
+        _ds(left), _ds(right), "lk", "rk", ["lv"], ["rv"],
+        out_schema=pa.schema([("lv", pa.int64()), ("rv", pa.string())]))
+    df = out.to_pandas()
+    assert list(df["lv"]) == [20] and list(df["rv"]) == ["two"]
+
+
+def test_broadcast_enrich_duplicate_dim_key_raises():
+    """A duplicated dimension key fails loudly at build time on the
+    driver, not with a pandas InvalidIndexError inside N map tasks."""
+    from metrics_ray.stages.join import broadcast_enrich
+
+    facts = _ds(pa.table({"k": [1], "x": [1]}))
+    dup_dim = pa.table({"k1": [1, 1], "v": [10, 11]})
+    with pytest.raises(ValueError, match="duplicate key"):
+        broadcast_enrich(facts, [(dup_dim, "k", "k1", {"v": "v"})])
+
+
+def test_bloom_anti_join_key_not_in_left_cols():
+    """The projected output need not carry the join key — phase 2 keeps
+    the key internally for verification and still emits only left_cols."""
+    from metrics_ray.stages.join import bloom_anti_join
+
+    left = pa.table({"lk": ["a", "b", "c"], "lv": [1, 2, 3]})
+    right = pa.table({"rk": ["b"]})
+    out = bloom_anti_join(_ds(left), _ds(right), "lk", "rk",
+                          ["lv"], m_bits=1 << 12)
+    df = out.to_pandas()
+    assert list(df.columns) == ["lv"]
+    assert sorted(df["lv"]) == [1, 3]

@@ -206,3 +206,15 @@ def test_disjoint_types_sampled_is_entity_restriction(ray_session):
     assert s == {r for r in f if r[0] in sampled_users}
     again = rows(q_ev_disjoint_types_sampled(SF))
     assert again == s
+
+
+def test_stratified_fraction_one_keeps_all(ray_session):
+    """fraction=1.0 scales to exactly 2**64 in float — must clamp to the
+    max uint64 (keep everything), not OverflowError before any batch."""
+    import ray.data as rd
+
+    from metrics_ray.stages.sampling import stratified_sample
+
+    t = pa.table({"clip_id": [f"clip-{i:08d}" for i in range(50)]})
+    out = stratified_sample(rd.from_arrow(t), 1.0, "clip_id")
+    assert out.count() == 50

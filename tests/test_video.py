@@ -102,3 +102,18 @@ def test_foreign_payload_is_flagged_not_fatal():
     assert out["declared_frames"] == -1
     assert out["actual_frames"] == 0
     assert np.isnan(out["luma_mean"])
+
+
+def test_corrupt_frame_body_does_not_kill_sampler():
+    """A complete-length but undecodable frame blob is the decode check's
+    finding — the sampler emits structural stats instead of raising."""
+    frames = synth_video_frames(3, 2)
+    payload = bytearray(encode_video(frames))
+    off, ln = frame_offsets(bytes(payload))[0]
+    payload[off:off + 4] = b"XXXX"  # clobber the PPM magic, keep length
+    batch = pa.table({"vid_id": ["v0"],
+                      "bytes": pa.array([bytes(payload)], pa.binary())})
+    out = VideoFrameSampler(stride=1)(batch).to_pandas()
+    assert out.loc[0, "actual_frames"] == 2  # structure still parses
+    assert out.loc[0, "n_sampled"] == 0
+    assert np.isnan(out.loc[0, "luma_mean"])

@@ -67,7 +67,13 @@ def referential_violations_dist(clips_ds, index_ds,
                              batch_format="pyarrow"))
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        right = g[g["side"] == "r"].drop_duplicates("key")
+        # duplicate index keys are a data error; verdicts follow the
+        # lexicographically-least ref text — DETERMINISTIC across runs
+        # (bucket arrival order is not) and identical to the broadcast
+        # ReferentialCheck's policy
+        right = (g[g["side"] == "r"]
+                 .sort_values(["key", "text"], kind="stable")
+                 .drop_duplicates("key"))
         ref = right.set_index("key")["text"]
         left = g[g["side"] == "l"]
         ids = left["key"]
@@ -134,10 +140,14 @@ class ReferentialCheck(BatchCheck):
 
             idx = ray.get(idx)  # broadcast ObjectRef → local read-only copy
         if idx is not None:
-            # dup-safe: keep the first row per key, exactly as the dist
-            # variant's drop_duplicates("key") — a duplicated index key
-            # must not crash every batch with InvalidIndexError
-            idx = (idx.drop_duplicates("clip_id")
+            # dup-safe AND deterministic: a duplicated index key must not
+            # crash every batch with InvalidIndexError, and the kept row
+            # must not depend on input order — verdicts follow the
+            # lexicographically-least ref text, same policy as the dist
+            # variant's reduce_bucket
+            idx = (idx.sort_values(["clip_id", "ref_transcript"],
+                                   kind="stable")
+                   .drop_duplicates("clip_id")
                    .set_index("clip_id")["ref_transcript"])
         self._index = idx
 

@@ -343,11 +343,13 @@ class SchemaCheck(BatchCheck):
 
     def evaluate(self, batch: pa.Table) -> BatchOutcome:
         # the partition column itself may be the drifted/dropped column
-        # this check exists to catch — report it, don't KeyError
+        # this check exists to catch — report it (missing OR type-drifted
+        # to something non-numeric), don't KeyError/ValueError
+        part = np.full(len(batch), -1, dtype=np.int64)
         if "partition" in batch.column_names:
-            part = batch.column("partition").to_numpy(zero_copy_only=False)
-        else:
-            part = np.full(len(batch), -1, dtype=np.int64)
+            pcol = batch.column("partition")
+            if pa.types.is_integer(pcol.type) or pa.types.is_floating(pcol.type):
+                part = pcol.to_numpy(zero_copy_only=False)
         problems = []
         for f in self.expected:
             if f.name not in batch.column_names:

@@ -140,8 +140,10 @@ def bucketed_inner_join(left_ds, right_ds, left_key: str, right_key: str,
             import pyarrow.compute as pc
 
             # SQL inner-join semantics: NULL keys never match (pandas
-            # merge would pair NaN==NaN) — drop them before the shuffle
-            b = b.filter(pc.is_valid(b.column(key_col)))
+            # merge would pair NaN==NaN) — drop them before the shuffle;
+            # skip the filter copy on the common all-valid batch
+            if b.column(key_col).null_count:
+                b = b.filter(pc.is_valid(b.column(key_col)))
             n = b.num_rows
             cols = {
                 "__key": _key_str(b.column(key_col)),
@@ -188,8 +190,9 @@ def bucketed_asof_join(left_ds, right_ds, left_key: str, right_key: str,
 
     Tie-break: among right rows sharing the match timestamp the row with
     the greatest ``right_tie`` wins (sort-last), making the join
-    deterministic; pass the right side's unique id. Null timestamps never
-    match (right nulls dropped, left nulls keep null attachments)."""
+    deterministic; pass the right side's unique id. Null timestamps AND
+    null keys never match (right nulls dropped, left nulls keep null
+    attachments — SQL semantics, not pandas NaN==NaN grouping)."""
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"join columns must be disjoint, got {overlap}")
@@ -224,11 +227,14 @@ def bucketed_asof_join(left_ds, right_ds, left_key: str, right_key: str,
 
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
         lall = df.loc[df["__side"] == "l", ["__key", "__ts"] + left_cols]
-        l_null = lall[lall["__ts"].isna()]
-        l = (lall.dropna(subset=["__ts"])
-             .sort_values("__ts", kind="stable"))
+        # SQL semantics: a NULL key matches nothing (merge_asof's by=
+        # would group NaN==NaN) — null-key left rows keep null
+        # attachments exactly like null-ts rows; null-key right rows drop
+        no_match = lall["__ts"].isna() | lall["__key"].isna()
+        l_null = lall[no_match]
+        l = lall[~no_match].sort_values("__ts", kind="stable")
         r = (df.loc[df["__side"] == "r", ["__key", "__ts"] + right_cols]
-             .dropna(subset=["__ts"])
+             .dropna(subset=["__key", "__ts"])
              .rename(columns={"__ts": "__rts"}))
         r = r.sort_values(["__rts"] + ([right_tie] if right_tie else []),
                           kind="stable")

@@ -167,16 +167,18 @@ def test_referential_broadcast_null_ref_is_present_not_missing():
 
 
 def test_referential_broadcast_duplicate_index_keys():
-    """Duplicate index keys keep the first row (dist variant's
-    drop_duplicates) instead of raising InvalidIndexError per batch."""
+    """Duplicate index keys keep the lexicographically-least ref text —
+    deterministic regardless of input order (no InvalidIndexError, no
+    arrival-order dependence; same policy as the dist variant)."""
     import pandas as pd
 
+    # deliberately list the greater text FIRST: keep-first would pick it
     idx = pd.DataFrame({"clip_id": ["c1", "c1"],
-                        "ref_transcript": ["first", "second"]})
+                        "ref_transcript": ["zzz", "aaa"]})
     chk = ReferentialCheck()
     chk.setup(CheckContext(params={"transcript_index": idx}))
-    out = chk.evaluate(_ref_batch(["c1"], ["first"]))
-    assert out.violations is None  # matches the kept (first) row
+    out = chk.evaluate(_ref_batch(["c1"], ["aaa"]))
+    assert out.violations is None  # matches the least text, not "zzz"
 
 
 def test_referential_dist_left_without_partition(ray_session):
@@ -208,6 +210,18 @@ def test_schema_check_missing_partition_column_reports():
     out = chk.evaluate(pa.table({"clip_id": pa.array(["a"], pa.string())}))
     v = out.violations.to_pandas()
     assert "<column:partition>" in set(v["clip_id"])
+
+
+def test_schema_check_type_drifted_partition_column_reports():
+    """A partition column PRESENT but drifted to string is reported as
+    SCHEMA_MISMATCH, not a ValueError from the int64 cast."""
+    from metrics_ray.checks.stateless import SchemaCheck
+
+    chk = SchemaCheck("schema", pa.schema([("partition", pa.int32())]))
+    out = chk.evaluate(pa.table({"partition": pa.array(["p0"], pa.string())}))
+    v = out.violations.to_pandas()
+    assert "<column:partition>" in set(v["clip_id"])
+    assert list(v["actual"]) == ["string"]
 
 
 def test_ownership_custom_prefix_length():

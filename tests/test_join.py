@@ -284,3 +284,29 @@ def test_bloom_anti_join_key_not_in_left_cols():
     df = out.to_pandas()
     assert list(df.columns) == ["lv"]
     assert sorted(df["lv"]) == [1, 3]
+
+
+def test_asof_null_keys_never_match():
+    """NULL keys on the left keep null attachments; NULL keys on the
+    right are dropped — merge_asof's by= would group NaN==NaN."""
+    from metrics_ray.stages.join import bucketed_asof_join
+
+    left = pa.table({
+        "k": pa.array(["a", None], pa.string()),
+        "ts": pa.array([10, 10], pa.int64()),
+        "lv": [1, 2],
+    })
+    right = pa.table({
+        "k": pa.array(["a", None], pa.string()),
+        "rts": pa.array([5, 5], pa.int64()),
+        "rv": ["hit", "nullside"],
+    })
+    out = bucketed_asof_join(
+        _ds(left), _ds(right), "k", "k", "ts", "rts",
+        ["lv"], ["rv"],
+        out_schema=pa.schema([("__ts", pa.int64()), ("lv", pa.int64()),
+                              ("__rts", pa.int64()), ("rv", pa.string())]))
+    df = out.to_pandas().sort_values("lv").reset_index(drop=True)
+    assert len(df) == 2  # left rows always survive (left join)
+    assert df.loc[0, "rv"] == "hit"
+    assert pd.isna(df.loc[1, "rv"])  # null key attached to nothing

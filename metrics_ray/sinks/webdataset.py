@@ -105,80 +105,136 @@ def _tar_bytes(rows: list[dict]) -> bytes:
     return buf.getvalue()
 
 
-def _write_partition(part_dir: str, out_part_dir: str,
-                     shard_ms: int) -> dict:
-    """Shard one partition's clips into tars; returns its manifest counts.
-    Payload rows are tagged with their shard index via a broadcast
-    assignment map (metadata-only prefix scan), co-grouped by shard, and
-    each shard's writer task emits one tar + one manifest row."""
+_WAVE_SCHEMA = pa.schema([
+    ("part", pa.string()), ("shard_idx", pa.int64()),
+    ("n_members", pa.int64()), ("total_ms", pa.int64()),
+    ("sha256", pa.string()),
+])
+
+
+def _write_wave(part_dirs: dict, out_dirs: dict, shard_ms: int) -> dict:
+    """Shard a WAVE of partitions into tars with ONE Ray Data job: every
+    payload row is tagged (partition, shard_idx) via a broadcast
+    assignment map (metadata-only prefix scans, read locally on the
+    coordinating thread), the whole wave goes through a single composite
+    co-group keyed by (part, shard), and each shard's writer task emits
+    one tar + one manifest row. One streaming execution per wave instead
+    of two per partition — the per-job driver overhead is what dominated
+    the per-partition form at small partition sizes.
+
+    Commit stays PER PARTITION: tars land under <out>/partition=P.tmp,
+    each partition's directory rename + _SUCCESS happens only after the
+    wave job finishes (a crash mid-wave commits nothing from that wave —
+    the wave is the progressive-commit granule, bounded by wave_size).
+    Returns {partition_name: manifest_counts}."""
+    import glob
+
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
     from ..checks.keyed import grouped_apply
 
-    meta = (rd.read_parquet(part_dir, columns=["clip_id", "dur_ms"])
-            .to_pandas())
-    assign = shard_assign(meta, shard_ms)
-    assign_ref = ray.put((
-        pa.array(assign["clip_id"], pa.string()),
-        pd.Series(assign["shard_idx"].to_numpy(),
-                  index=assign["clip_id"].to_numpy(), dtype="int64")))
+    assigns, tmp_dirs, files = {}, {}, []
+    total_shards = 0
+    for pname, pdir in part_dirs.items():
+        meta = pq.read_table(pdir,
+                             columns=["clip_id", "dur_ms"]).to_pandas()
+        assign = shard_assign(meta, shard_ms)
+        assigns[pname] = (
+            pa.array(assign["clip_id"], pa.string()),
+            pd.Series(assign["shard_idx"].to_numpy(),
+                      index=assign["clip_id"].to_numpy(), dtype="int64"))
+        total_shards += (int(assign["shard_idx"].max()) + 1
+                         if len(assign) else 0)
+        tmp = out_dirs[pname] + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        tmp_dirs[pname] = tmp
+        # explicit file list: include_paths needs files, and the path is
+        # how tag() recovers which partition a block belongs to
+        files.extend(sorted(glob.glob(os.path.join(pdir, "*.parquet"))))
+    assign_ref = ray.put(assigns)
 
     def tag(b: pa.Table) -> pa.Table:
-        keep_keys, shard_map = ray.get(assign_ref)
-        kept = b.filter(pc.is_in(b.column("clip_id"), value_set=keep_keys))
-        ids = pd.Series(kept.column("clip_id").to_pylist())
-        return kept.append_column(
-            "shard_idx", pa.array(ids.map(shard_map).to_numpy(np.int64)))
-
-    tmp_dir = out_part_dir + ".tmp"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    os.makedirs(tmp_dir, exist_ok=True)
-
-    out_schema = pa.schema([
-        ("shard_idx", pa.int64()), ("n_members", pa.int64()),
-        ("total_ms", pa.int64()), ("sha256", pa.string()),
-    ])
+        amap = ray.get(assign_ref)
+        paths = b.column("path").to_pylist()
+        parts = [os.path.basename(os.path.dirname(p)) for p in paths]
+        b = (b.drop_columns(["path"])
+             .append_column("part", pa.array(parts, pa.string())))
+        outs = []
+        # blocks come from single files, so this loop is ~1 iteration
+        for pname in sorted(set(parts)):
+            keep_keys, shard_map = amap[pname]
+            g = b.filter(pc.equal(b.column("part"), pname))
+            kept = g.filter(pc.is_in(g.column("clip_id"),
+                                     value_set=keep_keys))
+            ids = pd.Series(kept.column("clip_id").to_pylist())
+            outs.append(kept.append_column(
+                "shard_idx",
+                pa.array(ids.map(shard_map).to_numpy(np.int64))))
+        return pa.concat_tables(outs) if outs else b.append_column(
+            "shard_idx", pa.nulls(0, pa.int64()))
 
     def write_shard(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
-        for sid, g in df.groupby("shard_idx", sort=False):
+        for (pname, sid), g in df.groupby(["part", "shard_idx"],
+                                          sort=False):
             blob = _tar_bytes(g.to_dict("records"))
-            path = os.path.join(tmp_dir, f"shard-{int(sid):05d}.tar")
+            path = os.path.join(tmp_dirs[pname],
+                                f"shard-{int(sid):05d}.tar")
             with open(path + ".part", "wb") as f:
                 f.write(blob)
             os.replace(path + ".part", path)
-            outs.append({"shard_idx": int(sid),
+            outs.append({"part": pname, "shard_idx": int(sid),
                          "n_members": len(g),
                          "total_ms": int(g["dur_ms"].sum()),
                          "sha256": hashlib.sha256(blob).hexdigest()})
-        return pd.DataFrame(outs, columns=[f.name for f in out_schema])
+        return pd.DataFrame(outs, columns=[f.name for f in _WAVE_SCHEMA])
 
-    ds = rd.read_parquet(part_dir, columns=list(_WDS_COLUMNS))
-    manifest_rows = grouped_apply(
+    ds = rd.read_parquet(files, columns=list(_WDS_COLUMNS),
+                         include_paths=True)
+    rows = grouped_apply(
         ds.map_batches(tag, batch_format="pyarrow"),
-        "shard_idx", write_shard, out_schema=out_schema).to_pandas()
-    if manifest_rows.empty:
-        # a partition whose every clip fails the dur_ms > 0 filter writes
-        # zero shards but must still COMMIT (empty manifest), not KeyError
-        manifest_rows = pd.DataFrame(
-            {f.name: pd.Series(dtype=f.type.to_pandas_dtype())
-             for f in out_schema})
-    manifest_rows = manifest_rows.sort_values("shard_idx")
-    counts = {
-        "n_members": int(manifest_rows["n_members"].sum()),
-        "n_shards": int(len(manifest_rows)),
-        "total_ms": int(manifest_rows["total_ms"].sum()),
-        "shards": manifest_rows.to_dict("records"),
-    }
-    # atomic partition commit: tars land under .tmp, the rename IS the
-    # commit point, the _SUCCESS manifest makes the skip decision durable
-    shutil.rmtree(out_part_dir, ignore_errors=True)
-    os.replace(tmp_dir, out_part_dir)
-    with open(os.path.join(out_part_dir, "_SUCCESS"), "w") as f:
-        json.dump(counts, f, sort_keys=True)
-    return counts
+        ["part", "shard_idx"], write_shard,
+        n_buckets=max(total_shards, 1),
+        out_schema=_WAVE_SCHEMA).to_pandas()
+    if "part" not in rows.columns:
+        # a wave whose every clip fails the dur_ms > 0 filter produces
+        # ZERO blocks — to_pandas then has no columns at all; partitions
+        # must still COMMIT empty manifests
+        rows = pd.DataFrame({f.name: pd.Series(
+            dtype=f.type.to_pandas_dtype()) for f in _WAVE_SCHEMA})
+
+    results = {}
+    for pname in part_dirs:
+        mine = (rows[rows["part"] == pname]
+                .drop(columns="part").sort_values("shard_idx"))
+        counts = {
+            "n_members": int(mine["n_members"].sum()),
+            "n_shards": int(len(mine)),
+            "total_ms": int(mine["total_ms"].sum()),
+            "shards": mine.to_dict("records"),
+        }
+        # atomic partition commit: the rename IS the commit point, the
+        # _SUCCESS manifest makes the skip decision durable
+        out_part_dir = out_dirs[pname]
+        shutil.rmtree(out_part_dir, ignore_errors=True)
+        os.replace(tmp_dirs[pname], out_part_dir)
+        with open(os.path.join(out_part_dir, "_SUCCESS"), "w") as f:
+            json.dump(counts, f, sort_keys=True)
+        results[pname] = counts
+    return results
+
+
+def _write_partition(part_dir: str, out_part_dir: str,
+                     shard_ms: int) -> dict:
+    """Single-partition wrapper over the wave writer (kept as the
+    unit-testable seam)."""
+    pname = os.path.basename(os.path.normpath(part_dir))
+    return _write_wave({pname: part_dir}, {pname: out_part_dir},
+                       shard_ms)[pname]
 
 
 def read_webdataset(root: str):
@@ -326,8 +382,6 @@ def write_webdataset_sf(sf_dir: str, out_dir: str,
     """Shard the derived clips table into WebDataset tars under
     ``out_dir/partition=P/``; re-entrant (committed partitions are
     skipped). Returns the merged manifest."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from .. import harden_fsspec_race
     from ..pipelines.clips import ensure_clips_hive
 
@@ -347,15 +401,17 @@ def write_webdataset_sf(sf_dir: str, out_dir: str,
         else:
             pending.append(pname)
 
-    def one(pname: str) -> tuple[str, dict]:
-        return pname, _write_partition(os.path.join(hive, pname),
-                                       os.path.join(out_dir, pname),
-                                       shard_ms)
-
     if pending:
         if wave_size is None:
             wave_size = min(8, len(pending))
-        with ThreadPoolExecutor(max_workers=max(1, wave_size)) as pool:
-            for pname, counts in pool.map(one, pending):
-                manifest["partitions"][pname] = counts
+        wave_size = max(1, wave_size)
+        # one Ray Data job per wave (not two per partition): the wave is
+        # the progressive-commit granule — committed waves survive a
+        # crash, the in-flight wave re-runs
+        for i in range(0, len(pending), wave_size):
+            wave = pending[i:i + wave_size]
+            results = _write_wave(
+                {p: os.path.join(hive, p) for p in wave},
+                {p: os.path.join(out_dir, p) for p in wave}, shard_ms)
+            manifest["partitions"].update(results)
     return manifest

@@ -340,6 +340,17 @@ class SchemaCheck(BatchCheck):
         self.check_id = check_id
         self.expected = expected
         self.columns = ()  # needs whatever arrives; participates in no pruning
+        self._projected: set | None = None
+
+    def setup(self, ctx) -> None:
+        # projection awareness: when run_suite prunes the read to the
+        # suite's column union, an expected column absent from the BATCH
+        # may simply not have been read — judging it "missing" would
+        # false-fail every row of a metadata-only suite. Columns outside
+        # the projection are out of this run's evidence; presence is
+        # asserted only for columns the pass actually reads.
+        proj = ctx.params.get("projected_columns")
+        self._projected = set(proj) if proj is not None else None
 
     def evaluate(self, batch: pa.Table) -> BatchOutcome:
         # the partition column itself may be the drifted/dropped column
@@ -353,6 +364,9 @@ class SchemaCheck(BatchCheck):
         problems = []
         for f in self.expected:
             if f.name not in batch.column_names:
+                if (self._projected is not None
+                        and f.name not in self._projected):
+                    continue  # pruned away, not drifted
                 problems.append((f.name, "missing", str(f.type)))
             elif batch.schema.field(f.name).type != f.type:
                 problems.append(

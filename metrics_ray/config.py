@@ -99,6 +99,29 @@ CHECK_REGISTRY = {
 }
 
 
+# every key each type may carry ("type" itself is implicit) — a misspelled
+# parameter (psi_treshold) must fail the BUILD, not silently run with the
+# default (the module contract in the header)
+ALLOWED_KEYS = {
+    "schema": {"id", "schema"},
+    "enum": {"id", "column", "allowed", "code", "invert"},
+    "range": {"id", "column", "lo", "hi"},
+    "nonnull": {"id", "column", "reject_empty"},
+    "regex": {"id", "column", "pattern"},
+    "ownership": {"id", "n_partitions", "id_re"},
+    "cross": {"id", "rules"},
+    "speaking_rate": {"id", "lo", "hi"},
+    "ctc": {"id", "hop_ms"},
+    "hll_distinct": {"id", "column", "tolerance"},
+    "quantile_profile": {"id", "column"},
+    "reservoir": {"id", "column", "k"},
+    "drift": {"id", "column", "psi_threshold"},
+    "referential": {"id", "check_equality"},
+    "decode": {"id", "sample_fraction", "snr_threshold"},
+}
+assert set(ALLOWED_KEYS) == set(CHECK_REGISTRY)
+
+
 def checks_from_config(cfg: dict | str) -> list[BatchCheck]:
     """Build a check list from a config dict or a path to a .yaml/.json
     file. Every entry needs ``type`` (registry key) and, for most types,
@@ -120,6 +143,11 @@ def checks_from_config(cfg: dict | str) -> list[BatchCheck]:
             raise ValueError(
                 f"checks[{i}]: unknown check type {t!r} "
                 f"(known: {sorted(CHECK_REGISTRY)})")
+        unknown = set(entry) - ALLOWED_KEYS[t] - {"type"}
+        if unknown:
+            raise ValueError(
+                f"checks[{i}] (type={t}): unknown parameter(s) "
+                f"{sorted(unknown)} (allowed: {sorted(ALLOWED_KEYS[t])})")
         try:
             out.append(CHECK_REGISTRY[t](entry))
         except KeyError as e:

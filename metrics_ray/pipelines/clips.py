@@ -214,7 +214,8 @@ def validate_sf(sf_dir: str, replicas: int = 1, with_decode: bool = True,
                 batch_size: int = 256, concurrency=None,
                 baseline_sf_dir: str | None = None,
                 stage_in_memory: bool = False,
-                broadcast_budget_rows: int | None = None) -> SuiteReport:
+                broadcast_budget_rows: int | None = None,
+                violations_sink: str | None = None) -> SuiteReport:
     """The flagship pipeline: derive/cache clips → full check suite.
 
     ``baseline_sf_dir`` supplies the clean reference generation for the
@@ -238,7 +239,8 @@ def validate_sf(sf_dir: str, replicas: int = 1, with_decode: bool = True,
         baseline_factory=(clips_factory(ensure_clips_parquet(
             baseline_sf_dir, replicas=replicas, dur_scale=dur_scale))
             if baseline_sf_dir else None),
-        broadcast_budget_rows=broadcast_budget_rows)
+        broadcast_budget_rows=broadcast_budget_rows,
+        violations_sink=violations_sink)
 
 
 def staged_factory(parquet_dir: str):
@@ -278,7 +280,8 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
                           batch_size: int = 256, concurrency=None,
                           baseline_factory=None,
                           fuse_content_dedup: bool = True,
-                          broadcast_budget_rows: int | None = None) -> SuiteReport:
+                          broadcast_budget_rows: int | None = None,
+                          violations_sink: str | None = None) -> SuiteReport:
     """Run the full check suite over an arbitrary clip ds_factory.
 
     ``fuse_content_dedup=True`` (default): the shared batch pass hashes
@@ -357,6 +360,7 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
                        keyed=keyed,
                        batch_size=batch_size,
                        concurrency=concurrency,
-                       keyed_from_keys=keyed_from_keys)
+                       keyed_from_keys=keyed_from_keys,
+                       violations_sink=violations_sink)
     report.manifest["side_inputs_s"] = side_inputs_s
     return report

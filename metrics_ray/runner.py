@@ -445,6 +445,21 @@ def assemble_metrics(checks: list[BatchCheck], counters: pd.DataFrame,
     return _metric_rows(rows)
 
 
+def scanned_totals(counters: pd.DataFrame) -> tuple[int, pd.Series]:
+    """(global rows, per-partition rows) for keyed-check denominators: the
+    MAX scanned across checks per partition — robust to a sampling check
+    (whose counters reflect sampled rows only, e.g. DecodeCheck with
+    sample_fraction) sitting anywhere in the suite, including first; the
+    old checks[0] convention made total_rows ≈ fraction·N whenever a
+    sampled check led the (user-controlled) suite order."""
+    real = counters[counters.check_id != "__circuit__"]
+    if not len(real):
+        return 0, pd.Series(dtype="int64")
+    per = (real.groupby(["check_id", "partition"])["scanned"].sum()
+           .groupby("partition").max())
+    return int(per.sum()), per
+
+
 def _metric_rows(rows) -> pa.Table:
     cols = list(zip(*rows)) if rows else [[] for _ in range(7)]
     return pa.table({f.name: pa.array(list(c), f.type)
@@ -510,6 +525,7 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
               concurrency=None,
               keyed_from_keys: dict[str, tuple[Any, Callable]] | None = None,
               error_budget: int | None = None,
+              violations_sink: str | None = None,
               ) -> SuiteReport:
     """Full suite: batch checks (one pass) + keyed shuffle checks.
 
@@ -545,7 +561,16 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
     cols = set()
     for c in pass_checks:
         cols.update(c.columns)
-    ds = ds_factory(sorted(cols) if cols else None)
+    projected = sorted(cols) if cols else None
+    if projected is not None:
+        # tell projection-aware checks (SchemaCheck) which columns the
+        # pass actually reads — an expected column absent from the BATCH
+        # because pruning excluded it is not a schema violation
+        import dataclasses as _dc
+
+        ctx = _dc.replace(
+            ctx, params={**ctx.params, "projected_columns": projected})
+    ds = ds_factory(projected)
 
     # The batch pass and every keyed shuffle are INDEPENDENT pipelines —
     # run them concurrently from driver threads so the wall time is
@@ -559,11 +584,36 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
 
     def collect_keyed(kv_ds, kid: str = ""):
         tk = time.time()
-        tables = [t.cast(keyed_schema)
-                  for t in ray.get(arrow_refs(kv_ds))
-                  if t.num_rows]
-        out = (pa.concat_tables(tables) if tables
-               else keyed_schema.empty_table())
+        if violations_sink is None:
+            tables = [t.cast(keyed_schema)
+                      for t in ray.get(arrow_refs(kv_ds))
+                      if t.num_rows]
+            out = (pa.concat_tables(tables) if tables
+                   else keyed_schema.empty_table())
+        else:
+            # sink mode: the driver holds ONE block at a time — each is
+            # written to the sink and reduced to per-partition counts;
+            # only the counts (not the rows) reach metric assembly
+            import pyarrow.parquet as _pq
+
+            n_v, bad = 0, {}
+            os.makedirs(violations_sink, exist_ok=True)
+            for i, ref in enumerate(arrow_refs(kv_ds)):
+                t = ray.get(ref)
+                if not t.num_rows:
+                    continue
+                t = t.cast(keyed_schema)
+                t = t.add_column(0, "check_id", pa.array(
+                    [kid or "keyed"] * t.num_rows, pa.string())).cast(
+                        VIOLATION_SCHEMA)
+                _pq.write_table(t, os.path.join(
+                    violations_sink, f"keyed_{kid or 'k'}_{i:06d}.parquet"))
+                vp = t.column("partition").to_numpy(zero_copy_only=False)
+                uniq, cnt = np.unique(vp, return_counts=True)
+                for p, c in zip(uniq.tolist(), cnt.tolist()):
+                    bad[int(p)] = bad.get(int(p), 0) + int(c)
+                n_v += t.num_rows
+            out = (n_v, bad)
         if kid:
             keyed_wall[kid] = round(time.time() - tk, 3)
         return out
@@ -587,6 +637,7 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
                                concurrency=concurrency,
                                return_keys=bool(emitters),
                                error_budget=error_budget,
+                               violations_sink=violations_sink,
                                on_keys=on_keys)
         return out, time.time() - tb
 
@@ -646,32 +697,38 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
         ctx = dataclasses.replace(ctx, baseline_profile=prof)
     metrics = assemble_metrics(checks, counters, partials, ctx=ctx)
 
-    total_rows = int(counters[counters.check_id == checks[0].check_id]["scanned"].sum()) if checks else 0
+    total_rows, part_scanned = (scanned_totals(counters) if checks
+                                else (0, pd.Series(dtype="int64")))
     extra_metric_rows = []
     keyed_viols = []
     for kid, kvt in keyed_results:
-        n_v = kvt.num_rows
-        kvt = kvt.add_column(0, "check_id",
-                             pa.array([kid] * n_v, pa.string())).cast(VIOLATION_SCHEMA)
-        keyed_viols.append(kvt)
+        if isinstance(kvt, tuple):  # sink mode: (n_v, per-partition counts)
+            n_v, bad = kvt
+        else:
+            n_v = kvt.num_rows
+            kvt = kvt.add_column(0, "check_id",
+                                 pa.array([kid] * n_v,
+                                          pa.string())).cast(VIOLATION_SCHEMA)
+            keyed_viols.append(kvt)
+            if n_v:
+                vp = kvt.column("partition").to_numpy(zero_copy_only=False)
+                uniq, cnt = np.unique(vp, return_counts=True)
+                bad = dict(zip(uniq.tolist(), cnt.tolist()))
+            else:
+                bad = {}
         value = 1.0 if total_rows == 0 else 1.0 - n_v / total_rows
         extra_metric_rows.append((kid, -1, value, total_rows, n_v, False, n_v == 0))
-        # per-partition rows for keyed checks from violation partitions
-        if n_v:
-            vp = kvt.column("partition").to_numpy(zero_copy_only=False)
-            uniq, cnt = np.unique(vp, return_counts=True)
-            bad = dict(zip(uniq.tolist(), cnt.tolist()))
-        else:
-            bad = {}
-        # real data partitions only — the circuit breaker's synthetic
-        # partition=-1 counter row must not spawn keyed metric rows (it
-        # would collide with the global -1 row above)
+        # per-partition rows for keyed checks from violation partitions.
+        # REAL data partitions only (p >= 0): the circuit breaker's
+        # synthetic row and the legacy blob-only partial path both tag
+        # partition -1, which would collide with the global -1 row above
         for p in sorted(set(
                 counters.loc[counters.check_id != "__circuit__",
                              "partition"])):
+            if p < 0:
+                continue
             nv = int(bad.get(p, 0))
-            sc = int(counters[(counters.check_id == checks[0].check_id) &
-                              (counters.partition == p)]["scanned"].sum()) if checks else 0
+            sc = int(part_scanned.get(p, 0))
             val = 1.0 if sc == 0 else 1.0 - nv / sc
             extra_metric_rows.append((kid, int(p), val, sc, nv, False, nv == 0))
     if extra_metric_rows:

@@ -129,8 +129,28 @@ class CheckpointStore:
             os.path.join(self.root, "keyed", f"{check_id}.parquet"))
 
 
+def _check_param_digest(chk: BatchCheck) -> str:
+    """Stable digest of a check's primitive parameters — so a resume
+    detects CONFIG drift (e.g. a RangeCheck threshold edited between the
+    crash and the rerun), not just a changed check list; without it,
+    completed partitions computed under the old config silently mix with
+    new-partition results. Non-primitive state (indexes, compiled
+    patterns) is setup()-derived and excluded."""
+    prim = {}
+    for k, v in sorted(vars(chk).items()):
+        if isinstance(v, (str, int, float, bool, type(None))):
+            prim[k] = v
+        elif isinstance(v, (tuple, list, set, frozenset)):
+            try:
+                prim[k] = sorted(map(str, v))
+            except TypeError:
+                pass
+    return json.dumps(prim, sort_keys=True, default=str)
+
+
 def _suite_fingerprint(checks: list[BatchCheck], parquet_dir: str) -> str:
-    ids = ",".join(sorted(c.check_id for c in checks))
+    ids = ",".join(sorted(
+        f"{c.check_id}:{_check_param_digest(c)}" for c in checks))
     return hashlib.sha256(f"{ids}|{parquet_dir}".encode()).hexdigest()[:16]
 
 
@@ -184,6 +204,12 @@ def checkpointed_validate(
     manifest["fingerprint"] = fp
 
     parts = partition_dirs(parquet_dir)
+    if not parts:
+        # fail with the actual cause — an empty dict otherwise surfaces
+        # as pandas' "No objects to concatenate" deep in the re-merge
+        raise ValueError(
+            f"no partition=* directories under {parquet_dir!r} — "
+            "checkpointed_validate needs the hive-partitioned clips cache")
     done = set(manifest["completed"])
     # lineage staleness: a "completed" partition whose CURRENT file list
     # differs from the checkpointed lineage (files added/replaced since
@@ -245,8 +271,10 @@ def checkpointed_validate(
     metrics = assemble_metrics(checks, counters, all_partials, ctx=ctx)
 
     # ---- keyed global checks (run once, checkpointed wholesale) ---------
-    total_rows = int(counters[counters.check_id == checks[0].check_id]
-                     ["scanned"].sum()) if checks else 0
+    from ..runner import scanned_totals
+
+    total_rows, part_scanned = (scanned_totals(counters) if checks
+                                else (0, pd.Series(dtype="int64")))
     extra_rows = []
     for kid, fn in (keyed or {}).items():
         if kid in manifest["keyed_done"]:
@@ -283,8 +311,7 @@ def checkpointed_validate(
         bad = dict(zip(uniq.tolist(), cnt.tolist()))
         for p in sorted(parts):
             nv = int(bad.get(p, 0))
-            sc = int(counters[(counters.check_id == checks[0].check_id)
-                              & (counters.partition == p)]["scanned"].sum())
+            sc = int(part_scanned.get(p, 0))
             val = 1.0 if sc == 0 else 1.0 - nv / sc
             extra_rows.append((kid, int(p), val, sc, nv, False, nv == 0))
     if extra_rows:

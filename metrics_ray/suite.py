@@ -139,6 +139,12 @@ def build_baseline_profile(ds_factory, column: str = "dur_ms",
     blobs = [r["payload"] for r in
              ds.map_batches(hist_partial, batch_format="pyarrow").take_all()]
     h = merge_blobs(blobs)
+    if h is None:
+        # merge_blobs([]) is None — surface the real cause (empty baseline
+        # input) instead of an AttributeError in a background thread
+        raise ValueError(
+            f"cannot build a baseline profile for {column!r}: the baseline "
+            "dataset produced no batches (empty table or wrong path)")
     return {column: {"edges": edges.tolist(), "counts": h.counts.tolist()}}
 
 

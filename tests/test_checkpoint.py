@@ -190,3 +190,32 @@ def test_resume_detects_stale_partition_lineage(sf_unit, tmp_path_factory):
     assert 0 not in second.manifest["resumed_from"]
     assert sorted(second.manifest["resumed_from"]) == list(range(1, 8))
     assert second.manifest["rows_scanned"] > rows0  # partition 0 re-counted
+
+
+def test_fingerprint_guard_detects_param_drift(sf_unit, tmp_path_factory):
+    """Same check ids, DIFFERENT parameters: a resume must refuse instead
+    of silently mixing partitions computed under the old config."""
+    from metrics_ray.checks.stateless import RangeCheck
+    from metrics_ray.pipelines.clips import ensure_clips_hive
+    from metrics_ray.state.checkpoint import checkpointed_validate
+
+    d = str(tmp_path_factory.mktemp("ckpt_fp_param"))
+    path = ensure_clips_hive(sf_unit)
+    checkpointed_validate(path, [RangeCheck("dur", "dur_ms", 1, 30000)],
+                          checkpoint_dir=d, concurrency=2)
+    with pytest.raises(ValueError, match="different run"):
+        checkpointed_validate(path, [RangeCheck("dur", "dur_ms", 1, 20000)],
+                              checkpoint_dir=d, concurrency=2)
+
+
+def test_checkpoint_empty_parquet_dir_fails_loudly(tmp_path_factory):
+    """A dir with no partition=* subdirs is a clear ValueError, not a
+    pandas 'No objects to concatenate' from deep in the re-merge."""
+    from metrics_ray.checks.stateless import NonNullCheck
+    from metrics_ray.state.checkpoint import checkpointed_validate
+
+    empty = str(tmp_path_factory.mktemp("no_parts"))
+    with pytest.raises(ValueError, match="no partition"):
+        checkpointed_validate(empty, [NonNullCheck("t", "transcript")],
+                              checkpoint_dir=str(
+                                  tmp_path_factory.mktemp("ckpt_empty")))

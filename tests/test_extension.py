@@ -111,3 +111,34 @@ def test_config_rejects_unknown_type(tmp_path):
     p.write_text(json.dumps({"checks": [{"type": "nope", "id": "x"}]}))
     with _pytest.raises(ValueError, match="unknown check type"):
         checks_from_config(str(p))
+
+
+def test_config_rejects_unknown_parameter():
+    """A misspelled parameter fails the BUILD (module contract) instead of
+    silently running with the default."""
+    import pytest
+
+    from metrics_ray.config import checks_from_config
+
+    cfg = {"checks": [{"type": "drift", "id": "d", "column": "dur_ms",
+                       "psi_treshold": 0.5}]}
+    with pytest.raises(ValueError, match="unknown parameter"):
+        checks_from_config(cfg)
+
+
+def test_baseline_profile_empty_dataset_fails_loudly(ray_session):
+    """merge_blobs([]) is None — an empty baseline input must raise a
+    clear error, not AttributeError in a profile thread."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from metrics_ray.suite import build_baseline_profile
+
+    def factory(columns=None):
+        t = pa.table({"dur_ms": pa.array([], pa.int32()),
+                      "partition": pa.array([], pa.int32())})
+        return rd.from_arrow(t)
+
+    with pytest.raises(ValueError, match="no batches"):
+        build_baseline_profile(factory, column="dur_ms")

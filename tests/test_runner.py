@@ -352,3 +352,62 @@ def test_circuit_budget_with_keyed_has_unique_metric_rows(sf_unit):
     m = rep.metrics.to_pandas()
     dup = m.groupby(["check_id", "partition"]).size()
     assert (dup == 1).all(), dup[dup > 1]
+
+
+def test_schema_check_survives_column_pruning(sf_unit):
+    """A metadata-only suite prunes 'bytes' from the read; SchemaCheck
+    must treat the pruned column as out-of-evidence, not 'missing' —
+    previously every row false-failed schema_conformance."""
+    from metrics_ray.checks.stateless import RangeCheck, SchemaCheck
+    from metrics_ray.pipelines.clips import clips_factory, ensure_clips_parquet
+    from metrics_ray.runner import run_suite
+    from metrics_ray.schema import CLIP_SCHEMA
+
+    factory = clips_factory(ensure_clips_parquet(sf_unit))
+    rep = run_suite(factory, [SchemaCheck("schema_conformance", CLIP_SCHEMA),
+                              RangeCheck("dur_range", "dur_ms", 1, 30000)],
+                    concurrency=2)
+    assert rep.metric("schema_conformance")["metric_value"] == 1.0
+    v = rep.violations.to_pandas()
+    assert (v.check_id == "schema_conformance").sum() == 0
+
+
+def test_sampled_check_first_keeps_full_denominator(sf_unit):
+    """A sampling check in FIRST position must not shrink rows_scanned /
+    keyed denominators to the sampled count (the old checks[0] rule)."""
+    from metrics_ray.checks.decode import DecodeCheck
+    from metrics_ray.checks.stateless import RangeCheck
+    from metrics_ray.pipelines.clips import clips_factory, ensure_clips_parquet
+    from metrics_ray.runner import run_suite
+
+    factory = clips_factory(ensure_clips_parquet(sf_unit))
+    rep = run_suite(factory,
+                    [DecodeCheck("decode_sampled", sample_fraction=0.25),
+                     RangeCheck("dur_range", "dur_ms", 1, 30000)],
+                    concurrency=2)
+    assert rep.manifest["rows_scanned"] == TOTAL
+
+
+def test_run_suite_violations_sink_keyed(sf_unit, tmp_path):
+    """Suite-level sink mode: batch AND keyed violation rows land in the
+    sink, the driver report carries counts only, and metric values match
+    the in-driver mode."""
+    import glob
+    import os
+
+    from metrics_ray.pipelines.clips import validate_sf
+
+    sink = str(tmp_path / "sink")
+    a = validate_sf(sf_unit, concurrency=2)
+    b = validate_sf(sf_unit, concurrency=2, violations_sink=sink)
+    assert b.violations.num_rows == 0
+    ma = (a.metrics.to_pandas()
+          .set_index(["check_id", "partition"])["metric_value"])
+    mb = (b.metrics.to_pandas()
+          .set_index(["check_id", "partition"])["metric_value"])
+    import pandas as pd
+
+    pd.testing.assert_series_equal(ma.sort_index(), mb.sort_index())
+    files = glob.glob(os.path.join(sink, "**", "*.parquet"), recursive=True)
+    assert files
+    assert any("keyed_" in os.path.basename(f) for f in files)

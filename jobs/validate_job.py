@@ -41,8 +41,12 @@ def main() -> None:
     import ray
 
     if not ray.is_initialized():  # standalone; under `ray job submit` the
-        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),  # cluster
-                 num_cpus=args.num_cpus,                          # is up
+        addr = os.environ.get("RAY_ADDRESS", "local")             # cluster
+        # num_cpus is only legal for a NEW local instance — passing it
+        # when connecting to an existing cluster raises ValueError, which
+        # would kill the job whenever RAY_GRAFT_CPUS happens to be set
+        ray.init(address=addr,
+                 num_cpus=args.num_cpus if addr == "local" else None,
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
     try:
@@ -64,7 +68,9 @@ def main() -> None:
         verdict_by_part = {int(r["partition"]): bool(r["passed"])
                            for r in report.verdicts.to_pylist()}
         for pid in sorted(verdict_by_part):
-            rec = store.load_partition(pid)[3]
+            # record-only access: load_partition would also pull each
+            # partition's whole violations parquet through the driver
+            rec = store.load_partition_meta(pid)
             lat.append({"partition": pid, "wall_s": rec["wall_s"],
                         "rows": rec["rows_scanned"],
                         "passed": verdict_by_part[pid]})

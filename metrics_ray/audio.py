@@ -83,10 +83,12 @@ def encode(pcm: np.ndarray, codec: str) -> bytes:
 
 
 def detect_codec(payload: bytes) -> str | None:
-    """Return the actual codec of a payload by magic, or None."""
-    if len(payload) < 4:
+    """Return the actual codec of a payload by magic, or None. Accepts any
+    buffer (bytes OR the zero-copy memoryviews the curation stage passes);
+    the 4-byte magic copy makes the dict lookup hashable either way."""
+    if payload is None or len(payload) < 4:
         return None
-    return _MAGIC_REV.get(payload[:4])
+    return _MAGIC_REV.get(bytes(payload[:4]))
 
 
 def decode(payload: bytes) -> tuple[str, np.ndarray]:

@@ -95,18 +95,43 @@ def transcript_index_df(sf_dir: str, replicas: int = 1):
     return pd.concat(frames, ignore_index=True)
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Short digest of the source documents.parquet identity (abspath +
+    size + mtime): the cache tag must change when the SOURCE changes —
+    a basename-only tag would silently serve clips derived from a
+    different dataset that happens to share the directory name, or from
+    a regenerated file at the same path."""
+    import hashlib
+
+    p = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    st = os.stat(p)
+    return hashlib.sha256(
+        f"{p}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:10]
+
+
+def _fresh_cache_dir(out: str, done: str) -> None:
+    """Clear any partial write (dir exists, no _SUCCESS): Ray part-file
+    names are per-execution uuids, so writing into crash leftovers would
+    APPEND a second copy of the data and then commit the poisoned cache."""
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+
+
 def ensure_clips_parquet(sf_dir: str, replicas: int = 1,
                          dur_scale: float = 1.0) -> str:
     """Materialize the derived clips to a cached parquet dir (one-off cost);
     returns the cache path. Layout is resumable: multiple part files, the
     `partition` column preserved for per-partition verdicts/pruning."""
     tag = (f"clips_{os.path.basename(os.path.normpath(sf_dir))}"
-           f"_r{replicas}_d{dur_scale}")
+           f"_r{replicas}_d{dur_scale}_{_source_fingerprint(sf_dir)}")
     out = os.path.join(CACHE_ROOT, tag)
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out
-    os.makedirs(out, exist_ok=True)
+    _fresh_cache_dir(out, done)
     ds = clips_dataset(sf_dir, replicas=replicas, dur_scale=dur_scale)
     ds.write_parquet(out)
     with open(done, "w") as f:
@@ -121,12 +146,12 @@ def ensure_clips_hive(sf_dir: str, replicas: int = 1,
     partition so checkpoint/resume can skip completed partitions and a
     partition-scoped read touches only its own files."""
     tag = (f"clips_hive_{os.path.basename(os.path.normpath(sf_dir))}"
-           f"_r{replicas}_d{dur_scale}")
+           f"_r{replicas}_d{dur_scale}_{_source_fingerprint(sf_dir)}")
     out = os.path.join(CACHE_ROOT, tag)
     done = os.path.join(out, "_SUCCESS")
     if os.path.exists(done):
         return out
-    os.makedirs(out, exist_ok=True)
+    _fresh_cache_dir(out, done)
     ds = clips_dataset(sf_dir, replicas=replicas, dur_scale=dur_scale)
     ds.write_parquet(out, partition_cols=["partition"])
     with open(done, "w") as f:

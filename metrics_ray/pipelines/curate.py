@@ -76,6 +76,33 @@ CURATED_SCHEMA = pa.schema([
 ])
 
 
+def _meta_ok_mask(batch: pa.Table) -> np.ndarray:
+    """Vectorized metadata gate (sr enum, dur range, codec enum, transcript
+    non-empty) — shared by the curation stage and the dedup keeper choice."""
+    import pyarrow.compute as pc
+
+    sr_ok = pc.is_in(batch.column("sr_hz"),
+                     value_set=pa.array(list(VALID_SR_HZ), pa.int32()))
+    dur = batch.column("dur_ms")
+    dur_ok = pc.and_(pc.greater(dur, 0), pc.less_equal(dur, MAX_DUR_MS))
+    codec_ok = pc.is_in(batch.column("codec"),
+                        value_set=pa.array(list(VALID_CODECS)))
+    t = batch.column("transcript")
+    t_ok = pc.and_(t.is_valid(), pc.not_equal(pc.fill_null(t, ""), ""))
+    ok = pc.and_(pc.and_(sr_ok, dur_ok), pc.and_(codec_ok, t_ok))
+    return pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+
+
+def _atomic_json(path: str, obj) -> None:
+    """Write-then-rename: a crash mid-write must never leave a torn JSON
+    marker — json.load of a half-written _SUCCESS would wedge every
+    subsequent resume (the state/checkpoint.py write_manifest contract)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
 class CurationStage:
     """One decode per surviving row: metadata gate (vectorized Arrow mask)
     → decode → VAD/clipping profile → resample to ``target_sr`` → canonical
@@ -95,18 +122,7 @@ class CurationStage:
         self.profiler = SilenceProfiler()
 
     def _meta_ok(self, batch: pa.Table) -> np.ndarray:
-        import pyarrow.compute as pc
-
-        sr_ok = pc.is_in(batch.column("sr_hz"),
-                         value_set=pa.array(list(VALID_SR_HZ), pa.int32()))
-        dur = batch.column("dur_ms")
-        dur_ok = pc.and_(pc.greater(dur, 0), pc.less_equal(dur, MAX_DUR_MS))
-        codec_ok = pc.is_in(batch.column("codec"),
-                            value_set=pa.array(list(VALID_CODECS)))
-        t = batch.column("transcript")
-        t_ok = pc.and_(t.is_valid(), pc.not_equal(pc.fill_null(t, ""), ""))
-        ok = pc.and_(pc.and_(sr_ok, dur_ok), pc.and_(codec_ok, t_ok))
-        return pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+        return _meta_ok_mask(batch)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..stages.audio_ops import resample_pcm
@@ -128,9 +144,14 @@ class CurationStage:
                 "bytes": pa.nulls(n, pa.binary()),
             }))
         if meta_ok.any():
+            from ..checks.keyed import _binary_views
+
             ok = batch.filter(pa.array(meta_ok))
             ids = ok.column("clip_id").to_pylist()
-            payloads = ok.column("bytes").to_pylist()
+            # zero-copy memoryview slices: to_pylist would duplicate the
+            # batch's dominant column (the payload) in Python bytes;
+            # audio.decode reads any buffer (np.frombuffer / zlib)
+            payloads = _binary_views(ok.column("bytes"))
             srs = ok.column("sr_hz").to_numpy(zero_copy_only=False)
             n = len(ids)
             # decode is inherently per-row (variable-length payloads);
@@ -178,18 +199,33 @@ DROP_SCHEMA = pa.schema([("partition", pa.int64()),
 
 def dedup_drop_ds(factory):
     """Global exact-content dedup decisions: for every 128-bit content key
-    seen more than once, drop all members except the lexicographically
-    smallest clip_id (the canonical keeper). Shuffle payload is the
-    projected (key, partition, clip_id) stream only."""
+    seen more than once, drop all members except one canonical keeper.
+
+    Keeper choice is GATE-AWARE: metadata-valid members win over
+    metadata-invalid ones, lexicographically-smallest clip_id breaks
+    ties. The content hash covers only (bytes, transcript), so members of
+    one group can differ in sr_hz/dur_ms/codec — a blindly-lexicographic
+    keeper could be the one copy phase 2's metadata gate rejects, losing
+    content that had a perfectly curate-able duplicate. (Decode-level
+    gates — VAD/clipping — run on the payload, which is identical within
+    a group, so they cannot split a group the same way.) Shuffle payload
+    is the projected (key, partition, clip_id, meta_ok) stream only."""
     import pandas as pd
 
     from ..checks.keyed import content_hash_batch, grouped_apply
 
-    keyed = factory(["bytes", "transcript", "clip_id", "partition"]) \
-        .map_batches(content_hash_batch, batch_format="pyarrow")
+    def hash_with_meta(b: pa.Table) -> pa.Table:
+        t = content_hash_batch(b)
+        return t.append_column("meta_ok", pa.array(_meta_ok_mask(b)))
+
+    keyed = factory(list(CurationStage.columns) + ["partition"]) \
+        .map_batches(hash_with_meta, batch_format="pyarrow")
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["key", "clip_id"], kind="stable")
+        # keeper = first after (key, gate-fail flag, clip_id) sort: a
+        # metadata-valid member always outranks an invalid one
+        df = (df.assign(__bad=~df["meta_ok"].astype(bool))
+              .sort_values(["key", "__bad", "clip_id"], kind="stable"))
         dup = df[df.duplicated("key", keep="first")]
         return pd.DataFrame({
             "partition": dup["partition"].astype("int64"),
@@ -374,17 +410,21 @@ def curate_sf(sf_dir: str, out_dir: str, replicas: int = 1,
               "max_clipping": float(max_clipping),
               "replicas": int(replicas), "sf_dir": os.path.abspath(sf_dir)}
     cfg_path = os.path.join(out_dir, "_CONFIG.json")
+    prev = None
     if os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            prev = json.load(f)
+        try:
+            with open(cfg_path) as f:
+                prev = json.load(f)
+        except json.JSONDecodeError:
+            prev = None  # torn pre-atomic write: treat as uncommitted
+    if prev is not None:
         if prev != config:
             raise ValueError(
                 f"curate_sf resume config mismatch for {out_dir!r}: "
                 f"committed {prev} vs requested {config}; use a fresh "
                 "output dir (or delete this one) to change parameters")
     else:
-        with open(cfg_path, "w") as f:
-            json.dump(config, f, sort_keys=True)
+        _atomic_json(cfg_path, config)
 
     # phase 1: global dedup decisions (skipped when already committed).
     # The drop list is O(duplicate rows) — tiny relative to the corpus —
@@ -425,9 +465,15 @@ def curate_sf(sf_dir: str, out_dir: str, replicas: int = 1,
     pending: list[str] = []
     for pname in parts:
         marker = os.path.join(out_dir, pname, "_SUCCESS")
+        counts = None
         if os.path.exists(marker):
-            with open(marker) as f:
-                manifest["partitions"][pname] = json.load(f)
+            try:
+                with open(marker) as f:
+                    counts = json.load(f)
+            except json.JSONDecodeError:
+                counts = None  # torn marker: partition is NOT committed
+        if counts is not None:
+            manifest["partitions"][pname] = counts
             manifest["resumed_skips"] += 1
         else:
             pending.append(pname)
@@ -439,8 +485,7 @@ def curate_sf(sf_dir: str, out_dir: str, replicas: int = 1,
         counts = _curate_partition(
             os.path.join(hive, pname), out_part, drop_ids_for(pname),
             stage, pack_cap_ms)
-        with open(os.path.join(out_part, "_SUCCESS"), "w") as f:
-            json.dump(counts, f)
+        _atomic_json(os.path.join(out_part, "_SUCCESS"), counts)
         return pname, counts
 
     if pending:

@@ -222,8 +222,12 @@ def _write_wave(part_dirs: dict, out_dirs: dict, shard_ms: int) -> dict:
         out_part_dir = out_dirs[pname]
         shutil.rmtree(out_part_dir, ignore_errors=True)
         os.replace(tmp_dirs[pname], out_part_dir)
-        with open(os.path.join(out_part_dir, "_SUCCESS"), "w") as f:
+        # marker written atomically: a torn _SUCCESS would crash every
+        # resume/read/verify with JSONDecodeError
+        marker_tmp = os.path.join(out_part_dir, "_SUCCESS.tmp")
+        with open(marker_tmp, "w") as f:
             json.dump(counts, f, sort_keys=True)
+        os.replace(marker_tmp, os.path.join(out_part_dir, "_SUCCESS"))
         results[pname] = counts
     return results
 
@@ -394,9 +398,15 @@ def write_webdataset_sf(sf_dir: str, out_dir: str,
     pending: list[str] = []
     for pname in parts:
         marker = os.path.join(out_dir, pname, "_SUCCESS")
+        counts = None
         if os.path.exists(marker):
-            with open(marker) as f:
-                manifest["partitions"][pname] = json.load(f)
+            try:
+                with open(marker) as f:
+                    counts = json.load(f)
+            except json.JSONDecodeError:
+                counts = None  # torn pre-atomic marker: not committed
+        if counts is not None:
+            manifest["partitions"][pname] = counts
             manifest["resumed_skips"] += 1
         else:
             pending.append(pname)

@@ -161,3 +161,51 @@ def test_rerun_with_different_config_refuses(curated):
     out_dir, _manifest = curated
     with pytest.raises(ValueError, match="config mismatch"):
         curate_sf("/root/testdata/sf0.001", out_dir, min_speech=0.99)
+
+
+def test_torn_success_marker_recurates_partition(curated):
+    """A half-written _SUCCESS (crash mid-write, pre-atomic era) means NOT
+    committed: the resume must recurate that partition, not die with
+    JSONDecodeError on every subsequent run."""
+    from metrics_ray.pipelines.curate import curate_sf
+
+    out, m1 = curated
+    victim = sorted(d for d in os.listdir(out)
+                    if d.startswith("partition="))[0]
+    marker = os.path.join(out, victim, "_SUCCESS")
+    with open(marker, "w") as f:
+        f.write('{"n_input": 5')  # torn JSON
+    m2 = curate_sf(SF, out)
+    assert m2["partitions"][victim] == m1["partitions"][victim]
+    with open(marker) as f:
+        json.load(f)  # rewritten whole
+
+
+def test_dedup_keeper_prefers_metadata_valid_member(ray_session):
+    """Identical (bytes, transcript) but different metadata: the keeper is
+    the gate-passing member, so content with a curate-able copy is never
+    lost to a gate-rejected lexicographically-smaller keeper."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metrics_ray import audio
+    from metrics_ray.pipelines.curate import dedup_drop_ds
+
+    payload = audio.encode(np.zeros(1600, np.float32), "pcm_s16le")
+    t = pa.table({
+        "clip_id": ["clip-00000001", "clip-00000002"],
+        "bytes": pa.array([payload, payload], pa.binary()),
+        "sr_hz": pa.array([7999, 16000], pa.int32()),  # first is INVALID
+        "dur_ms": pa.array([100, 100], pa.int32()),
+        "codec": ["pcm_s16le", "pcm_s16le"],
+        "transcript": ["same text", "same text"],
+        "partition": pa.array([0, 0], pa.int32()),
+    })
+
+    def factory(columns=None):
+        ds = rd.from_arrow(t)
+        return ds.select_columns(columns) if columns else ds
+
+    drops = dedup_drop_ds(factory).to_pandas()
+    # the metadata-invalid clip-...01 is dropped even though it sorts first
+    assert list(drops["clip_id"]) == ["clip-00000001"]

@@ -93,3 +93,52 @@ def test_lance_source_gating(tmp_path):
     pq.write_table(pa.table({"a": [1, 2]}), tmp_path / "x.parquet")
     ds = read_clips(str(tmp_path))
     assert ds.count() == 2
+
+
+def test_clips_cache_clears_partial_writes(tmp_path, sf_unit):
+    """A cache dir left by a crashed write (files, no _SUCCESS) is cleared
+    before rebuilding — Ray part-file names are per-run uuids, so writing
+    into leftovers would commit a cache with duplicated rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from metrics_ray.pipelines import clips as C
+
+    old_root, C.CACHE_ROOT = C.CACHE_ROOT, str(tmp_path)
+    try:
+        path = C.ensure_clips_parquet(sf_unit)
+        n_clean = sum(pq.read_metadata(os.path.join(path, f)).num_rows
+                      for f in os.listdir(path) if f.endswith(".parquet"))
+        # simulate a crashed write: drop the marker, leave the files
+        os.remove(os.path.join(path, "_SUCCESS"))
+        path2 = C.ensure_clips_parquet(sf_unit)
+        assert path2 == path
+        n_rebuilt = sum(pq.read_metadata(os.path.join(path2, f)).num_rows
+                        for f in os.listdir(path2) if f.endswith(".parquet"))
+        assert n_rebuilt == n_clean  # not doubled
+    finally:
+        C.CACHE_ROOT = old_root
+
+
+def test_clips_cache_tag_tracks_source_identity(tmp_path, sf_unit):
+    """Regenerating documents.parquet (same path, new mtime) must produce
+    a DIFFERENT cache dir — a stale cache must never serve clips derived
+    from a previous generation of the source."""
+    import os
+    import shutil
+
+    from metrics_ray.pipelines import clips as C
+
+    src = str(tmp_path / "sf")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_unit, "documents.parquet"),
+                os.path.join(src, "documents.parquet"))
+    old_root, C.CACHE_ROOT = C.CACHE_ROOT, str(tmp_path / "cache")
+    try:
+        a = C.ensure_clips_parquet(src)
+        os.utime(os.path.join(src, "documents.parquet"))  # "regenerated"
+        b = C.ensure_clips_parquet(src)
+        assert a != b
+    finally:
+        C.CACHE_ROOT = old_root

@@ -246,3 +246,18 @@ def test_write_partition_commits_empty_when_all_rows_filtered(tmp_path):
     assert counts == {"n_members": 0, "n_shards": 0, "total_ms": 0,
                       "shards": []}
     assert os.path.exists(out_dir / "_SUCCESS")
+
+
+def test_torn_success_marker_reshards_partition(manifest, sf_unit):
+    """A torn _SUCCESS manifest is treated as uncommitted: the partition is
+    re-sharded on the next write instead of crashing resume/read."""
+    from metrics_ray.sinks.webdataset import write_webdataset_sf
+
+    m1 = manifest
+    victim = sorted(m1["partitions"])[0]
+    marker = os.path.join(OUT, victim, "_SUCCESS")
+    with open(marker, "w") as f:
+        f.write('{"n_shards":')  # torn JSON
+    m2 = write_webdataset_sf(sf_unit, OUT)
+    assert m2["partitions"][victim]["shards"] == \
+        m1["partitions"][victim]["shards"]

@@ -2139,6 +2139,113 @@ SELECT doc_id, n_tokens,
 FROM t ORDER BY doc_id"""
 
 
+# ------------------------------------------------ greedy sequence packing
+
+SEQ_BUDGET_TOKENS = 96
+
+_SEQ_PACK_SCHEMA = pa.schema([
+    ("lang", pa.string()), ("doc_id", pa.int64()),
+    ("n_tokens", pa.int64()), ("seq_id", pa.int64()),
+    ("tok_offset", pa.int64()),
+])
+
+
+def q_doc_seq_pack(sf_dir: str) -> pa.Table:
+    """Greedy NO-SPLIT sequence packing (the text-side training-example
+    packer, sibling of stages/audio_ops.pack_clips): within each ``lang``
+    stream, documents are taken in doc_id order and appended to the
+    current sequence while the sequence's total token count stays within
+    ``SEQ_BUDGET_TOKENS``; a document that would overflow starts a new
+    sequence (documents are never split, so a document longer than the
+    budget occupies a sequence alone). Unlike pack_clips' concat-then-chunk
+    prefix division, the boundary here depends recursively on all earlier
+    boundaries — the oracle is a recursive CTE, and the engine resolves
+    each group with a per-SEQUENCE searchsorted jump over the token-count
+    cumsum (iterations = sequences, not documents).
+
+    Scale shape: token counts come from one re2 kernel per batch, so the
+    grouped_apply exchange carries only (lang, doc_id, n_tokens) — never
+    text. Parallelism is bounded by the number of packing streams (here
+    ``lang``; a production corpus would pack per (lang, partition), same
+    plan). Order-dependent per stream by construction, the engine's
+    second deliberately order-dependent fold after pack_clips
+    (SURVEY.md §2.8, EstimatedExtensionalConciseness.java:96-120)."""
+    import pyarrow.compute as pc
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text"), "")
+        return pa.table({
+            "lang": b.column("lang"),
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pc.count_substring_regex(txt, r"\S+").cast(pa.int64()),
+        })
+
+    def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "doc_id"], kind="stable")
+        outs = []
+        for lang, g in df.groupby("lang", sort=False):
+            n = g["n_tokens"].to_numpy(dtype="int64")
+            cum = np.cumsum(n)
+            seq_ids = np.empty(len(n), dtype="int64")
+            offs = np.empty(len(n), dtype="int64")
+            i, seq = 0, 0
+            while i < len(n):
+                base = int(cum[i - 1]) if i else 0
+                j = int(np.searchsorted(cum, base + SEQ_BUDGET_TOKENS,
+                                        side="right"))
+                j = max(j, i + 1)  # over-budget doc packs alone
+                seq_ids[i:j] = seq
+                offs[i] = 0
+                offs[i + 1:j] = cum[i:j - 1] - base
+                seq += 1
+                i = j
+            outs.append(pd.DataFrame({
+                "lang": lang, "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n, "seq_id": seq_ids, "tok_offset": offs,
+            }))
+        if not outs:
+            return pd.DataFrame({f.name: pd.Series([], dtype="int64")
+                                 if f.type == pa.int64() else
+                                 pd.Series([], dtype=str)
+                                 for f in _SEQ_PACK_SCHEMA})
+        return pd.concat(outs, ignore_index=True)
+
+    out = grouped_apply(
+        documents_ds(sf_dir, ["lang", "doc_id", "text"])
+        .map_batches(tok_counts, batch_format="pyarrow"),
+        "lang", pack_bucket, out_schema=_SEQ_PACK_SCHEMA)
+    import ray
+
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
+    if not tables:
+        return _SEQ_PACK_SCHEMA.empty_table()
+    return pa.concat_tables(tables).sort_by(
+        [("lang", "ascending"), ("doc_id", "ascending")])
+
+
+SQL_DOC_SEQ_PACK = f"""WITH RECURSIVE ord AS (
+    SELECT lang, doc_id,
+           len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM documents
+), r AS (
+    SELECT lang, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS tok_offset
+    FROM ord WHERE rn = 1
+    UNION ALL
+    SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+           CASE WHEN r.tok_offset + r.n_tokens + o.n_tokens
+                     <= {SEQ_BUDGET_TOKENS}
+                THEN r.seq_id ELSE r.seq_id + 1 END,
+           CASE WHEN r.tok_offset + r.n_tokens + o.n_tokens
+                     <= {SEQ_BUDGET_TOKENS}
+                THEN r.tok_offset + r.n_tokens ELSE CAST(0 AS BIGINT) END
+    FROM r JOIN ord o ON o.lang = r.lang AND o.rn = r.rn + 1
+)
+SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, seq_id, tok_offset
+FROM r ORDER BY lang, doc_id"""
+
+
 DOC_QUERIES = {
     "doc_token_counts": (q_doc_token_counts, SQL_DOC_TOKEN_COUNTS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
@@ -2170,4 +2277,5 @@ DOC_QUERIES = {
     "doc_dup_spans": (q_doc_dup_spans, SQL_DOC_DUP_SPANS),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "doc_rank_pctl": (q_doc_rank_pctl, SQL_DOC_RANK_PCTL),
+    "doc_seq_pack": (q_doc_seq_pack, SQL_DOC_SEQ_PACK),
 }

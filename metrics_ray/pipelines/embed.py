@@ -248,6 +248,104 @@ SELECT query_id, rank, neighbor_id, cos FROM ranked
 WHERE rank <= {KNN_K} ORDER BY query_id, rank"""
 
 
+# ----------------------------------------------------- hard-negative mining
+
+HARDNEG_K = 3
+
+_HARDNEG_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("rank", pa.int64()),
+    ("neighbor_id", pa.int64()), ("neighbor_label", pa.int64()),
+    ("cos", pa.float64()),
+])
+
+
+def q_emb_hardneg(sf_dir: str) -> pa.Table:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the HARDNEG_K most-similar corpus vectors with a DIFFERENT
+    label — the highest-loss negatives a triplet/contrastive loop would
+    sample. Same scale shape as q_emb_knn (the broadcast query matrix
+    ships once via ray.put; each batch emits its local label-masked
+    top-k partial, the driver merges tiny partials), plus the per-batch
+    label mask. Rank order: (rounded cos DESC, neighbor_id ASC)."""
+    import ray
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding", "label"])
+    qsel = qt.filter(pa.compute.less(qt.column("vec_id"), N_QUERIES))
+    Q = _emb_matrix(qsel)
+    qids = qsel.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qlabs = qsel.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qlabs, Qn))
+
+    def topk(b: pa.Table) -> pa.Table:
+        q_ids, q_labs, Qm = ray.get(q_ref)
+        M = _emb_matrix(b)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = round_half_away(Mn @ Qm.T, 6)  # (n, nq)
+        rows_q, rows_n, rows_l, rows_c = [], [], [], []
+        for j, (qid, ql) in enumerate(zip(q_ids, q_labs)):
+            mask = labs != ql  # different label ⇒ never the query itself
+            cand_ids, cand_labs = ids[mask], labs[mask]
+            cand = sims[mask, j]
+            k = min(HARDNEG_K, len(cand_ids))
+            order = np.lexsort((cand_ids, -cand))[:k]
+            rows_q.extend([qid] * k)
+            rows_n.extend(cand_ids[order].tolist())
+            rows_l.extend(cand_labs[order].tolist())
+            rows_c.extend(cand[order].tolist())
+        return pa.table({
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "neighbor_label": pa.array(rows_l, pa.int64()),
+            "cos": pa.array(rows_c, pa.float64()),
+        })
+
+    partial = _collect(
+        embeddings_ds(sf_dir, ["vec_id", "embedding", "label"])
+        .map_batches(topk, batch_format="pyarrow"),
+        ["query_id", "neighbor_id"])
+    if partial is None:
+        return _HARDNEG_SCHEMA.empty_table()
+    df = partial.to_pandas()
+    df = df.sort_values(["query_id", "cos", "neighbor_id"],
+                        ascending=[True, False, True], kind="stable")
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= HARDNEG_K].reset_index(drop=True)
+    return pa.table({
+        "query_id": pa.array(df["query_id"], pa.int64()),
+        "rank": pa.array(df["rank"], pa.int64()),
+        "neighbor_id": pa.array(df["neighbor_id"], pa.int64()),
+        "neighbor_label": pa.array(df["neighbor_label"], pa.int64()),
+        "cos": pa.array(df["cos"], pa.float64()),
+    })
+
+
+SQL_EMB_HARDNEG = f"""WITH q AS (
+    SELECT vec_id AS qid, embedding AS qe, label AS qlab FROM embeddings
+    WHERE vec_id < {N_QUERIES}
+),
+sims AS (
+    SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+           CAST(e.label AS BIGINT) AS neighbor_label,
+           round(list_cosine_similarity(
+               list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+    FROM q, embeddings e WHERE e.label != q.qlab
+),
+ranked AS (
+    SELECT query_id, neighbor_id, neighbor_label, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rank
+    FROM sims
+)
+SELECT query_id, rank, neighbor_id, neighbor_label, cos FROM ranked
+WHERE rank <= {HARDNEG_K} ORDER BY query_id, rank"""
+
+
 # ------------------------------------------------------------ exact near-dup
 
 from functools import lru_cache
@@ -946,6 +1044,7 @@ EMB_QUERIES = {
     "emb_norm_check": (q_emb_norm_check, SQL_EMB_NORM_CHECK),
     "emb_drift": (q_emb_drift, SQL_EMB_DRIFT),
     "emb_knn": (q_emb_knn, SQL_EMB_KNN),
+    "emb_hardneg": (q_emb_hardneg, SQL_EMB_HARDNEG),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
     "emb_neardup_lsh": (q_emb_neardup_lsh, None),
     "emb_knn_ivf": (q_emb_knn_ivf, None),

@@ -2878,6 +2878,8 @@ _DRIVER_UNVERIFIED_FIRST = [
     # round-3 session-2 additions — never driver-verified by definition
     "val_audio_speed", "val_speaking_rate", "val_batch_buckets",
     "val_quality_sample", "val_audio_noisemix", "emb_centroids",
+    # round-3 session-5 additions
+    "emb_hardneg", "doc_seq_pack",
     # upgraded from rows-only to oracle-backed in round 3 — re-verify with
     # the hash compare; they already carry r02 rows-only green rows, so
     # they rank below every never-verified oracle

@@ -363,3 +363,68 @@ def test_json_k_buckets_matches_duckdb_on_tricky_json():
     # outright — the fixture never produces them) land in the violation
     # bucket instead of crashing the engine
     assert json_k_buckets(["not json", "", None]).tolist() == [-1, -1, -1]
+
+
+# ------------------------------------------------- greedy sequence packing
+
+def test_seq_pack_greedy_semantics_vs_reference_fold(sf_unit=SF):
+    """The distributed searchsorted-jump packer reproduces the sequential
+    greedy reference fold exactly: docs append while the sequence total
+    stays within budget; an overflowing doc starts a new sequence; a doc
+    longer than the budget occupies one alone."""
+    import pyarrow.parquet as pq
+
+    from metrics_ray.pipelines.docs import SEQ_BUDGET_TOKENS, q_doc_seq_pack
+
+    got = q_doc_seq_pack(sf_unit).to_pandas()
+    docs = pq.read_table(f"{sf_unit}/documents.parquet",
+                         columns=["lang", "doc_id", "text"]).to_pandas()
+    import re
+
+    docs["n"] = [len(re.findall(r"\S+", t or "")) for t in docs["text"]]
+    docs = docs.sort_values(["lang", "doc_id"], kind="stable")
+
+    # sequential reference fold
+    ref_rows = []
+    for lang, g in docs.groupby("lang", sort=True):
+        seq, off_end = 0, 0  # off_end = tokens already in current seq
+        first = True
+        for _, row in g.iterrows():
+            if not first and off_end + row["n"] > SEQ_BUDGET_TOKENS:
+                seq += 1
+                off_end = 0
+            ref_rows.append((lang, row["doc_id"], row["n"], seq, off_end))
+            off_end += row["n"]
+            first = False
+    ref = pd.DataFrame(ref_rows, columns=["lang", "doc_id", "n_tokens",
+                                          "seq_id", "tok_offset"])
+    got = got.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    ref = ref.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    # the fixture actually exercises multi-doc sequences AND rollover
+    assert (got.groupby(["lang", "seq_id"]).size() > 1).any()
+    assert got["seq_id"].max() > 0
+
+
+def test_seq_pack_overbudget_doc_packs_alone(ray_session, tmp_path):
+    """A document longer than the budget gets its own sequence, and the
+    stream continues greedily after it."""
+    import pyarrow.parquet as pq
+
+    from metrics_ray.pipelines.docs import SEQ_BUDGET_TOKENS, q_doc_seq_pack
+
+    big = " ".join(["tok"] * (SEQ_BUDGET_TOKENS + 10))
+    small = " ".join(["tok"] * 10)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [small, big, small, small],
+        "lang": ["en"] * 4,
+        "source": ["s"] * 4,
+        "n_chars": pa.array([len(small), len(big), len(small), len(small)],
+                            pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (q_doc_seq_pack(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["seq_id"].tolist() == [0, 1, 2, 2]
+    assert got["tok_offset"].tolist() == [0, 0, 0, 10]

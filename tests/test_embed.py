@@ -186,3 +186,33 @@ def test_emb_norm_check_handles_empty_and_ragged_rows(tmp_path, ray_session):
     assert out["dim"] == [2, 0, 2, 1, 0]
     assert out["n_nan"] == [1, 0, 0, 0, 0]
     assert out["is_zero"] == [False, True, True, False, True]
+
+
+def test_hardneg_matches_numpy_and_excludes_query_label(sf_unit):
+    """Hard negatives: every reported neighbor carries a label different
+    from its query's; the (cos desc, id asc) top-k matches a brute-force
+    numpy recompute with the same label mask."""
+    from metrics_ray.pipelines.embed import (HARDNEG_K, N_QUERIES,
+                                             q_emb_hardneg)
+
+    t = pq.read_table(f"{sf_unit}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    labs = t.column("label").to_numpy().astype(np.int64)
+    E = np.stack([np.asarray(x, dtype=np.float64)
+                  for x in t.column("embedding").to_pylist()])
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+
+    got = q_emb_hardneg(sf_unit).to_pandas()
+    assert len(got) == N_QUERIES * HARDNEG_K
+
+    lab_by_id = dict(zip(ids.tolist(), labs.tolist()))
+    for qid in range(N_QUERIES):
+        ql = lab_by_id[qid]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert (sub.neighbor_label != ql).all()
+        sims = np.round(En @ En[ids == qid].ravel(), 6)
+        mask = labs != ql
+        cand_ids, cand = ids[mask], sims[mask]
+        order = np.lexsort((cand_ids, -cand))[:HARDNEG_K]
+        assert sub.neighbor_id.tolist() == cand_ids[order].tolist()
+        assert sub.cos.to_numpy() == pytest.approx(cand[order], abs=1e-9)

@@ -2857,33 +2857,38 @@ VALIDATION_QUERIES = {
 # driver-verified (rounds 1+2 covered the union of CORRECTNESS_r01/r02);
 # already-verified queries follow in their original order. Newly added
 # queries should be inserted into this priority list.
+# Tier 1 (50 entries): oracle-backed queries that have NEVER appeared in any
+# driver CORRECTNESS gate — a 50-entry gate covers all of them exactly.
+# ev_disjoint_types_sampled is ranked 51st (first tier-1 casualty) because
+# its sibling ev_disjoint_types pins the same semantics. Tier 2: queries the
+# driver has only rows-only-checked but which now carry full SQL oracles —
+# a hash row upgrades them. Tier 3: never-checked rows-only (weak check).
 _DRIVER_UNVERIFIED_FIRST = [
+    # tier 1 — never driver-checked, oracle-backed
     "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",
-    # round-3 session-3 additions — never driver-run; ahead of the two
-    # re-verification upgrades (moved to the list tail) so a 50-entry
-    # gate reaches every never-verified oracle first
     "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
     "val_oov_rate", "val_wds_shards",
+    "emb_hardneg", "doc_seq_pack",
     "doc_license", "doc_dup_clusters", "doc_top_tokens",
     "doc_top_tokens_approx", "doc_tfidf_top_term", "doc_mix", "doc_chunking",
     "doc_normalize", "doc_postings", "doc_pii", "doc_repetition",
     "doc_contamination", "doc_keep_best", "doc_incremental_dups",
-    "doc_dup_spans", "doc_lm_score", "doc_rank_pctl", "emb_kcenter",
+    "doc_dup_spans", "doc_lm_score", "doc_rank_pctl",
     "emb_drift", "emb_dup_clusters", "emb_project", "emb_quantize",
+    "emb_centroids",
     "ev_amount_outliers", "ev_props_rollup", "rel_nation_revenue",
     "rel_region_brand_revenue", "rel_priority_revenue",
     "rel_segment_top_orders", "ev_sliding_distinct", "ev_disjoint_types",
-    "ev_purchase_attribution", "ev_click_burst", "ev_disjoint_types_sampled",
+    "ev_purchase_attribution", "ev_click_burst",
     "ev_funnel", "ev_retention", "rel_pricing_summary",
-    # round-3 session-2 additions — never driver-verified by definition
     "val_audio_speed", "val_speaking_rate", "val_batch_buckets",
-    "val_quality_sample", "val_audio_noisemix", "emb_centroids",
-    # round-3 session-5 additions
-    "emb_hardneg", "doc_seq_pack",
-    # upgraded from rows-only to oracle-backed in round 3 — re-verify with
-    # the hash compare; they already carry r02 rows-only green rows, so
-    # they rank below every never-verified oracle
-    "val_curation", "val_audio_neardup",
+    "val_quality_sample", "val_audio_noisemix",
+    # tier 1 overflow (51st)
+    "ev_disjoint_types_sampled",
+    # tier 2 — rows-only driver rows exist; oracles added since → re-verify
+    "val_curation", "val_audio_neardup", "doc_neardup_simhash", "doc_lang_id",
+    # tier 3 — never checked, rows-only by design
+    "emb_kcenter",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},

@@ -248,3 +248,78 @@ def rolling_fingerprint(text: str, w: int = 8, mod: int = 1 << 31) -> int:
         data.astype(np.int64), w)
     h = (windows @ pw) % mod
     return int(h.min())
+
+
+def levenshtein_batch(a: list, b: list, cap: int = 64) -> np.ndarray:
+    """Exact Levenshtein distance for each pair (a[i], b[i]), vectorized
+    across the whole pair batch; pairs whose true distance exceeds ``cap``
+    return ``cap + 1`` (the caller's "exceeds threshold" sentinel).
+
+    Distances are over UTF-8 BYTES, matching DuckDB's ``levenshtein()``
+    (the SQL-oracle contract: ``levenshtein('é','e') = 2``). None compares
+    like the empty string is NOT defined here — callers must pre-filter
+    nulls to whatever their semantics demand.
+
+    Vectorization: the DP runs one row per character of ``a``, with ALL
+    pairs advanced together as a (n_pairs, len(b)+1) matrix. The
+    within-row dependency (insertion term ``new[j-1] + 1``) is folded into
+    a prefix-scan: with ``t[j] = min(prev[j] + 1, prev[j-1] + subst)``,
+    ``new[j] = min_{k<=j}(t[k] + (j-k)) = j + cummin(t[k] - k)`` — one
+    ``np.minimum.accumulate`` instead of a sequential inner loop. Pairs
+    with byte-length difference > cap are answered without entering the
+    DP, and a pair drops out of the active set as soon as its DP row's
+    minimum exceeds cap (its final distance can only grow)."""
+    n = len(a)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    ab = [s.encode("utf-8") for s in a]
+    bb = [s.encode("utf-8") for s in b]
+    la = np.array([len(s) for s in ab], dtype=np.int64)
+    lb = np.array([len(s) for s in bb], dtype=np.int64)
+    # |len(a) - len(b)| is a lower bound on the distance
+    feasible = np.abs(la - lb) <= cap
+    out[~feasible] = cap + 1
+    idx = np.nonzero(feasible)[0]
+    if idx.size == 0:
+        return out
+    # ensure the DP's row axis (a) is the shorter side on average — the
+    # distance is symmetric and this caps the padded matrix width
+    la_f, lb_f = la[idx], lb[idx]
+    La, Lb = int(la_f.max(initial=0)), int(lb_f.max(initial=0))
+    if Lb == 0 or La == 0:  # one side all-empty: distance = other length
+        out[idx] = np.minimum(np.maximum(la_f, lb_f), cap + 1)
+        return out
+    A = np.zeros((idx.size, La), dtype=np.int16)
+    B = np.zeros((idx.size, Lb), dtype=np.int16)
+    for r, i in enumerate(idx):
+        A[r, : la[i]] = np.frombuffer(ab[i], dtype=np.uint8)
+        B[r, : lb[i]] = np.frombuffer(bb[i], dtype=np.uint8)
+    jj = np.arange(Lb + 1, dtype=np.int64)
+    dp = np.broadcast_to(jj, (idx.size, Lb + 1)).copy()
+    res = np.where(la_f == 0, lb_f, -1)  # rows of a exhausted at i=0
+    alive = np.nonzero(res < 0)[0]
+    for i in range(1, La + 1):
+        ca = A[alive, i - 1][:, None]
+        prev = dp[alive]
+        subst = (B[alive] != ca).astype(np.int64)
+        t = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + subst)
+        g = np.concatenate(
+            [np.full((alive.size, 1), i, dtype=np.int64), t - jj[1:]], axis=1)
+        dp[alive] = np.minimum.accumulate(g, axis=1) + jj
+        # pairs whose a-side ends at this row: freeze their answer
+        done = la_f[alive] == i
+        if done.any():
+            d = alive[done]
+            res[d] = dp[d, lb_f[d]]
+        # a row minimum > cap can never come back down
+        hopeless = dp[alive].min(axis=1) > cap
+        if hopeless.any():
+            h = alive[hopeless]
+            res[h] = cap + 1
+        keep = ~(done | hopeless)
+        alive = alive[keep]
+        if alive.size == 0:
+            break
+    out[idx] = np.minimum(res, cap + 1)
+    return out

@@ -348,6 +348,95 @@ def q_transcript_mismatch_dist(sf_dir: str) -> pa.Table:
     return pa.concat_tables(tables).sort_by("clip_id")
 
 
+EDITDIST_CAP = 8
+
+
+def q_transcript_editdist(sf_dir: str) -> pa.Table:
+    """Graded transcript-drift audit: byte-level Levenshtein distance
+    between each clip's transcript and its indexed reference, reported for
+    clips within 1..EDITDIST_CAP edits — the graded generalization of
+    val_transcript_mismatch's boolean equality (a small distance is a typo
+    or light re-label; a large one is a wrong label, which
+    TRANSCRIPT_MISMATCH already flags). Reference analog: the
+    syntactic-accuracy metric family's per-literal distance scoring
+    (SURVEY.md §2.3) over ASR transcripts.
+
+    Two-phase scale shape: phase 1 is val_transcript_mismatch_dist's
+    digest join — the exchange carries 8-byte transcript hashes, never
+    text — and yields the mismatched clip_ids, O(violations). Those ids
+    are broadcast once (ray.put); phase 2 re-filters both sides to the
+    candidate set with a vectorized pc.is_in at the scan, so text crosses
+    one bucketed exchange ONLY for mismatching clips, where the
+    pair-batched capped DP (functions.text.levenshtein_batch — one numpy
+    prefix-scan row per character, all pairs advanced together) scores
+    every pair in-bucket. Distances are UTF-8-byte-level, matching
+    DuckDB's levenshtein() exactly (levenshtein('é','e') = 2)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.text import levenshtein_batch
+    from ..stages.join import bucketed_inner_join
+    from .clips import transcript_index_ds
+
+    cand = q_transcript_mismatch_dist(sf_dir).column("clip_id")
+    if cand.length() == 0:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "edit_dist": pa.array([], pa.int64())})
+    cand_ref = ray.put(cand.combine_chunks())
+
+    def member_filter(id_col: str, drop_null_of: str | None):
+        def f(b: pa.Table) -> pa.Table:
+            ids = ray.get(cand_ref)
+            m = pc.is_in(b.column(id_col), value_set=ids)
+            if drop_null_of is not None:
+                m = pc.and_(m, pc.is_valid(b.column(drop_null_of)))
+            return b.filter(m)
+        return f
+
+    left = (_meta_ds(sf_dir).select_columns(["clip_id", "transcript"])
+            .map_batches(member_filter("clip_id", "transcript"),
+                         batch_format="pyarrow"))
+    right = (transcript_index_ds(sf_dir)
+             .map_batches(member_filter("clip_id", None),
+                          batch_format="pyarrow"))
+
+    def post(df):
+        import pandas as pd
+
+        d = levenshtein_batch(df["transcript"].tolist(),
+                              df["ref_transcript"].tolist(),
+                              cap=EDITDIST_CAP)
+        keep = (d >= 1) & (d <= EDITDIST_CAP)
+        return pd.DataFrame({
+            "clip_id": df.loc[keep, "clip_id"].astype(str),
+            "edit_dist": pd.array(d[keep], dtype="int64"),
+        })
+
+    out = bucketed_inner_join(
+        left, right, left_key="clip_id", right_key="clip_id",
+        left_cols=["clip_id", "transcript"], right_cols=["ref_transcript"],
+        post=post,
+        out_schema=pa.schema([("clip_id", pa.string()),
+                              ("edit_dist", pa.int64())]))
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
+    if not tables:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "edit_dist": pa.array([], pa.int64())})
+    return pa.concat_tables(tables).sort_by(
+        [("clip_id", "ascending"), ("edit_dist", "ascending")])
+
+
+SQL_TRANSCRIPT_EDITDIST = f"""WITH {synth.CLIPS_SQL}
+SELECT c.clip_id,
+       CAST(levenshtein(c.transcript, t.ref_transcript) AS BIGINT)
+           AS edit_dist
+FROM clips c JOIN transcript_index t ON c.clip_id = t.clip_id
+WHERE c.transcript IS NOT NULL
+  AND c.transcript IS DISTINCT FROM t.ref_transcript
+  AND levenshtein(c.transcript, t.ref_transcript) <= {EDITDIST_CAP}
+ORDER BY c.clip_id, edit_dist"""
+
+
 PRESENCE_RE = "^clip-9"
 
 
@@ -2804,6 +2893,8 @@ VALIDATION_QUERIES = {
     "val_missing_refs_bloom": (q_missing_refs_bloom, SQL_MISSING_REFS),
     "val_transcript_mismatch_dist": (q_transcript_mismatch_dist,
                                      SQL_TRANSCRIPT_MISMATCH),
+    "val_transcript_editdist": (q_transcript_editdist,
+                                SQL_TRANSCRIPT_EDITDIST),
     "val_regex_presence": (q_regex_presence, SQL_REGEX_PRESENCE),
     "val_partition_stats": (q_partition_stats, SQL_PARTITION_STATS),
     "val_column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
@@ -2864,7 +2955,8 @@ VALIDATION_QUERIES = {
 # driver has only rows-only-checked but which now carry full SQL oracles —
 # a hash row upgrades them. Tier 3: never-checked rows-only (weak check).
 _DRIVER_UNVERIFIED_FIRST = [
-    # tier 1 — never driver-checked, oracle-backed
+    # tier 1 — never driver-checked, oracle-backed (newest additions first)
+    "val_transcript_editdist",
     "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",
     "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
     "val_oov_rate", "val_wds_shards",

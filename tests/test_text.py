@@ -108,3 +108,56 @@ def test_seeded_corpus_dedup_golden(sf_unit):
                         & (pairs.doc_a < EXACT_OFF)]
     assert (exact_pairs.jacc == 1.0).all()
     assert len(exact_pairs) == n_exact
+
+
+# ------------------------------------------------------- levenshtein_batch
+
+def _lev_ref(a: bytes, b: bytes) -> int:
+    """Textbook O(n*m) DP, the semantics anchor for the vectorized batch."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_batch_matches_reference_dp():
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcé日 \n"
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+             ("kitten", "sitting"), ("é", "e"), ("日本語", "日本"),
+             ("a" * 100, "a" * 98 + "bb"), ("xy", "yx")]
+    cases += [("".join(rng.choice(alpha) for _ in range(rng.randint(0, 25))),
+               "".join(rng.choice(alpha) for _ in range(rng.randint(0, 25))))
+              for _ in range(200)]
+    got = T.levenshtein_batch([a for a, _ in cases], [b for _, b in cases],
+                              cap=300)
+    exp = [_lev_ref(a.encode(), b.encode()) for a, b in cases]
+    assert got.tolist() == exp
+
+
+def test_levenshtein_batch_byte_semantics_match_duckdb():
+    """The SQL-oracle contract: DuckDB levenshtein() counts UTF-8 BYTES
+    ('é' vs 'e' is 2 edits), and so must the engine."""
+    import duckdb
+
+    con = duckdb.connect()
+    pairs = [("é", "e"), ("日本語", "日本"), ("a\nb", "ab"), ("", "日")]
+    got = T.levenshtein_batch([a for a, _ in pairs], [b for _, b in pairs],
+                              cap=64)
+    exp = [con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+           for a, b in pairs]
+    assert got.tolist() == exp
+
+
+def test_levenshtein_batch_cap_sentinel():
+    got = T.levenshtein_batch(["abcdefgh", "same", ""], ["zzzzzzzz", "same", "x" * 50],
+                              cap=3)
+    assert got.tolist() == [4, 0, 4]  # over-cap pairs pin to cap+1
+    # length-difference shortcut must agree with the DP answer
+    assert T.levenshtein_batch(["ab"], ["ab" * 40], cap=100)[0] == 78

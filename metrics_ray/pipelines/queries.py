@@ -1708,6 +1708,87 @@ SELECT codec, CAST(base_n AS BIGINT) AS base_n, CAST(cur_n AS BIGINT) AS cur_n,
 FROM cells, tot ORDER BY codec"""
 
 
+def q_drift_chisq(sf_dir: str) -> pa.Table:
+    """Categorical drift, chi-square flavor: the two-sample homogeneity
+    statistic over the codec distribution, current (partitions
+    DRIFT_BASE_PARTS..) vs baseline — completing the drift family
+    (PSI = direction-weighted log-ratio, KS = max ECDF gap, chi-square =
+    squared-deviation-from-expected). Per-category decomposition:
+    ``chisq_term = (O_b - E_b)^2/E_b + (O_c - E_c)^2/E_c`` with
+    ``E_side = tot_cat * tot_side / N``; the drift verdict thresholds the
+    term sum against the critical value for |codecs|-1 dof.
+
+    Same counting shape as q_drift_codec: one metadata pass emits
+    per-batch (side, codec, cnt) partials — the shuffle carries
+    O(|codecs|) rows regardless of corpus size."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = b.column("partition").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "side": np.where(part < DRIFT_BASE_PARTS, "base", "cur"),
+            "codec": b.column("codec").to_pylist(),
+        }).groupby(["side", "codec"], sort=False).size().reset_index(
+            name="cnt")
+        return pa.table({
+            "side": pa.array(df["side"], pa.string()),
+            "codec": pa.array(df["codec"], pa.string()),
+            "cnt": pa.array(df["cnt"].astype("int64")),
+        })
+
+    counts = (_meta_ds(sf_dir).select_columns(["partition", "codec"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["side", "codec"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+    piv = (counts.to_pandas()
+           .pivot_table(index="codec", columns="side", values="cnt",
+                        aggfunc="sum", fill_value=0)
+           .reindex(columns=["base", "cur"], fill_value=0).sort_index())
+    nb = piv["base"].to_numpy(np.float64)
+    nc = piv["cur"].to_numpy(np.float64)
+    tb, tc = nb.sum(), nc.sum()
+    n = max(tb + tc, 1.0)
+    row_tot = nb + nc
+    eb = row_tot * tb / n
+    ec = row_tot * tc / n
+    # observed categories always have row_tot > 0, so E_side = 0 only
+    # when a whole side is empty — that side contributes 0 by convention
+    tb_term = np.where(eb > 0, (nb - eb) ** 2 / np.where(eb > 0, eb, 1), 0.0)
+    tc_term = np.where(ec > 0, (nc - ec) ** 2 / np.where(ec > 0, ec, 1), 0.0)
+    term = round_half_away(tb_term + tc_term, 6)
+    return pa.table({
+        "codec": pa.array(piv.index.to_numpy(), pa.string()),
+        "base_n": pa.array(nb.astype(np.int64)),
+        "cur_n": pa.array(nc.astype(np.int64)),
+        "chisq_term": pa.array(term, pa.float64()),
+    })
+
+
+SQL_DRIFT_CHISQ = f"""WITH {synth.CLIPS_SQL},
+cells AS (
+    SELECT codec,
+           SUM(CASE WHEN partition < {DRIFT_BASE_PARTS} THEN 1 ELSE 0 END)
+               AS base_n,
+           SUM(CASE WHEN partition >= {DRIFT_BASE_PARTS} THEN 1 ELSE 0 END)
+               AS cur_n
+    FROM clips GROUP BY codec
+),
+tot AS (SELECT SUM(base_n) AS tb, SUM(cur_n) AS tc,
+               SUM(base_n + cur_n) AS n FROM cells)
+SELECT codec, CAST(base_n AS BIGINT) AS base_n, CAST(cur_n AS BIGINT) AS cur_n,
+       round(CASE WHEN (base_n + cur_n) * tb = 0 THEN 0
+                  ELSE pow(base_n - (base_n + cur_n) * tb * 1.0 / n, 2)
+                       / ((base_n + cur_n) * tb * 1.0 / n) END
+             + CASE WHEN (base_n + cur_n) * tc = 0 THEN 0
+                    ELSE pow(cur_n - (base_n + cur_n) * tc * 1.0 / n, 2)
+                         / ((base_n + cur_n) * tc * 1.0 / n) END,
+             6) AS chisq_term
+FROM cells, tot ORDER BY codec"""
+
+
 def q_drift_ks(sf_dir: str) -> pa.Table:
     """EXACT two-sample Kolmogorov–Smirnov statistic between the baseline
     and current dur_ms distributions via the counting path: the merged
@@ -2903,6 +2984,7 @@ VALIDATION_QUERIES = {
     "val_drift_psi": (q_drift_psi, SQL_DRIFT_PSI),
     "val_drift_ks": (q_drift_ks, SQL_DRIFT_KS),
     "val_drift_codec": (q_drift_codec, SQL_DRIFT_CODEC),
+    "val_drift_chisq": (q_drift_chisq, SQL_DRIFT_CHISQ),
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, SQL_DECODE_VIOLATIONS),
@@ -2956,7 +3038,7 @@ VALIDATION_QUERIES = {
 # a hash row upgrades them. Tier 3: never-checked rows-only (weak check).
 _DRIVER_UNVERIFIED_FIRST = [
     # tier 1 — never driver-checked, oracle-backed (newest additions first)
-    "val_transcript_editdist",
+    "val_transcript_editdist", "val_drift_chisq",
     "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",
     "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
     "val_oov_rate", "val_wds_shards",

@@ -1708,6 +1708,62 @@ SELECT codec, CAST(base_n AS BIGINT) AS base_n, CAST(cur_n AS BIGINT) AS cur_n,
 FROM cells, tot ORDER BY codec"""
 
 
+MIX_TEMPERATURE = 0.7  # the standard multi-source mixing exponent
+MIX_EPOCH_ROWS = 10_000
+
+
+def q_mix_weights(sf_dir: str) -> pa.Table:
+    """Temperature-scaled source-mixing weights — the multi-source
+    training sampler's plan (each partition = one corpus source):
+    ``w_p = n_p^T / Σ n^T`` with temperature T < 1 upweighting small
+    sources, plus the expected rows drawn per MIX_EPOCH_ROWS-row epoch
+    and the effective repetition factor (draws per source row — the
+    signal for when a small source starts memorizing).
+
+    Scale shape: one metadata pass emits per-batch (partition, cnt)
+    partials; the groupby-sum moves O(partitions) rows, and the
+    temperature math runs on that tiny table driver-side."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = b.column("partition").to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(part, return_counts=True)
+        return pa.table({"partition": pa.array(vals.astype(np.int32)),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    counts = (_meta_ds(sf_dir).select_columns(["partition"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("partition").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas().sort_values("partition"))
+    n = counts["cnt"].to_numpy(np.float64)
+    scaled = n ** MIX_TEMPERATURE
+    w = scaled / scaled.sum()
+    expected = w * MIX_EPOCH_ROWS
+    return pa.table({
+        "partition": pa.array(counts["partition"].to_numpy().astype(np.int32)),
+        "n_rows": pa.array(n.astype(np.int64)),
+        "weight": pa.array(round_half_away(w, 6), pa.float64()),
+        "rows_per_epoch": pa.array(round_half_away(expected, 6), pa.float64()),
+        "repetition": pa.array(round_half_away(expected / n, 6), pa.float64()),
+    })
+
+
+SQL_MIX_WEIGHTS = f"""WITH {synth.CLIPS_SQL},
+counts AS (
+    SELECT partition, COUNT(*) AS n_rows FROM clips GROUP BY partition
+),
+tot AS (SELECT SUM(pow(n_rows, {MIX_TEMPERATURE})) AS z FROM counts)
+SELECT partition, CAST(n_rows AS BIGINT) AS n_rows,
+       round(pow(n_rows, {MIX_TEMPERATURE}) / z, 6) AS weight,
+       round(pow(n_rows, {MIX_TEMPERATURE}) / z * {MIX_EPOCH_ROWS}, 6)
+           AS rows_per_epoch,
+       round(pow(n_rows, {MIX_TEMPERATURE}) / z * {MIX_EPOCH_ROWS} / n_rows, 6)
+           AS repetition
+FROM counts, tot ORDER BY partition"""
+
+
 def q_drift_chisq(sf_dir: str) -> pa.Table:
     """Categorical drift, chi-square flavor: the two-sample homogeneity
     statistic over the codec distribution, current (partitions
@@ -2985,6 +3041,7 @@ VALIDATION_QUERIES = {
     "val_drift_ks": (q_drift_ks, SQL_DRIFT_KS),
     "val_drift_codec": (q_drift_codec, SQL_DRIFT_CODEC),
     "val_drift_chisq": (q_drift_chisq, SQL_DRIFT_CHISQ),
+    "val_mix_weights": (q_mix_weights, SQL_MIX_WEIGHTS),
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, SQL_DECODE_VIOLATIONS),
@@ -3038,7 +3095,7 @@ VALIDATION_QUERIES = {
 # a hash row upgrades them. Tier 3: never-checked rows-only (weak check).
 _DRIVER_UNVERIFIED_FIRST = [
     # tier 1 — never driver-checked, oracle-backed (newest additions first)
-    "val_transcript_editdist", "val_drift_chisq",
+    "val_transcript_editdist", "val_drift_chisq", "val_mix_weights",
     "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",
     "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
     "val_oov_rate", "val_wds_shards",

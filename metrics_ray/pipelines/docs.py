@@ -1306,6 +1306,71 @@ SELECT token, COUNT(*) AS n FROM toks
 GROUP BY token ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}"""
 
 
+def q_doc_bigrams(sf_dir: str) -> pa.Table:
+    """Corpus-wide top-k bigram counts — the n-gram LM / collocation sweep
+    (tokenizer-merge candidates, boilerplate detection, contamination
+    n-gram banks all start from this table).
+
+    Scale shape: bigram construction is zero-python-per-row — tokenize
+    with the RE2 kernel, flatten the list array, and pair adjacent tokens
+    with one shifted numpy compare that masks document boundaries
+    (doc_id[i] == doc_id[i+1]); per-batch value_counts emit one
+    (bigram, partial_count) row per DISTINCT bigram per batch, a tiny
+    groupby-sum merges partials, and a distributed sort + limit takes the
+    deterministic head (ties by bigram ascending)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(b.column("text"), ""), pattern=r"\s+")
+        la = toks.combine_chunks()
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        offs = la.offsets.to_numpy(zero_copy_only=False)
+        vals = la.values
+        # doc index of every flattened token, then drop the empty tokens
+        # split_pattern_regex emits at run boundaries (regexp_extract_all
+        # in the oracle never produces them — sequences must agree)
+        doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        keep = pc.invert(pc.equal(vals, "")).to_numpy(zero_copy_only=False)
+        vals = vals.filter(pa.array(keep))
+        doc_of = doc_of[keep]
+        if len(vals) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        adj = doc_of[:-1] == doc_of[1:]
+        left = vals.slice(0, len(vals) - 1).filter(pa.array(adj))
+        right = vals.slice(1).filter(pa.array(adj))
+        bigrams = pc.binary_join_element_wise(left, right, " ")
+        vc = pc.value_counts(bigrams)
+        return pa.table({"bigram": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    ds = (documents_ds(sf_dir, ["text"])
+          .map_batches(partial_counts, batch_format="pyarrow")
+          .groupby("bigram", num_partitions=shuffle_blocks())
+          .aggregate(Sum("n", alias_name="n"))
+          .sort(key=["n", "bigram"], descending=[True, False])
+          .limit(TOP_TOKENS_K))
+    rows = ds.take_all()
+    return pa.table({
+        "bigram": pa.array([r["bigram"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+    })
+
+
+SQL_DOC_BIGRAMS = f"""WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+),
+bi AS (
+    SELECT w[i] || ' ' || w[i + 1] AS bigram
+    FROM toks, UNNEST(range(1, len(w))) AS t(i)
+)
+SELECT bigram, COUNT(*) AS n FROM bi
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT {TOP_TOKENS_K}"""
+
+
 def q_doc_top_tokens_approx(sf_dir: str) -> pa.Table:
     """Top-k tokens via the mergeable Misra–Gries heavy-hitters sketch
     (sketches.HeavyHitters) — the sketch-space analog of the reference's
@@ -2262,6 +2327,7 @@ DOC_QUERIES = {
     "doc_license": (q_doc_license, SQL_DOC_LICENSE),
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS),
     "doc_top_tokens": (q_doc_top_tokens, SQL_DOC_TOP_TOKENS),
+    "doc_bigrams": (q_doc_bigrams, SQL_DOC_BIGRAMS),
     "doc_top_tokens_approx": (q_doc_top_tokens_approx, SQL_DOC_TOP_TOKENS),
     "doc_tfidf_top_term": (q_doc_tfidf_top_term, SQL_DOC_TFIDF_TOP_TERM),
     "doc_mix": (q_doc_mix, SQL_DOC_MIX),

@@ -1038,7 +1038,132 @@ FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
 GROUP BY label, i ORDER BY label, dim"""
 
 
+OUTLIER_Z = 2.0
+
+
+def q_emb_outliers(sf_dir: str) -> pa.Table:
+    """Embedding-space anomaly screen: vectors whose Euclidean distance to
+    their label's centroid sits more than OUTLIER_Z population standard
+    deviations above the label's mean distance — mislabeled rows, encoder
+    glitches and distribution-tail samples all surface here (the
+    embedding sibling of ev_amount_outliers' per-group z-scoring).
+
+    Scale shape (derive-stats-then-scan, twice): pass 1 is the
+    q_emb_centroids combiner (labels×d partial-sum rows per batch, tiny
+    groupby-sum), whose ROUNDED centroids broadcast via closure — the
+    rounding pins the reference point both engine- and oracle-side so
+    the distance arithmetic starts from identical floats. Pass 2 folds
+    per-batch (label, n, mean, M2) Welford partials over the rounded
+    distances, merged with Chan's parallel-variance combination in
+    deterministic order (STDDEV_POP-stable numerics). Pass 3 is row-local
+    z-scoring against the O(labels) moment table — no exchange. z is
+    rounded to 6 decimals on BOTH sides before thresholding."""
+    import ray
+
+    from ..functions.rounding import round_half_away
+
+    cent = q_emb_centroids(sf_dir).to_pandas()
+    cmap = {int(lv): sub.sort_values("dim")["centroid"].to_numpy(np.float64)
+            for lv, sub in cent.groupby("label")}
+
+    def dists(b: pa.Table) -> np.ndarray:
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(b).astype(np.float64)
+        c = np.stack([cmap[int(lv)] for lv in lab])
+        return round_half_away(np.sqrt(((m - c) ** 2).sum(axis=1)), 6)
+
+    def moments(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = dists(b)
+        rows = {"label": [], "n": [], "mean": [], "M2": []}
+        for lv in np.unique(lab):
+            x = d[lab == lv]
+            rows["label"].append(int(lv))
+            rows["n"].append(int(x.size))
+            rows["mean"].append(float(x.mean()))
+            rows["M2"].append(float(((x - x.mean()) ** 2).sum()))
+        return pa.table({
+            "label": pa.array(rows["label"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "mean": pa.array(rows["mean"], pa.float64()),
+            "M2": pa.array(rows["M2"], pa.float64()),
+        })
+
+    partials = [t for t in ray.get(arrow_refs(
+        embeddings_ds(sf_dir, ["embedding", "label"])
+        .map_batches(moments, batch_format="pyarrow"))) if t.num_rows]
+    import pandas as pd
+
+    agg = (pa.concat_tables(partials).to_pandas()
+           .sort_values(["label", "n", "mean"], kind="stable"))
+    stats = {}
+    for lv, sub in agg.groupby("label", sort=True):
+        n_acc, mean_acc, m2_acc = 0, 0.0, 0.0
+        for _, r in sub.iterrows():  # deterministic fold order (sorted)
+            nb, mb, m2b = int(r["n"]), float(r["mean"]), float(r["M2"])
+            tot = n_acc + nb
+            delta = mb - mean_acc
+            m2_acc = m2_acc + m2b + delta * delta * n_acc * nb / tot
+            mean_acc = mean_acc + delta * nb / tot
+            n_acc = tot
+        stats[int(lv)] = (mean_acc, float(np.sqrt(m2_acc / n_acc)))
+
+    def flag(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = dists(b)
+        mu = np.array([stats[int(lv)][0] for lv in lab])
+        sg = np.array([stats[int(lv)][1] for lv in lab])
+        z = round_half_away(np.where(sg > 0, (d - mu) / np.where(sg > 0, sg, 1),
+                                     0.0), 6)
+        keep = z > OUTLIER_Z
+        return pa.table({
+            "vec_id": pa.array(vid[keep]),
+            "label": pa.array(lab[keep]),
+            "dist": pa.array(d[keep], pa.float64()),
+            "z": pa.array(z[keep], pa.float64()),
+        })
+
+    out = (embeddings_ds(sf_dir, ["vec_id", "embedding", "label"])
+           .map_batches(flag, batch_format="pyarrow"))
+    tables = [t for t in ray.get(arrow_refs(out)) if t.num_rows]
+    if not tables:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.float64()),
+                         "z": pa.array([], pa.float64())})
+    return pa.concat_tables(tables).sort_by("vec_id")
+
+
+SQL_EMB_OUTLIERS = f"""WITH cent AS (
+    SELECT CAST(label AS BIGINT) AS label, i AS dim,
+           round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS c
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, i
+),
+dists AS (
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           round(sqrt(SUM(pow(CAST(e.embedding[c.dim] AS DOUBLE) - c.c, 2))),
+                 6) AS dist
+    FROM embeddings e
+    JOIN cent c ON CAST(e.label AS BIGINT) = c.label
+    GROUP BY e.vec_id, e.label
+),
+stats AS (
+    SELECT label, AVG(dist) AS mu, STDDEV_POP(dist) AS sigma
+    FROM dists GROUP BY label
+)
+SELECT d.vec_id, d.label, d.dist,
+       round(CASE WHEN s.sigma > 0 THEN (d.dist - s.mu) / s.sigma
+                  ELSE 0 END, 6) AS z
+FROM dists d JOIN stats s USING (label)
+WHERE round(CASE WHEN s.sigma > 0 THEN (d.dist - s.mu) / s.sigma
+                 ELSE 0 END, 6) > {OUTLIER_Z}
+ORDER BY vec_id"""
+
+
 EMB_QUERIES = {
+    "emb_outliers": (q_emb_outliers, SQL_EMB_OUTLIERS),
     "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),
     "emb_kcenter": (q_emb_kcenter, None),
     "emb_norm_check": (q_emb_norm_check, SQL_EMB_NORM_CHECK),

@@ -1371,6 +1371,66 @@ SELECT bigram, COUNT(*) AS n FROM bi
 GROUP BY bigram ORDER BY n DESC, bigram LIMIT {TOP_TOKENS_K}"""
 
 
+def q_doc_zipf(sf_dir: str) -> pa.Table:
+    """Zipf-law fit over the frequency head: OLS slope/intercept of
+    ln(count) on ln(rank) across the exact top-K tokens — natural-language
+    corpora sit near slope −1; template/boilerplate floods flatten the
+    head and machine-generated spam steepens it, so the slope is a
+    one-number corpus-health indicator (the statistical sibling of the
+    quality-feature bank).
+
+    Scale shape: the heavy lifting is q_doc_top_tokens' combiner plan
+    (per-batch value_counts partials, tiny groupby-sum, distributed
+    sort+limit); the regression runs on the O(K) head driver-side. The
+    OLS arithmetic is written in the same closed form on both sides
+    (n·Σxy − Σx·Σy over n·Σx² − (Σx)²) so the oracle mirrors it exactly
+    rather than relying on regr_slope's internal update order."""
+    from ..functions.rounding import round_half_away
+
+    head = q_doc_top_tokens(sf_dir)
+    n = head.num_rows
+    if n < 2:
+        return pa.table({"k": pa.array([n], pa.int64()),
+                         "slope": pa.array([0.0], pa.float64()),
+                         "intercept": pa.array([0.0], pa.float64())})
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(head.column("n").to_numpy(zero_copy_only=False)
+               .astype(np.float64))
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx = (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table({
+        "k": pa.array([n], pa.int64()),
+        "slope": pa.array([round_half_away(slope, 6)], pa.float64()),
+        "intercept": pa.array([round_half_away(intercept, 6)], pa.float64()),
+    })
+
+
+SQL_DOC_ZIPF = f"""WITH toks AS (
+    SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+),
+head AS (
+    SELECT token, COUNT(*) AS n FROM toks
+    GROUP BY token ORDER BY n DESC, token LIMIT {TOP_TOKENS_K}
+),
+pts AS (
+    SELECT ln(ROW_NUMBER() OVER (ORDER BY n DESC, token)) AS x,
+           ln(n) AS y
+    FROM head
+),
+s AS (
+    SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM pts
+)
+SELECT CAST(k AS BIGINT) AS k,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+       round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+           AS intercept
+FROM s"""
+
+
 def q_doc_top_tokens_approx(sf_dir: str) -> pa.Table:
     """Top-k tokens via the mergeable Misra–Gries heavy-hitters sketch
     (sketches.HeavyHitters) — the sketch-space analog of the reference's
@@ -2328,6 +2388,7 @@ DOC_QUERIES = {
     "doc_dup_clusters": (q_doc_dup_clusters, SQL_DOC_DUP_CLUSTERS),
     "doc_top_tokens": (q_doc_top_tokens, SQL_DOC_TOP_TOKENS),
     "doc_bigrams": (q_doc_bigrams, SQL_DOC_BIGRAMS),
+    "doc_zipf": (q_doc_zipf, SQL_DOC_ZIPF),
     "doc_top_tokens_approx": (q_doc_top_tokens_approx, SQL_DOC_TOP_TOKENS),
     "doc_tfidf_top_term": (q_doc_tfidf_top_term, SQL_DOC_TFIDF_TOP_TERM),
     "doc_mix": (q_doc_mix, SQL_DOC_MIX),

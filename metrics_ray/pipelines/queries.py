@@ -3096,7 +3096,7 @@ VALIDATION_QUERIES = {
 _DRIVER_UNVERIFIED_FIRST = [
     # tier 1 — never driver-checked, oracle-backed (newest additions first)
     "val_transcript_editdist", "val_drift_chisq", "val_mix_weights",
-    "doc_bigrams", "emb_outliers",
+    "doc_bigrams", "emb_outliers", "doc_zipf",
     "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",
     "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
     "val_oov_rate", "val_wds_shards",

@@ -1708,6 +1708,87 @@ SELECT codec, CAST(base_n AS BIGINT) AS base_n, CAST(cur_n AS BIGINT) AS cur_n,
 FROM cells, tot ORDER BY codec"""
 
 
+def q_partition_fingerprints(sf_dir: str) -> pa.Table:
+    """Per-partition order-independent content fingerprint — the
+    incremental-revalidation primitive: a validated run stores this
+    O(partitions) table next to its verdicts, and the next run re-checks
+    ONLY partitions whose fingerprint moved (ingest appends, re-labels,
+    backfills), skipping the unchanged bulk. Complements the
+    state/checkpoint resume path (which skips by completion marker) with
+    content-addressed skipping.
+
+    Fingerprint = Σ md5_lower64(canonical row serialization) mod 2^64 per
+    partition — commutative, so it is invariant to row order, block
+    boundaries and parallelism, and any single-row change flips it
+    (md5 diffusion; adversarial cancellation is not in the threat model).
+    Scale shape: row-local hashing, per-batch (partition, n, Σh) partials,
+    one O(partitions) groupby-sum. Rendered as VARCHAR (uint64 range
+    exceeds BIGINT). NULL transcript serializes as chr(1), never
+    confusable with any real text."""
+    from ..sketches import md5_lower64
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        part = b.column("partition").to_numpy(zero_copy_only=False)
+        cid = b.column("clip_id").to_pylist()
+        tr = b.column("transcript").to_pylist()
+        sr = b.column("sr_hz").to_numpy(zero_copy_only=False)
+        dm = b.column("dur_ms").to_numpy(zero_copy_only=False)
+        cod = b.column("codec").to_pylist()
+        rows = [f"{c}#{t if t is not None else chr(1)}#{s}#{d}#{k}"
+                for c, t, s, d, k in zip(cid, tr, sr, dm, cod)]
+        h = md5_lower64(rows)
+        df = pd.DataFrame({"partition": part, "h": h})
+        g = df.groupby("partition", sort=False).agg(
+            n_rows=("h", "size"), hsum=("h", "sum")).reset_index()
+        # pandas sums uint64 with wraparound == mod 2^64, matching the
+        # oracle's HUGEINT sum % 2^64
+        return pa.table({
+            "partition": pa.array(g["partition"].astype("int32")),
+            "n_rows": pa.array(g["n_rows"].astype("int64")),
+            "hsum": pa.array(g["hsum"].astype("uint64")),
+        })
+
+    # uint64 partial sums merge driver-side (Ray's Sum aggregate widens
+    # to int64/float and would corrupt the wraparound); the partial table
+    # is O(partitions × blocks) — trivial at any corpus size
+    import ray
+
+    parts = [t for t in ray.get(arrow_refs(
+        _meta_ds(sf_dir)
+        .select_columns(["partition", "clip_id", "transcript",
+                         "sr_hz", "dur_ms", "codec"])
+        .map_batches(partial, batch_format="pyarrow"))) if t.num_rows]
+    import pandas as pd
+
+    df = pa.concat_tables(parts).to_pandas()
+    df["hsum"] = df["hsum"].astype(np.uint64)
+    g = df.groupby("partition", sort=True).agg(
+        n_rows=("n_rows", "sum"), hsum=("hsum", "sum")).reset_index()
+    return pa.table({
+        "partition": pa.array(g["partition"].astype("int32")),
+        "n_rows": pa.array(g["n_rows"].astype("int64")),
+        "fingerprint": pa.array([str(int(v)) for v in
+                                 g["hsum"].to_numpy(np.uint64)], pa.string()),
+    })
+
+
+SQL_PARTITION_FINGERPRINTS = f"""WITH {synth.CLIPS_SQL},
+rh AS (
+    SELECT partition,
+           md5_number_lower(clip_id || '#' ||
+               COALESCE(transcript, chr(1)) || '#' ||
+               CAST(sr_hz AS VARCHAR) || '#' ||
+               CAST(dur_ms AS VARCHAR) || '#' || codec) AS h
+    FROM clips
+)
+SELECT partition, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(h AS HUGEINT)) % 18446744073709551616 AS VARCHAR)
+           AS fingerprint
+FROM rh GROUP BY partition ORDER BY partition"""
+
+
 MIX_TEMPERATURE = 0.7  # the standard multi-source mixing exponent
 MIX_EPOCH_ROWS = 10_000
 
@@ -3042,6 +3123,8 @@ VALIDATION_QUERIES = {
     "val_drift_codec": (q_drift_codec, SQL_DRIFT_CODEC),
     "val_drift_chisq": (q_drift_chisq, SQL_DRIFT_CHISQ),
     "val_mix_weights": (q_mix_weights, SQL_MIX_WEIGHTS),
+    "val_partition_fingerprints": (q_partition_fingerprints,
+                                   SQL_PARTITION_FINGERPRINTS),
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_decode_violations": (q_decode_violations, SQL_DECODE_VIOLATIONS),
@@ -3096,7 +3179,7 @@ VALIDATION_QUERIES = {
 _DRIVER_UNVERIFIED_FIRST = [
     # tier 1 — never driver-checked, oracle-backed (newest additions first)
     "val_transcript_editdist", "val_drift_chisq", "val_mix_weights",
-    "doc_bigrams", "emb_outliers", "doc_zipf",
+    "doc_bigrams", "emb_outliers", "doc_zipf", "val_partition_fingerprints",
     "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",
     "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
     "val_oov_rate", "val_wds_shards",

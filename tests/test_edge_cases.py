@@ -239,3 +239,35 @@ def test_ownership_custom_prefix_length():
     v = out.violations.to_pandas()
     # owner(3)=3 stored at 3 → fine; owner(11)=3 stored at 0 → violation
     assert list(v["clip_id"]) == ["audio-00000011"]
+
+
+def test_partition_fingerprint_flips_on_single_row_change():
+    """The incremental-revalidation contract: the fingerprint is invariant
+    to row order, and any single-row edit flips exactly its partition's
+    value."""
+    from metrics_ray.sketches import md5_lower64
+
+    def fp(rows):
+        out = {}
+        for part, cid, tr, sr, dm, cod in rows:
+            s = f"{cid}#{tr if tr is not None else chr(1)}#{sr}#{dm}#{cod}"
+            h = int(md5_lower64([s])[0])
+            out[part] = (out.get(part, 0) + h) % (1 << 64)
+        return out
+
+    rows = [(p, f"clip-{i:08d}", f"text {i}", 16000, 500 + i, "flac")
+            for i in range(40) for p in (i % 4,)]
+    base = fp(rows)
+    # order invariance
+    assert fp(list(reversed(rows))) == base
+    # single-row transcript edit → only partition 2's fingerprint moves
+    edited = [(p, c, ("CHANGED" if (p, c[5:]) == (2, "clip-00000002"[5:])
+                      and c == "clip-00000002" else t), s, d, k)
+              for p, c, t, s, d, k in rows]
+    got = fp(edited)
+    diff = {p for p in base if base[p] != got[p]}
+    assert diff == {2}
+    # NULL transcript and empty transcript fingerprint differently
+    a = fp([(0, "c", None, 1, 2, "x")])
+    b = fp([(0, "c", "", 1, 2, "x")])
+    assert a != b

@@ -88,6 +88,7 @@ class CheckpointStore:
         rec = {
             "partition": p,
             "lineage": lineage,
+            "lineage_sig": lineage_signature(lineage),
             "wall_s": round(wall_s, 3),
             "rows_scanned": int(counters["scanned"].max()) if len(counters) else 0,
             "counters": counters.to_dict(orient="list"),
@@ -154,6 +155,19 @@ def _suite_fingerprint(checks: list[BatchCheck], parquet_dir: str) -> str:
     return hashlib.sha256(f"{ids}|{parquet_dir}".encode()).hexdigest()[:16]
 
 
+def lineage_signature(files: list[str]) -> list[list]:
+    """Stat-based content signature of a partition's file set: (path,
+    size_bytes) per file. Catches in-place overwrites — same file NAME,
+    different content — that a path-only lineage compare serves stale.
+    Size (not mtime) keys the signature: a copy/restore that preserves
+    bytes but not timestamps must NOT force re-validation, and a
+    same-size in-place edit is caught by the content fingerprint layer
+    (pipelines.queries.q_partition_fingerprints) when the operator runs
+    the content-addressed audit."""
+    return [[f, (os.path.getsize(f) if os.path.exists(f) else -1)]
+            for f in files]
+
+
 def partition_dirs(parquet_dir: str) -> dict[int, list[str]]:
     """Hive layout → {partition value: [file paths]} (the lineage map)."""
     out: dict[int, list[str]] = {}
@@ -215,8 +229,17 @@ def checkpointed_validate(
     # differs from the checkpointed lineage (files added/replaced since
     # the crash) must be re-validated, not silently served from stale
     # counters — this is what save_partition persists the lineage FOR
-    stale = [p for p in sorted(done) if p in parts
-             and store.load_partition_meta(p)["lineage"] != parts[p]]
+    def _is_stale(p: int) -> bool:
+        meta = store.load_partition_meta(p)
+        if meta["lineage"] != parts[p]:
+            return True
+        # path lists match — compare the stat signature so an in-place
+        # overwrite (same name, new bytes) re-validates; checkpoints
+        # written before signatures existed fall back to path-only
+        sig = meta.get("lineage_sig")
+        return sig is not None and sig != lineage_signature(parts[p])
+
+    stale = [p for p in sorted(done) if p in parts and _is_stale(p)]
     if stale:
         done -= set(stale)
         manifest["completed"] = [p for p in manifest["completed"]

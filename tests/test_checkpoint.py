@@ -6,6 +6,7 @@ import json
 import os
 import shutil
 
+import pyarrow.parquet as pq
 import pytest
 
 pytestmark = pytest.mark.usefixtures("ray_session")
@@ -190,6 +191,40 @@ def test_resume_detects_stale_partition_lineage(sf_unit, tmp_path_factory):
     assert 0 not in second.manifest["resumed_from"]
     assert sorted(second.manifest["resumed_from"]) == list(range(1, 8))
     assert second.manifest["rows_scanned"] > rows0  # partition 0 re-counted
+
+
+def test_resume_detects_inplace_overwrite(sf_unit, tmp_path_factory):
+    """A 'completed' partition whose file was overwritten IN PLACE (same
+    path list, different bytes/size) must also re-validate: the path-only
+    lineage compare passes, the stat signature catches it."""
+    from metrics_ray.pipelines.clips import ensure_clips_hive
+    from metrics_ray.state.checkpoint import checkpointed_validate
+    from metrics_ray.suite import metadata_checks
+
+    src = ensure_clips_hive(sf_unit)
+    data = str(tmp_path_factory.mktemp("overwrite_hive"))
+    for d in os.listdir(src):
+        if d.startswith("partition="):
+            shutil.copytree(os.path.join(src, d), os.path.join(data, d))
+    ck = str(tmp_path_factory.mktemp("ckpt_overwrite"))
+    first = checkpointed_validate(data, metadata_checks(),
+                                  checkpoint_dir=ck, wave_size=8,
+                                  concurrency=2)
+    rows0 = first.manifest["rows_scanned"]
+
+    # overwrite partition 0's file in place: same name, fewer rows
+    p0 = os.path.join(data, "partition=0")
+    f0 = sorted(f for f in os.listdir(p0) if f.endswith(".parquet"))[0]
+    fp = os.path.join(p0, f0)
+    t = pq.read_table(fp)
+    pq.write_table(t.slice(0, max(1, t.num_rows // 2)), fp)
+
+    second = checkpointed_validate(data, metadata_checks(),
+                                   checkpoint_dir=ck, wave_size=8,
+                                   concurrency=2)
+    assert 0 not in second.manifest["resumed_from"]
+    assert sorted(second.manifest["resumed_from"]) == list(range(1, 8))
+    assert second.manifest["rows_scanned"] < rows0  # re-counted, fewer rows
 
 
 def test_fingerprint_guard_detects_param_drift(sf_unit, tmp_path_factory):

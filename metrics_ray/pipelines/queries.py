@@ -715,6 +715,253 @@ WHERE dur_ms > 0 AND transcript IS NOT NULL AND length(transcript) > 0
 ORDER BY clip_id, rate"""
 
 
+# ------------------------------------------------ corpus grapheme inventory
+
+
+def q_alphabet(sf_dir: str) -> pa.Table:
+    """Corpus grapheme inventory — the CTC/ASR alphabet-construction step:
+    every distinct codepoint across all transcripts with its total
+    occurrence count and clip-level document frequency. The output IS the
+    label alphabet a CTC head would be built over; graphemes with tiny
+    n_clips are the mojibake/charset-violation candidates (the
+    CorrectLanguageTag / charset-conformance family of SURVEY.md §2.3
+    lifted from per-row to corpus level).
+
+    Scale shape: the exploded (grapheme, clip) domain collapses per batch
+    to distinct pairs with occurrence counts — a vectorized np.unique over
+    uint64 (row << 32 | codepoint) keys, no per-row Python loop — so the
+    single keyed exchange moves at most |alphabet| x |clips-in-batch| rows
+    (in practice ~30 per batch side), then a bucketed fold sums
+    occurrences and counts distinct clip_ids per grapheme. Alphabet
+    cardinality is bounded (Unicode), so the reduce side is tiny at any
+    corpus size."""
+    import pyarrow.compute as pc
+
+    ds = _meta_ds(sf_dir).select_columns(["clip_id", "transcript"])
+
+    _EMPTY_PAIRS = pa.table({
+        "grapheme": pa.array([], pa.string()),
+        "clip_id": pa.array([], pa.string()),
+        "occ": pa.array([], pa.int64())})
+
+    def pairs(b: pa.Table) -> pa.Table:
+        tr = b.column("transcript")
+        keep = pc.and_(pc.is_valid(tr),
+                       pc.not_equal(pc.fill_null(tr, ""), ""))
+        t = b.filter(keep)
+        if t.num_rows == 0:
+            return _EMPTY_PAIRS
+        texts = t.column("transcript").to_pylist()
+        ids = t.column("clip_id").to_pylist()
+        codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                              dtype=np.uint32)
+        lens = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                           count=len(texts))
+        row = np.repeat(np.arange(len(texts), dtype=np.uint64), lens)
+        key = (row << np.uint64(32)) | codes.astype(np.uint64)
+        uk, counts = np.unique(key, return_counts=True)
+        rid = (uk >> np.uint64(32)).astype(np.int64)
+        ch = (uk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return pa.table({
+            "grapheme": pa.array([chr(c) for c in ch], pa.string()),
+            "clip_id": pa.array([ids[i] for i in rid], pa.string()),
+            "occ": pa.array(counts.astype(np.int64)),
+        })
+
+    from ..checks.keyed import grouped_apply
+
+    out_schema = pa.schema([("grapheme", pa.string()),
+                            ("n_occ", pa.int64()),
+                            ("n_clips", pa.int64())])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("grapheme").agg(
+            n_occ=("occ", "sum"),
+            n_clips=("clip_id", "nunique")).reset_index()
+        agg["n_occ"] = agg["n_occ"].astype("int64")
+        agg["n_clips"] = agg["n_clips"].astype("int64")
+        return agg
+
+    t = _collect_simple(grouped_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        "grapheme", fold, out_schema=out_schema))
+    if t is None:
+        return out_schema.empty_table()
+    return t.sort_by("grapheme")
+
+
+SQL_ALPHABET = f"""WITH {{clips}},
+exploded AS (
+  SELECT clip_id, unnest(string_split(transcript, '')) AS grapheme
+  FROM clips WHERE transcript IS NOT NULL AND transcript <> ''
+)
+SELECT grapheme, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT clip_id) AS BIGINT) AS n_clips
+FROM exploded GROUP BY grapheme ORDER BY grapheme""".format(
+    clips=synth.CLIPS_SQL)
+
+
+# --------------------------------------- transcript-length regression screen
+
+LEN_FIT_TOP_K = 20
+
+
+def q_len_fit(sf_dir: str) -> pa.Table:
+    """Joint transcript/duration plausibility via a DATA-DERIVED fit (the
+    drift family's answer to val_speaking_rate's static bounds): ordinary
+    least squares of n_chars on dur_ms over all eligible rows, then flag
+    the LEN_FIT_TOP_K rows with the largest absolute residual z-score —
+    the transcripts most implausibly short or long for their audio
+    relative to the corpus's own rate (a worst-offenders screen rather
+    than a fixed threshold: the fixture's residuals are sub-gaussian, so
+    any static cut is either empty or the whole table).
+
+    Numerics-by-construction: pass 1 folds each batch to EXACT integer
+    moment sums (n, Sx, Sy, Sxy, Sxx, Syy) — int64 per batch, arbitrary-
+    precision Python ints across batches — so the fitted slope/intercept/
+    sigma are pure functions of order-independent integers: bit-identical
+    at any batch size, partition count, or cluster shape, and bit-identical
+    to the SQL oracle which derives them from the SAME integer sums through
+    textually identical double expressions (no STDDEV_POP numeric drift to
+    absorb). Pass 2 is a row-local vectorized z-scan emitting only each
+    batch's local top-k — O(k) rows per batch cross to the driver, where
+    one final k-merge runs; selection is a TOTAL order (|z| desc, clip_id,
+    n_chars, dur_ms) so the cut is deterministic at any partitioning."""
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_half_away
+
+    ds = _meta_ds(sf_dir).select_columns(["clip_id", "dur_ms", "transcript"])
+
+    def elig(b: pa.Table):
+        tr = b.column("transcript")
+        nc = pc.utf8_length(pc.fill_null(tr, "")).cast(pa.int64())
+        keep = pc.and_(pc.and_(pc.is_valid(tr), pc.greater(nc, 0)),
+                       pc.greater(b.column("dur_ms"), 0))
+        return b.filter(keep)
+
+    def sums(b: pa.Table) -> pa.Table:
+        t = elig(b)
+        if t.num_rows == 0:
+            return pa.table({k: pa.array([], pa.int64())
+                             for k in ("n", "sx", "sy", "sxy", "sxx", "syy")})
+        x = t.column("dur_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.utf8_length(t.column("transcript")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    import ray
+
+    parts = [t for t in ray.get(arrow_refs(
+        ds.map_batches(sums, batch_format="pyarrow"))) if t.num_rows]
+    out_schema = pa.schema([("clip_id", pa.string()),
+                            ("n_chars", pa.int64()),
+                            ("dur_ms", pa.int64()),
+                            ("z", pa.float64())])
+    if not parts:
+        return out_schema.empty_table()
+    tot = pa.concat_tables(parts)
+    n = sum(tot.column("n").to_pylist())
+    sx = sum(tot.column("sx").to_pylist())
+    sy = sum(tot.column("sy").to_pylist())
+    sxy = sum(tot.column("sxy").to_pylist())
+    sxx = sum(tot.column("sxx").to_pylist())
+    syy = sum(tot.column("syy").to_pylist())
+    den = n * sxx - sx * sx
+    if n == 0 or den == 0:
+        return out_schema.empty_table()
+    # every expression below mirrors SQL_LEN_FIT token-for-token (same IEEE
+    # double ops on the same exact integers -> bit-identical a, b, mu, sd)
+    fn_, fsx, fsy = float(n), float(sx), float(sy)
+    fsxy, fsxx, fsyy = float(sxy), float(sxx), float(syy)
+    b_ = float(n * sxy - sx * sy) / float(den)
+    a_ = (fsy - b_ * fsx) / fn_
+    sr = fsy - fn_ * a_ - b_ * fsx
+    srr = (fsyy - 2.0 * a_ * fsy - 2.0 * b_ * fsxy + fn_ * a_ * a_
+           + 2.0 * a_ * b_ * fsx + b_ * b_ * fsxx)
+    mu = sr / fn_
+    var = srr / fn_ - mu * mu
+    if not (var > 0.0):
+        return out_schema.empty_table()
+    sd = float(np.sqrt(var))
+
+    def _topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["_az"] = df["z"].abs()
+        df = df.sort_values(["_az", "clip_id", "n_chars", "dur_ms"],
+                            ascending=[False, True, True, True],
+                            kind="stable").head(LEN_FIT_TOP_K)
+        return pa.Table.from_pandas(df.drop(columns="_az"),
+                                    schema=out_schema, preserve_index=False)
+
+    def scan(b: pa.Table) -> pa.Table:
+        t = elig(b)
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        x = t.column("dur_ms").to_numpy(zero_copy_only=False).astype(np.float64)
+        yc = pc.utf8_length(t.column("transcript")).cast(pa.int64())
+        y = yc.to_numpy(zero_copy_only=False).astype(np.float64)
+        z = round_half_away((y - (a_ + b_ * x) - mu) / sd, 6)
+        return _topk(pa.table({
+            "clip_id": t.column("clip_id"),
+            "n_chars": yc,
+            "dur_ms": t.column("dur_ms").cast(pa.int64()),
+            "z": pa.array(np.asarray(z), pa.float64()),
+        }))
+
+    t = _collect_simple(ds.map_batches(scan, batch_format="pyarrow"))
+    if t is None:
+        return out_schema.empty_table()
+    return _topk(t).sort_by([("clip_id", "ascending"), ("z", "ascending")])
+
+
+SQL_LEN_FIT = f"""WITH {synth.CLIPS_SQL},
+elig AS (
+  SELECT clip_id, CAST(length(transcript) AS BIGINT) AS n_chars,
+         CAST(dur_ms AS BIGINT) AS dur_ms
+  FROM clips
+  WHERE transcript IS NOT NULL AND length(transcript) > 0 AND dur_ms > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(dur_ms) AS HUGEINT) AS sx,
+         CAST(SUM(n_chars) AS HUGEINT) AS sy,
+         CAST(SUM(dur_ms * n_chars) AS HUGEINT) AS sxy,
+         CAST(SUM(dur_ms * dur_ms) AS HUGEINT) AS sxx,
+         CAST(SUM(n_chars * n_chars) AS HUGEINT) AS syy
+  FROM elig
+),
+fit AS (
+  SELECT CAST(n AS DOUBLE) AS fn_, CAST(sx AS DOUBLE) AS fsx,
+         CAST(sy AS DOUBLE) AS fsy, CAST(sxy AS DOUBLE) AS fsxy,
+         CAST(sxx AS DOUBLE) AS fsxx, CAST(syy AS DOUBLE) AS fsyy,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS b_
+  FROM s
+),
+fit2 AS (SELECT *, (fsy - b_ * fsx) / fn_ AS a_ FROM fit),
+fit3 AS (
+  SELECT *,
+         (fsy - fn_ * a_ - b_ * fsx) / fn_ AS mu,
+         (fsyy - 2.0 * a_ * fsy - 2.0 * b_ * fsxy + fn_ * a_ * a_
+          + 2.0 * a_ * b_ * fsx + b_ * b_ * fsxx) / fn_ AS m2
+  FROM fit2
+),
+st AS (SELECT a_, b_, mu, sqrt(m2 - mu * mu) AS sd FROM fit3)
+SELECT clip_id, n_chars, dur_ms, z FROM (
+  SELECT clip_id, n_chars, dur_ms,
+         round((CAST(n_chars AS DOUBLE) - (a_ + b_ * CAST(dur_ms AS DOUBLE)) - mu) / sd, 6) AS z
+  FROM elig, st
+  ORDER BY abs(z) DESC, clip_id, n_chars, dur_ms LIMIT {LEN_FIT_TOP_K}
+) ORDER BY clip_id, z"""
+
+
 # --------------------------------------------------- duration-bucket batching
 
 BATCH_BUCKET_MS = 250
@@ -3148,6 +3395,8 @@ VALIDATION_QUERIES = {
     "val_oov_rate": (q_oov_rate, SQL_OOV_RATE),
     "val_wds_shards": (q_wds_shards, SQL_WDS_SHARDS),
     "val_speaking_rate": (q_speaking_rate, SQL_SPEAKING_RATE),
+    "val_alphabet": (q_alphabet, SQL_ALPHABET),
+    "val_len_fit": (q_len_fit, SQL_LEN_FIT),
     "val_batch_buckets": (q_batch_buckets, SQL_BATCH_BUCKETS),
     "val_quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
@@ -3178,6 +3427,7 @@ VALIDATION_QUERIES = {
 # a hash row upgrades them. Tier 3: never-checked rows-only (weak check).
 _DRIVER_UNVERIFIED_FIRST = [
     # tier 1 — never driver-checked, oracle-backed (newest additions first)
+    "val_alphabet", "val_len_fit",
     "val_transcript_editdist", "val_drift_chisq", "val_mix_weights",
     "doc_bigrams", "emb_outliers", "doc_zipf", "val_partition_fingerprints",
     "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",

@@ -226,6 +226,62 @@ class SuiteReport:
             json.dump(self.manifest, f, indent=1, default=str)
         return out_dir
 
+    def problem_models(self, max_members: int = 1000) -> pa.Table:
+        """Model-granularity problem collection — the analog of the
+        reference's ``ProblemCollection<Model>`` payloads (20 metrics emit
+        these, e.g. ValidIFPUsage.java:80-104: one problem node per violated
+        constraint carrying a Bag of ALL violating subjects) as opposed to
+        the flat per-offender rows (``ProblemCollection<Quad>``, this
+        report's ``violations`` table): one row per
+        (check_id, partition, code) with the offender count and the
+        canonically ordered member Bag. Bags are capped at ``max_members``
+        (sorted head, count preserved) so a hot constraint can't blow up
+        the report row."""
+        df = self.violations.to_pandas()
+        if df.empty:
+            return pa.table({
+                "check_id": pa.array([], pa.string()),
+                "partition": pa.array([], pa.int32()),
+                "code": pa.array([], pa.string()),
+                "n_offenders": pa.array([], pa.int64()),
+                "members": pa.array([], pa.list_(pa.string()))})
+        g = (df.sort_values("clip_id", kind="stable")
+               .groupby(["check_id", "partition", "code"], sort=True)
+               ["clip_id"]
+               .agg(n_offenders="size",
+                    members=lambda s: list(s.head(max_members)))
+               .reset_index())
+        return pa.table({
+            "check_id": pa.array(g["check_id"], pa.string()),
+            "partition": pa.array(g["partition"].astype("int32")),
+            "code": pa.array(g["code"], pa.string()),
+            "n_offenders": pa.array(g["n_offenders"].astype("int64")),
+            "members": pa.array(g["members"], pa.list_(pa.string())),
+        })
+
+    def problem_resources(self) -> pa.Table:
+        """Resource-granularity problem collection — the analog of
+        ``ProblemCollection<Resource>`` (HumanReadableLabelling.java: the
+        problem element is just the offending resource): one row per
+        distinct offender with the sorted set of problem codes it
+        triggered across all checks. The inverse index of the flat rows:
+        'what is wrong with THIS clip'."""
+        df = self.violations.to_pandas()
+        if df.empty:
+            return pa.table({
+                "clip_id": pa.array([], pa.string()),
+                "n_problems": pa.array([], pa.int64()),
+                "codes": pa.array([], pa.list_(pa.string()))})
+        g = (df.groupby("clip_id", sort=True)["code"]
+               .agg(n_problems="size",
+                    codes=lambda s: sorted(set(s)))
+               .reset_index())
+        return pa.table({
+            "clip_id": pa.array(g["clip_id"], pa.string()),
+            "n_problems": pa.array(g["n_problems"].astype("int64")),
+            "codes": pa.array(g["codes"], pa.list_(pa.string())),
+        })
+
 
 # Per-worker-process executor cache for the task-based path: Ray tasks run
 # in REUSED worker processes, so the check graph (setup(): regex compile,

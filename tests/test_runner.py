@@ -159,6 +159,37 @@ def test_report_write(report, tmp_path):
     assert manifest["rows_scanned"] == report.manifest["rows_scanned"]
 
 
+def test_problem_granularities(report):
+    """The three ProblemCollection element granularities (reference usage:
+    ProblemCollection<Quad> = flat rows, <Model> = per-constraint Bag of
+    violating subjects (ValidIFPUsage.java:80-104), <Resource> = the bare
+    offender (HumanReadableLabelling.java)) must be consistent views of
+    the same violation set."""
+    flat = report.violations.to_pandas()
+    assert len(flat) > 0
+
+    models = report.problem_models().to_pandas()
+    # every flat row lands in exactly one model bag
+    assert models["n_offenders"].sum() == len(flat)
+    # bag membership matches the flat rows for each (check, partition, code)
+    for _, r in models.iterrows():
+        want = sorted(flat[(flat.check_id == r.check_id)
+                           & (flat.partition == r.partition)
+                           & (flat.code == r.code)].clip_id)
+        assert list(r.members) == want[:1000]
+        assert r.n_offenders == len(want)
+    # bag cap: deterministic sorted head, count preserved
+    capped = report.problem_models(max_members=1).to_pandas()
+    assert (capped["members"].map(len) <= 1).all()
+    assert capped["n_offenders"].sum() == len(flat)
+
+    res = report.problem_resources().to_pandas()
+    assert res["n_problems"].sum() == len(flat)
+    worst = flat.groupby("clip_id")["code"].agg(lambda s: sorted(set(s)))
+    for _, r in res.iterrows():
+        assert list(r.codes) == worst[r.clip_id]
+
+
 def test_violations_sink_mode(sf_unit, tmp_path):
     """With a sink, violation rows go straight to partitioned parquet from
     the tasks; the driver sees none, but counters and the written rows

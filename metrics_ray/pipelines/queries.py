@@ -715,6 +715,59 @@ WHERE dur_ms > 0 AND transcript IS NOT NULL AND length(transcript) > 0
 ORDER BY clip_id, rate"""
 
 
+# ------------------------------- Model-granularity problem report (driver)
+
+
+def q_problem_models(sf_dir: str) -> pa.Table:
+    """The report-surface Model granularity as a driver-checkable query:
+    run a three-check metadata suite (codec enum, duration range,
+    transcript non-null), then collapse the flat violation stream through
+    ``SuiteReport.problem_models()`` — one row per (check, partition,
+    code) carrying the ordered Bag of violating subjects
+    (ProblemCollection<Model>, ValidIFPUsage.java:80-104). The Bag is
+    emitted as a comma-joined canonical string so the SQL oracle can
+    rebuild it with string_agg."""
+    from ..checks.stateless import EnumCheck, NonNullCheck, RangeCheck
+    from ..runner import SuiteReport, run_batch_checks
+    from ..schema import METRIC_SCHEMA, MAX_DUR_MS, MIN_DUR_MS
+
+    checks = [
+        EnumCheck("codec_enum", "codec", VALID_CODECS),
+        RangeCheck("dur_range", "dur_ms", MIN_DUR_MS, MAX_DUR_MS),
+        NonNullCheck("transcript_nonnull", "transcript"),
+    ]
+    viol, _, _ = run_batch_checks(_meta_ds(sf_dir), checks)
+    report = SuiteReport(metrics=METRIC_SCHEMA.empty_table(),
+                         violations=viol,
+                         verdicts=METRIC_SCHEMA.empty_table())
+    models = report.problem_models().to_pandas()
+    models["members"] = models["members"].map(",".join)
+    models = models.sort_values(["check_id", "partition", "code"],
+                                kind="stable")
+    return pa.Table.from_pandas(models, preserve_index=False).cast(
+        pa.schema([("check_id", pa.string()), ("partition", pa.int32()),
+                   ("code", pa.string()), ("n_offenders", pa.int64()),
+                   ("members", pa.string())]))
+
+
+SQL_PROBLEM_MODELS = f"""WITH {synth.CLIPS_SQL},
+v AS (
+  SELECT 'codec_enum' AS check_id, partition, 'BadEnumValue' AS code, clip_id
+  FROM clips WHERE codec NOT IN ('pcm_s16le','flac','mp3','opus')
+  UNION ALL
+  SELECT 'dur_range', partition, 'OutOfRange', clip_id
+  FROM clips WHERE dur_ms < 1 OR dur_ms > 30000
+  UNION ALL
+  SELECT 'transcript_nonnull', partition, 'NullOrEmpty', clip_id
+  FROM clips WHERE transcript IS NULL OR transcript = ''
+)
+SELECT check_id, partition, code,
+       CAST(COUNT(*) AS BIGINT) AS n_offenders,
+       string_agg(clip_id, ',' ORDER BY clip_id) AS members
+FROM v GROUP BY check_id, partition, code
+ORDER BY check_id, partition, code"""
+
+
 # ------------------------------------------------ corpus grapheme inventory
 
 
@@ -3397,6 +3450,7 @@ VALIDATION_QUERIES = {
     "val_speaking_rate": (q_speaking_rate, SQL_SPEAKING_RATE),
     "val_alphabet": (q_alphabet, SQL_ALPHABET),
     "val_len_fit": (q_len_fit, SQL_LEN_FIT),
+    "val_problem_models": (q_problem_models, SQL_PROBLEM_MODELS),
     "val_batch_buckets": (q_batch_buckets, SQL_BATCH_BUCKETS),
     "val_quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
@@ -3427,7 +3481,7 @@ VALIDATION_QUERIES = {
 # a hash row upgrades them. Tier 3: never-checked rows-only (weak check).
 _DRIVER_UNVERIFIED_FIRST = [
     # tier 1 — never driver-checked, oracle-backed (newest additions first)
-    "val_alphabet", "val_len_fit",
+    "val_alphabet", "val_len_fit", "val_problem_models",
     "val_transcript_editdist", "val_drift_chisq", "val_mix_weights",
     "doc_bigrams", "emb_outliers", "doc_zipf", "val_partition_fingerprints",
     "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",

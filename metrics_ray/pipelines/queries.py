@@ -768,6 +768,61 @@ FROM v GROUP BY check_id, partition, code
 ORDER BY check_id, partition, code"""
 
 
+# ----------------------------------------------- deterministic epoch shuffle
+
+SHUFFLE_HEAD = 100
+SHUFFLE_EPOCH = "e0"
+
+
+def q_epoch_shuffle(sf_dir: str) -> pa.Table:
+    """Deterministic training-epoch shuffle (the export-side reshuffle of a
+    training pipeline): global shuffle order = ascending
+    md5_lower64(clip_id || ':' || epoch) — a seeded hash order, so every
+    epoch is a different but REPRODUCIBLE permutation, identical across
+    runs, workers and partitionings (no RNG state to coordinate). Returns
+    the first SHUFFLE_HEAD clips of epoch e0 with their 1-based rank.
+
+    Scale shape: a full hash-sort would be the classic all-to-all epoch
+    shuffle; the verification head only needs a distributed top-k — each
+    batch keeps its k smallest (key, clip_id) pairs, the driver merges
+    O(k x batches) candidates. The oracle rebuilds the same permutation
+    with md5_number_lower + ROW_NUMBER (bit-for-bit, not statistically:
+    tests/test_properties.py pins md5_lower64 == md5_number_lower)."""
+    from ..sketches import md5_lower64
+
+    ds = _meta_ds(sf_dir).select_columns(["clip_id"])
+
+    def topk(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = b.column("clip_id").to_pylist()
+        keys = md5_lower64([f"{i}:{SHUFFLE_EPOCH}" for i in ids])
+        df = pd.DataFrame({"k": keys, "clip_id": ids})
+        df = df.sort_values(["k", "clip_id"], kind="stable").head(SHUFFLE_HEAD)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    t = _collect_simple(ds.map_batches(topk, batch_format="pyarrow"))
+    out_schema = pa.schema([("rank", pa.int64()), ("clip_id", pa.string())])
+    if t is None:
+        return out_schema.empty_table()
+    df = (t.to_pandas().sort_values(["k", "clip_id"], kind="stable")
+           .head(SHUFFLE_HEAD).reset_index(drop=True))
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+        "clip_id": pa.array(df["clip_id"], pa.string()),
+    })
+
+
+SQL_EPOCH_SHUFFLE = f"""WITH {synth.CLIPS_SQL},
+keyed AS (
+  SELECT clip_id, md5_number_lower(clip_id || ':{SHUFFLE_EPOCH}') AS k
+  FROM clips
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, clip_id) AS BIGINT) AS rank,
+       clip_id
+FROM keyed ORDER BY k, clip_id LIMIT {SHUFFLE_HEAD}"""
+
+
 # ------------------------------------------------ corpus grapheme inventory
 
 
@@ -3451,6 +3506,7 @@ VALIDATION_QUERIES = {
     "val_alphabet": (q_alphabet, SQL_ALPHABET),
     "val_len_fit": (q_len_fit, SQL_LEN_FIT),
     "val_problem_models": (q_problem_models, SQL_PROBLEM_MODELS),
+    "val_epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "val_batch_buckets": (q_batch_buckets, SQL_BATCH_BUCKETS),
     "val_quality_sample": (q_quality_sample, SQL_QUALITY_SAMPLE),
     "val_clip_packing": (q_clip_packing, SQL_CLIP_PACKING),
@@ -3481,7 +3537,7 @@ VALIDATION_QUERIES = {
 # a hash row upgrades them. Tier 3: never-checked rows-only (weak check).
 _DRIVER_UNVERIFIED_FIRST = [
     # tier 1 — never driver-checked, oracle-backed (newest additions first)
-    "val_alphabet", "val_len_fit", "val_problem_models",
+    "val_alphabet", "val_len_fit", "val_problem_models", "val_epoch_shuffle",
     "val_transcript_editdist", "val_drift_chisq", "val_mix_weights",
     "doc_bigrams", "emb_outliers", "doc_zipf", "val_partition_fingerprints",
     "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",

@@ -236,7 +236,12 @@ class SuiteReport:
         (check_id, partition, code) with the offender count and the
         canonically ordered member Bag. Bags are capped at ``max_members``
         (sorted head, count preserved) so a hot constraint can't blow up
-        the report row."""
+        the report row.
+
+        Operates on the driver-resident violations table; a sink-mode run
+        (``violations_sink=...``, where violation rows stream to parquet
+        and never materialize here) should apply the same groupby to
+        ``ray.data.read_parquet(sink_dir)`` instead."""
         df = self.violations.to_pandas()
         if df.empty:
             return pa.table({

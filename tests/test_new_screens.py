@@ -1,0 +1,148 @@
+"""Unit tests for the session-5 screens beyond their SQL-oracle parity:
+the vectorized kernels on inputs the ASCII fixture never exercises
+(non-ASCII graphemes, astral codepoints) and the exact-integer
+determinism contract of the regression fit."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _alphabet_reference(texts, ids):
+    """Plain-python reference for the pairs kernel: per (grapheme, clip)
+    occurrence counts over non-null, non-empty transcripts."""
+    from collections import Counter
+
+    occ = Counter()
+    for cid, t in zip(ids, texts):
+        if t:
+            for ch in t:
+                occ[(ch, cid)] += 1
+    return occ
+
+
+def test_alphabet_pairs_kernel_unicode():
+    """The utf-32 np.unique kernel must agree with a per-char python count
+    on non-ASCII input: combining marks, CJK, and astral (surrogate-pair)
+    codepoints — the inputs string_split-based oracles never see."""
+    from metrics_ray.pipelines import queries as Q
+
+    texts = ["héllo wörld", "日本語 テスト", "emoji 🎵🎵 twice", None, "",
+             "mixed ascii + ñ + 𝄞 clef", "aaa"]
+    ids = [f"clip-{i:08d}" for i in range(len(texts))]
+    batch = pa.table({"clip_id": pa.array(ids, pa.string()),
+                      "transcript": pa.array(texts, pa.string())})
+
+    # drive the same kernel the query ships (rebuild it via the query's
+    # closure by running the query body on a tiny in-memory dataset)
+    import ray
+
+    ds = ray.data.from_arrow(batch.rename_columns(["clip_id", "transcript"]))
+    # reuse the full query path against a synthetic sf_dir is not possible
+    # here; instead exercise the kernel through q_alphabet's building
+    # blocks: np.unique over packed keys must equal the Counter reference.
+    joined = "".join(t for t in texts if t)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in texts if t), dtype=np.int64)
+    row = np.repeat(np.arange(len(lens), dtype=np.uint64), lens)
+    key = (row << np.uint64(32)) | codes.astype(np.uint64)
+    uk, counts = np.unique(key, return_counts=True)
+    got = {}
+    kept_ids = [i for i, t in zip(ids, texts) if t]
+    for k, c in zip(uk, counts):
+        rid = int(k >> np.uint64(32))
+        ch = chr(int(k & np.uint64(0xFFFFFFFF)))
+        got[(ch, kept_ids[rid])] = int(c)
+    assert got == dict(_alphabet_reference(texts, ids))
+
+
+def test_alphabet_query_matches_brute_force(sf_unit):
+    """End-to-end q_alphabet vs a pandas explode over the same clips."""
+    from metrics_ray.pipelines.clips import clips_dataset
+    from metrics_ray.pipelines.queries import q_alphabet
+
+    got = q_alphabet(sf_unit).to_pandas().set_index("grapheme")
+
+    meta = []
+    for b in clips_dataset(sf_unit, with_audio=False).select_columns(
+            ["clip_id", "transcript"]).iter_batches(batch_format="pyarrow"):
+        meta.append(pa.table(b).to_pandas())
+    import pandas as pd
+
+    df = pd.concat(meta)
+    df = df[df.transcript.notna() & (df.transcript != "")]
+    rows = df.apply(lambda r: [(c, r.clip_id) for c in r.transcript],
+                    axis=1).explode()
+    pairs = pd.DataFrame(rows.tolist(), columns=["grapheme", "clip_id"])
+    want = pairs.groupby("grapheme").agg(
+        n_occ=("clip_id", "size"), n_clips=("clip_id", "nunique"))
+    assert got["n_occ"].to_dict() == want["n_occ"].to_dict()
+    assert got["n_clips"].to_dict() == want["n_clips"].to_dict()
+
+
+def test_len_fit_exact_integer_fold_matches_numpy(sf_unit):
+    """The distributed integer-moment fit must equal a single-pass numpy
+    computation over the whole eligible table — the determinism anchor
+    (same integers in, same doubles out, regardless of partitioning)."""
+    from metrics_ray.pipelines.clips import clips_dataset
+    from metrics_ray.pipelines.queries import LEN_FIT_TOP_K, q_len_fit
+
+    got = q_len_fit(sf_unit).to_pandas()
+    assert len(got) == LEN_FIT_TOP_K
+    assert got["z"].notna().all()
+
+    import pandas as pd
+
+    meta = pd.concat([pa.table(b).to_pandas() for b in clips_dataset(
+        sf_unit, with_audio=False).select_columns(
+        ["clip_id", "dur_ms", "transcript"]).iter_batches(
+        batch_format="pyarrow")])
+    elig = meta[meta.transcript.notna() & (meta.transcript.str.len() > 0)
+                & (meta.dur_ms > 0)]
+    x = elig.dur_ms.to_numpy(dtype=np.int64)
+    y = elig.transcript.str.len().to_numpy(dtype=np.int64)
+    n, sx, sy = len(x), int(x.sum()), int(y.sum())
+    sxy, sxx, syy = int((x * y).sum()), int((x * x).sum()), int((y * y).sum())
+    b_ = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    a_ = (float(sy) - b_ * float(sx)) / float(n)
+    r = y.astype(np.float64) - (a_ + b_ * x.astype(np.float64))
+    mu, sd = r.mean(), r.std()
+    from metrics_ray.functions.rounding import round_half_away
+
+    z = round_half_away((y - (a_ + b_ * x) - r.sum() / n) / np.sqrt(
+        (np.sum((y - a_ - b_ * x) ** 2) / n) - (r.sum() / n) ** 2), 6)
+    # the top-k members by |z| (total order) must match
+    ref = pd.DataFrame({"clip_id": elig.clip_id.to_numpy(),
+                        "n_chars": y, "dur_ms": x, "z": z})
+    ref["_az"] = ref.z.abs()
+    ref = ref.sort_values(["_az", "clip_id", "n_chars", "dur_ms"],
+                          ascending=[False, True, True, True],
+                          kind="stable").head(LEN_FIT_TOP_K)
+    got_set = set(map(tuple, got[["clip_id", "n_chars", "dur_ms"]].values))
+    ref_set = set(map(tuple, ref[["clip_id", "n_chars", "dur_ms"]].values))
+    assert got_set == ref_set
+    # avoid unused-variable lint noise while keeping the sanity anchors
+    assert np.isfinite(mu) and sd > 0
+
+
+def test_epoch_shuffle_is_a_permutation_head(sf_unit):
+    """Rank column is 1..k, ids exist in the corpus, and the order is the
+    md5 hash order (spot-check adjacent pairs)."""
+    from metrics_ray.pipelines.clips import clips_dataset
+    from metrics_ray.pipelines.queries import (SHUFFLE_EPOCH, SHUFFLE_HEAD,
+                                               q_epoch_shuffle)
+    from metrics_ray.sketches import md5_lower64
+
+    got = q_epoch_shuffle(sf_unit).to_pandas()
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    assert len(got) == SHUFFLE_HEAD
+    keys = md5_lower64([f"{i}:{SHUFFLE_EPOCH}" for i in got["clip_id"]])
+    assert (np.diff(keys.astype(np.uint64)) >= 0).all()
+
+    corpus = set()
+    for b in clips_dataset(sf_unit, with_audio=False).select_columns(
+            ["clip_id"]).iter_batches(batch_format="pyarrow"):
+        corpus.update(pa.table(b).column("clip_id").to_pylist())
+    assert set(got["clip_id"]).issubset(corpus)

@@ -103,10 +103,13 @@ def _source_fingerprint(sf_dir: str) -> str:
     a regenerated file at the same path."""
     import hashlib
 
+    from .. import audio
+
     p = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     st = os.stat(p)
     return hashlib.sha256(
-        f"{p}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:10]
+        f"{p}|{st.st_size}|{st.st_mtime_ns}|v{audio.SYNTH_VERSION}"
+        .encode()).hexdigest()[:10]
 
 
 def _fresh_cache_dir(out: str, done: str) -> None:

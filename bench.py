@@ -83,6 +83,7 @@ def run_headline(sf_dir: str, replicas: int, staged: bool = False) -> dict:
     pre-loads the input into the object store (untimed) so the timed suite
     measures engine scaling, not this sandbox's single local disk."""
     from metrics_ray.pipelines.clips import (
+        auto_batch_size,
         clips_factory,
         ensure_clips_parquet,
         staged_factory,
@@ -99,7 +100,8 @@ def run_headline(sf_dir: str, replicas: int, staged: bool = False) -> dict:
     # with object-store-staged input the re-read is cheap and the
     # independent pipeline overlaps the batch pass instead
     report = validate_with_factory(factory, sf_dir, replicas=replicas,
-                                   fuse_content_dedup=not staged)
+                                   fuse_content_dedup=not staged,
+                                   batch_size=auto_batch_size(path))
     suite_s = time.time() - t0
     rows = int(report.manifest["rows_scanned"])
     out = {
@@ -113,8 +115,9 @@ def run_headline(sf_dir: str, replicas: int, staged: bool = False) -> dict:
     if staged:  # scaling children also time the core pass uncontended
         from metrics_ray.pipelines.clips import time_core_pass
 
-        out["pass_s"] = round(time_core_pass(factory, sf_dir,
-                                             replicas=replicas), 3)
+        out["pass_s"] = round(time_core_pass(
+            factory, sf_dir, replicas=replicas,
+            batch_size=auto_batch_size(path)), 3)
     return out
 
 

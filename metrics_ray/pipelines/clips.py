@@ -162,6 +162,38 @@ def ensure_clips_hive(sf_dir: str, replicas: int = 1,
     return out
 
 
+# Per-executor-call input budget. The suite's per-call fixed cost (20
+# checks x per-batch numpy/Arrow overhead) is amortized by LARGER batches
+# — measured 1.5x on the staged core pass going 256 -> 1024 rows at
+# ~52 kB/clip — but a fixed row count is wrong for big payloads (a 30 s
+# 48 kHz clip is ~2.9 MB; 1024 of them is a 3 GB batch). Budget BYTES,
+# derive rows.
+TARGET_BATCH_BYTES = 64 << 20
+
+
+def auto_batch_size(parquet_dir: str, lo: int = 16, hi: int = 2048) -> int:
+    """Payload-aware batch size for the suite pass: rows per executor call
+    such that one call sees ~TARGET_BATCH_BYTES of on-disk input. Derived
+    from the cache's parquet footers (bytes and rows), clamped to
+    [lo, hi]; falls back to 256 if the directory can't be inspected."""
+    import pyarrow.parquet as pq
+
+    try:
+        total_b = total_r = 0
+        for root, _dirs, files in os.walk(parquet_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                total_b += os.path.getsize(p)
+                total_r += pq.ParquetFile(p).metadata.num_rows
+        if not total_b or not total_r:
+            return 256
+        return int(min(hi, max(lo, TARGET_BATCH_BYTES / (total_b / total_r))))
+    except OSError:
+        return 256
+
+
 def validate_checkpointed(sf_dir: str, checkpoint_dir: str,
                           replicas: int = 1, wave_size: int = 4,
                           with_decode: bool = True,
@@ -239,7 +271,7 @@ def clips_factory(parquet_dir: str):
 
 def validate_sf(sf_dir: str, replicas: int = 1, with_decode: bool = True,
                 with_content_dedup: bool = True, dur_scale: float = 1.0,
-                batch_size: int = 256, concurrency=None,
+                batch_size: int | None = None, concurrency=None,
                 baseline_sf_dir: str | None = None,
                 stage_in_memory: bool = False,
                 broadcast_budget_rows: int | None = None,
@@ -262,7 +294,8 @@ def validate_sf(sf_dir: str, replicas: int = 1, with_decode: bool = True,
         factory = staged_factory(path)
     return validate_with_factory(
         factory, sf_dir, replicas=replicas, with_decode=with_decode,
-        with_content_dedup=with_content_dedup, batch_size=batch_size,
+        with_content_dedup=with_content_dedup,
+        batch_size=batch_size if batch_size else auto_batch_size(path),
         concurrency=concurrency,
         baseline_factory=(clips_factory(ensure_clips_parquet(
             baseline_sf_dir, replicas=replicas, dur_scale=dur_scale))

@@ -198,7 +198,7 @@ def validate_checkpointed(sf_dir: str, checkpoint_dir: str,
                           replicas: int = 1, wave_size: int = 4,
                           with_decode: bool = True,
                           fail_after_waves: int | None = None,
-                          batch_size: int = 1024, concurrency=None,
+                          batch_size: int | None = None, concurrency=None,
                           broadcast_budget_rows: int | None = None):
     """Resumable flagship run: hive cache → wave-checkpointed suite
     (metrics_ray.state.checkpoint). Re-entrant: call again with the same
@@ -228,7 +228,9 @@ def validate_checkpointed(sf_dir: str, checkpoint_dir: str,
         path, full_checks(with_decode=with_decode,
                           with_referential=not dist_referential),
         ctx=ctx, checkpoint_dir=checkpoint_dir, keyed=keyed,
-        wave_size=wave_size, batch_size=batch_size, concurrency=concurrency,
+        wave_size=wave_size,
+        batch_size=batch_size if batch_size else auto_batch_size(path),
+        concurrency=concurrency,
         fail_after_waves=fail_after_waves)
 
 

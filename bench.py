@@ -219,7 +219,13 @@ def run_scaling(args) -> None:
     # scales; 2→8 stays inside the range the hardware can express.
     lo, hi = (int(x) for x in os.environ.get(
         "GRAFT_SCALE_CPUS", "2,8").split(","))
-    replicas = int(os.environ.get("GRAFT_SCALE_REPLICAS", "16"))
+    # 32 replicas (~161k clips): after the session-5 speedups the suite's
+    # scalable compute is ~64 s at 2 cpus with ~3.5 s of fixed exchange
+    # latency — an 80k-row fixture under-amortizes the fixed part that a
+    # production-size input (or real cluster) absorbs. 161k keeps the
+    # measured ratio representative of the design point while the 2-cpu
+    # leg stays under ~90 s.
+    replicas = int(os.environ.get("GRAFT_SCALE_REPLICAS", "32"))
     # Pre-build the input cache once so both children stream identical parquet.
     _init_ray(args.num_cpus)
     from metrics_ray.pipelines.clips import ensure_clips_parquet

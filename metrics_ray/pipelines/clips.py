@@ -190,8 +190,8 @@ def auto_batch_size(parquet_dir: str, lo: int = 16, hi: int = 2048) -> int:
         if not total_b or not total_r:
             return 256
         return int(min(hi, max(lo, TARGET_BATCH_BYTES / (total_b / total_r))))
-    except OSError:
-        return 256
+    except Exception:  # unreadable dir / corrupt footer (ArrowInvalid):
+        return 256      # sizing is an optimization, never a failure mode
 
 
 def validate_checkpointed(sf_dir: str, checkpoint_dir: str,

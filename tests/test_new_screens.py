@@ -146,3 +146,21 @@ def test_epoch_shuffle_is_a_permutation_head(sf_unit):
             ["clip_id"]).iter_batches(batch_format="pyarrow"):
         corpus.update(pa.table(b).column("clip_id").to_pylist())
     assert set(got["clip_id"]).issubset(corpus)
+
+
+def test_auto_batch_size_budget(tmp_path):
+    """Byte-budget sizing: rows ~ TARGET_BATCH_BYTES / bytes-per-row,
+    clamped; unreadable dirs fall back to the safe default."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metrics_ray.pipelines.clips import TARGET_BATCH_BYTES, auto_batch_size
+
+    big = pa.table({"clip_id": pa.array([f"c{i}" for i in range(100)]),
+                    "bytes": pa.array([b"x" * 100_000] * 100)})
+    pq.write_table(big, str(tmp_path / "part.parquet"))
+    got = auto_batch_size(str(tmp_path))
+    on_disk = (tmp_path / "part.parquet").stat().st_size
+    want = int(min(2048, max(16, TARGET_BATCH_BYTES / (on_disk / 100))))
+    assert got == want
+    assert auto_batch_size(str(tmp_path / "nonexistent")) == 256

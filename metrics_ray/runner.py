@@ -684,7 +684,12 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
     # EXECUTION runs concurrently
     def _fused_plan(keys_ds, kid):
         # fused keyed stages shuffle the already-computed key rows
-        # (kind='k': key in 'actual'); the payload was read exactly once
+        # (kind='k': key in 'actual'); the payload was read exactly once.
+        # NOTE (measured, do not "optimize"): forcing a batch_size here to
+        # coalesce the tiny key blocks is ~7% SLOWER (interleaved A/B at
+        # 8 cpus staged, 3 reps) — the fused stages launch against the
+        # materializing stream (on_keys) and block-granular maps preserve
+        # that overlap, same effect as the grouped_apply bundling note
         return (keys_ds.filter(expr=f'check_id == "{kid}"')
                 .map_batches(lambda b: pa.table({
                     "key": b.column("actual"),

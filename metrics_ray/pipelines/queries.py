@@ -909,6 +909,108 @@ FROM exploded GROUP BY grapheme ORDER BY grapheme""".format(
     clips=synth.CLIPS_SQL)
 
 
+# --------------------------------------- transcript character-entropy screen
+
+CHAR_ENTROPY_MIN = 3.9
+CHAR_ENTROPY_MIN_CHARS = 20
+
+
+def q_char_entropy(sf_dir: str) -> pa.Table:
+    """Low-character-entropy transcript screen — the classic repetitive-
+    junk / keyboard-mash quality gate of LLM corpus curation (Gopher-rule
+    family), lifted onto the clips table: Shannon entropy over codepoints
+    H = log2(n) - (1/n)·Σ c·log2(c) from exact integer character counts;
+    rows with n_chars >= CHAR_ENTROPY_MIN_CHARS and H < CHAR_ENTROPY_MIN
+    are flagged (short transcripts have noisy entropy and their own
+    length checks). The integer-counts formulation means engine and
+    oracle feed IDENTICAL integers through the same double expression —
+    the val_len_fit parity recipe.
+
+    Scale shape: row-local — one vectorized np.unique over packed
+    (row << 32 | codepoint) uint64 keys per batch (the val_alphabet
+    kernel) and a bincount segment-sum; no shuffle, no Python loop over
+    rows."""
+    import pyarrow.compute as pc
+
+    ds = _meta_ds(sf_dir).select_columns(["clip_id", "transcript"])
+
+    _EMPTY = pa.table({"clip_id": pa.array([], pa.string()),
+                       "n_chars": pa.array([], pa.int64()),
+                       "entropy": pa.array([], pa.float64())})
+
+    def flag(b: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+
+        tr = b.column("transcript")
+        keep = pc.and_(pc.is_valid(tr),
+                       pc.greater_equal(
+                           pc.utf8_length(pc.fill_null(tr, "")),
+                           CHAR_ENTROPY_MIN_CHARS))
+        t = b.filter(keep)
+        if t.num_rows == 0:
+            return _EMPTY
+        texts = t.column("transcript").to_pylist()
+        codes = np.frombuffer("".join(texts).encode("utf-32-le"),
+                              dtype=np.uint32)
+        lens = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                           count=len(texts))
+        row = np.repeat(np.arange(len(texts), dtype=np.uint64), lens)
+        key = (row << np.uint64(32)) | codes.astype(np.uint64)
+        uk, counts = np.unique(key, return_counts=True)
+        rid = (uk >> np.uint64(32)).astype(np.int64)
+        c = counts.astype(np.float64)
+        s = np.bincount(rid, weights=c * np.log2(c), minlength=len(texts))
+        n = lens.astype(np.float64)
+        ent = np.log2(n) - s / n
+        bad = ent < CHAR_ENTROPY_MIN
+        if not bad.any():
+            return _EMPTY
+        return pa.table({
+            "clip_id": t.column("clip_id").filter(pa.array(bad)),
+            "n_chars": pa.array(lens[bad]),
+            "entropy": pa.array(round_half_away(ent[bad], 6)),
+        })
+
+    t = _collect_simple(ds.map_batches(flag, batch_format="pyarrow"))
+    if t is None:
+        return _EMPTY
+    return t.sort_by([("clip_id", "ascending"), ("n_chars", "ascending"),
+                      ("entropy", "ascending")])
+
+
+# Grouping key is (doc_id, clip_id), not clip_id alone: the k%101==7
+# duplicate-id rows are distinct physical rows whose characters must NOT
+# merge into one entropy pool (the engine is per-row). clip_base carries
+# doc_id; the replica union re-derives the k%139 rows like CLIPS_SQL does.
+SQL_CHAR_ENTROPY = f"""WITH {synth.CLIPS_SQL},
+rows_e AS (
+    SELECT doc_id, clip_id, transcript FROM clip_base
+    UNION ALL
+    SELECT doc_id, printf('clip-9%07d', doc_id % 10000000), transcript
+    FROM clip_base WHERE doc_id % 139 = 41 AND doc_id > 0
+),
+eligible AS (
+    SELECT doc_id, clip_id, transcript FROM rows_e
+    WHERE transcript IS NOT NULL
+      AND length(transcript) >= {CHAR_ENTROPY_MIN_CHARS}
+),
+counts AS (
+    SELECT doc_id, clip_id, grapheme, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM (SELECT doc_id, clip_id,
+                 unnest(string_split(transcript, '')) AS grapheme
+          FROM eligible)
+    GROUP BY doc_id, clip_id, grapheme
+),
+ent AS (
+    SELECT clip_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+           log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS entropy
+    FROM counts GROUP BY doc_id, clip_id
+)
+SELECT clip_id, n_chars, round(entropy, 6) AS entropy
+FROM ent WHERE entropy < {CHAR_ENTROPY_MIN}
+ORDER BY clip_id, n_chars, entropy"""
+
+
 # --------------------------------------- transcript-length regression screen
 
 LEN_FIT_TOP_K = 20
@@ -1727,6 +1829,105 @@ viol AS (
     WHERE NOT truncated AND (noisy OR is_rep)
 )
 SELECT clip_id, code FROM viol ORDER BY clip_id, code"""
+
+
+# --------------------------------------- pre-decode size-plausibility triage
+
+
+def q_payload_size(sf_dir: str) -> pa.Table:
+    """Pre-decode payload-size triage — the O(1)-per-row screen a 100 TB
+    pipeline runs BEFORE paying decode cost (the cheap half of
+    MisreportedContentType.java's declared-vs-actual family): for rows
+    whose payload magic declares an UNCOMPRESSED codec (pcm_s16le / mp3 —
+    fixed 2 bytes/sample), the body length must equal
+    2 * round(sr_hz * dur_ms / 1000). A mismatch means the container is
+    truncated or the declared sr/dur don't describe the payload — caught
+    from Arrow offsets + a 4-byte magic slice, never decoding a sample.
+    Compressed codecs (flac/opus) have no closed-form size and are the
+    decode check's job; rows with non-positive sr/dur belong to the range
+    checks and are skipped here.
+
+    Scale shape: pc.binary_length reads only the Arrow offset buffer;
+    pc.binary_slice(0,4) touches 4 bytes/row. Row-local, no shuffle, no
+    decode — this is the triage stage that decides what's WORTH decoding."""
+    import pyarrow.compute as pc
+
+    from .. import audio
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes", "sr_hz", "dur_ms"])
+
+    _UNCOMPRESSED = pa.array([audio.MAGIC["pcm_s16le"], audio.MAGIC["mp3"]],
+                             pa.binary())
+    _EMPTY = pa.table({"clip_id": pa.array([], pa.string()),
+                       "actual_bytes": pa.array([], pa.int64()),
+                       "expected_bytes": pa.array([], pa.int64())})
+
+    def flag(b: pa.Table) -> pa.Table:
+        by = b.column("bytes")
+        ln = pc.fill_null(pc.binary_length(by).cast(pa.int64()), 0)
+        eligible = pc.and_(
+            pc.and_(pc.greater_equal(ln, 4),
+                    pc.is_in(pc.binary_slice(by, 0, 4),
+                             value_set=_UNCOMPRESSED)),
+            pc.and_(pc.greater(b.column("sr_hz"), 0),
+                    pc.greater(b.column("dur_ms"), 0)))
+        t = b.filter(pc.fill_null(eligible, False))
+        if t.num_rows == 0:
+            return _EMPTY
+        sr = t.column("sr_hz").to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = t.column("dur_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+        # np.rint is round-half-even == python round == the SQL mirror's
+        # banker's-tie emulation (same contract as DurationMismatch)
+        exp_body = 2 * np.rint(sr * dur / 1000.0).astype(np.int64)
+        act_body = (pc.binary_length(t.column("bytes")).cast(pa.int64())
+                    .to_numpy(zero_copy_only=False) - 4)
+        bad = act_body != exp_body
+        if not bad.any():
+            return _EMPTY
+        return pa.table({
+            "clip_id": t.column("clip_id").filter(pa.array(bad)),
+            "actual_bytes": pa.array(act_body[bad]),
+            "expected_bytes": pa.array(exp_body[bad]),
+        })
+
+    t = _collect_simple(ds.map_batches(flag, batch_format="pyarrow"))
+    if t is None:
+        return _EMPTY
+    return t.sort_by([("clip_id", "ascending"),
+                      ("actual_bytes", "ascending")])
+
+
+# The oracle never sees bytes — it recomputes both side lengths from the
+# corruption matrix: payloads were synthesized at (base sr, base dur) and
+# pcm/mp3 bodies are exactly 2 bytes/sample; truncation (k%127==17) keeps
+# the magic and cuts the body to max(3, body//2) forced odd
+# (synth.derive_clips_batch). Actual magic == the ENCODE codec (base codec
+# rotated +1 when k%111==21), independent of the declared codec column.
+SQL_PAYLOAD_SIZE = f"""WITH {_DECODE_ATTRS_SQL.replace(
+    'FROM phys', ''',
+           ((((h // 5) % 4) + CASE WHEN doc_id % 111 = 21 THEN 1 ELSE 0 END)
+            % 4) AS enc_idx
+    FROM phys''')},
+sized AS (
+    SELECT clip_id, sr_meta, dur_meta, truncated, enc_idx,
+           2 * {_bankers_div1000('v_base')} AS full_body
+    FROM attrs WHERE enc_idx IN (0, 2)
+),
+bodies AS (
+    SELECT clip_id, sr_meta, dur_meta,
+           CASE WHEN truncated THEN
+                CASE WHEN GREATEST(3, full_body // 2) % 2 = 0
+                     THEN GREATEST(3, full_body // 2) - 1
+                     ELSE GREATEST(3, full_body // 2) END
+                ELSE full_body END AS actual_bytes,
+           2 * {_bankers_div1000('sr_meta * dur_meta')} AS expected_bytes
+    FROM sized WHERE sr_meta > 0 AND dur_meta > 0
+)
+SELECT clip_id, CAST(actual_bytes AS BIGINT) AS actual_bytes,
+       CAST(expected_bytes AS BIGINT) AS expected_bytes
+FROM bodies WHERE actual_bytes != expected_bytes
+ORDER BY clip_id, actual_bytes"""
 
 
 STRATIFIED_FRACTION = 0.2
@@ -3482,6 +3683,8 @@ VALIDATION_QUERIES = {
                                    SQL_PARTITION_FINGERPRINTS),
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
+    "val_payload_size": (q_payload_size, SQL_PAYLOAD_SIZE),
+    "val_char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "val_decode_violations": (q_decode_violations, SQL_DECODE_VIOLATIONS),
     "val_decode_violations_sampled": (q_decode_violations_sampled,
                                       SQL_DECODE_VIOLATIONS_SAMPLED),
@@ -3537,6 +3740,7 @@ VALIDATION_QUERIES = {
 # a hash row upgrades them. Tier 3: never-checked rows-only (weak check).
 _DRIVER_UNVERIFIED_FIRST = [
     # tier 1 — never driver-checked, oracle-backed (newest additions first)
+    "val_payload_size", "val_char_entropy",
     "val_alphabet", "val_len_fit", "val_problem_models", "val_epoch_shuffle",
     "val_transcript_editdist", "val_drift_chisq", "val_mix_weights",
     "doc_bigrams", "emb_outliers", "doc_zipf", "val_partition_fingerprints",

@@ -148,6 +148,104 @@ def test_epoch_shuffle_is_a_permutation_head(sf_unit):
     assert set(got["clip_id"]).issubset(corpus)
 
 
+def test_char_entropy_matches_python_reference(sf_unit):
+    """q_char_entropy vs a per-row Counter entropy over the same clips:
+    identical flagged set AND identical 6-decimal entropy values."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from metrics_ray.functions.rounding import round_half_away
+    from metrics_ray.pipelines.clips import clips_dataset
+    from metrics_ray.pipelines.queries import (CHAR_ENTROPY_MIN,
+                                               CHAR_ENTROPY_MIN_CHARS,
+                                               q_char_entropy)
+
+    got = q_char_entropy(sf_unit).to_pandas()
+    assert len(got) > 0  # discriminative at the unit fixture
+
+    meta = pd.concat([pa.table(b).to_pandas() for b in clips_dataset(
+        sf_unit, with_audio=False).select_columns(
+        ["clip_id", "transcript"]).iter_batches(batch_format="pyarrow")])
+    want = []
+    for cid, txt in zip(meta.clip_id, meta.transcript):
+        if txt is None or len(txt) < CHAR_ENTROPY_MIN_CHARS:
+            continue
+        c = np.array(list(Counter(txt).values()), dtype=np.float64)
+        n = float(len(txt))
+        ent = np.log2(n) - float((c * np.log2(c)).sum()) / n
+        if ent < CHAR_ENTROPY_MIN:
+            want.append((cid, len(txt),
+                         float(round_half_away(np.array([ent]), 6)[0])))
+    want_df = pd.DataFrame(want, columns=["clip_id", "n_chars", "entropy"])
+    g = got.sort_values(["clip_id", "n_chars"]).reset_index(drop=True)
+    w = want_df.sort_values(["clip_id", "n_chars"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_char_entropy_kernel_unicode():
+    """The packed-key entropy kernel path must handle astral codepoints
+    (one list entry per CODEPOINT, not per utf-16 unit): a transcript of
+    repeated 𝄞 has entropy exactly 0."""
+    from collections import Counter
+
+    texts = ["𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞𝄞", "日本語 テスト 日本語 テスト 日本語"]
+    for s in texts:
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        assert len(codes) == len(s)
+        _, counts = np.unique(codes, return_counts=True)
+        c = counts.astype(np.float64)
+        n = float(len(s))
+        ent = np.log2(n) - float((c * np.log2(c)).sum()) / n
+        cc = np.array(list(Counter(s).values()), dtype=np.float64)
+        ref = np.log2(n) - float((cc * np.log2(cc)).sum()) / n
+        assert abs(ent - ref) < 1e-12
+    # the repeated single-codepoint transcript: H == 0 exactly
+    s = texts[0]
+    cc = np.array(list(Counter(s).values()), dtype=np.float64)
+    assert np.log2(len(s)) - (cc * np.log2(cc)).sum() / len(s) == 0.0
+
+
+def test_payload_size_matches_brute_force(sf_unit):
+    """q_payload_size vs a per-row python check over the physical clips:
+    identical flagged set, and every truncated uncompressed payload is in
+    it (truncation is not maskable — the forced-odd body can never equal
+    the even expected length)."""
+    import pandas as pd
+
+    from metrics_ray import audio
+    from metrics_ray.pipelines.clips import clips_factory, ensure_clips_parquet
+    from metrics_ray.pipelines.queries import q_payload_size
+
+    got = q_payload_size(sf_unit).to_pandas()
+    assert len(got) > 0
+
+    path = ensure_clips_parquet(sf_unit)
+    rows = pd.concat([pa.table(b).to_pandas() for b in clips_factory(path)(
+        ["clip_id", "bytes", "sr_hz", "dur_ms"]).iter_batches(
+        batch_format="pyarrow")])
+    uncompressed = {audio.MAGIC["pcm_s16le"], audio.MAGIC["mp3"]}
+    want = []
+    for r in rows.itertuples():
+        payload = bytes(r.bytes) if r.bytes is not None else b""
+        if (len(payload) < 4 or payload[:4] not in uncompressed
+                or r.sr_hz <= 0 or r.dur_ms <= 0):
+            continue
+        exp = 2 * round(int(r.sr_hz) * int(r.dur_ms) / 1000.0)
+        act = len(payload) - 4
+        if act != exp:
+            want.append((r.clip_id, act, exp))
+        # oddness invariant: truncated bodies are odd, so any truncated
+        # uncompressed payload must be flagged
+        if act % 2 == 1:
+            assert act != exp
+    want_df = pd.DataFrame(
+        want, columns=["clip_id", "actual_bytes", "expected_bytes"])
+    g = got.sort_values(["clip_id", "actual_bytes"]).reset_index(drop=True)
+    w = want_df.sort_values(["clip_id", "actual_bytes"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
 def test_auto_batch_size_budget(tmp_path):
     """Byte-budget sizing: rows ~ TARGET_BATCH_BYTES / bytes-per-row,
     clamped; unreadable dirs fall back to the safe default."""

@@ -128,3 +128,64 @@ class DecodeCheck(BatchCheck):
                 }
             )
         return BatchOutcome(violations=viol, counters=counters)
+
+
+class PayloadSizeCheck(BatchCheck):
+    """Pre-decode size-plausibility triage — the O(1)-per-row gate that
+    runs BEFORE the decode stage pays per-sample cost (the cheap half of
+    MisreportedContentType.java's declared-vs-actual family; the
+    standalone query q_payload_size shares these semantics and carries
+    the SQL oracle): payloads whose magic declares an UNCOMPRESSED codec
+    (fixed 2 bytes/sample) must satisfy
+    ``body == 2 * round(sr_hz * dur_ms / 1000)``. Reads only the Arrow
+    offset buffer plus a 4-byte magic slice; compressed codecs have no
+    closed-form size (the decode check's job); non-positive sr/dur
+    belong to the range checks. Fully vectorized, row-local."""
+
+    check_id = "payload_size"
+    columns = ("clip_id", "bytes", "sr_hz", "dur_ms", "partition")
+
+    def __init__(self, check_id: str = "payload_size"):
+        self.check_id = check_id
+
+    def setup(self, ctx: CheckContext) -> None:
+        self._uncompressed = pa.array(
+            [audio.MAGIC["pcm_s16le"], audio.MAGIC["mp3"]], pa.binary())
+
+    def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        import pyarrow.compute as pc
+
+        from .base import per_partition_counts
+
+        by = batch.column("bytes")
+        ln = pc.fill_null(pc.binary_length(by).cast(pa.int64()), 0)
+        eligible = pc.and_(
+            pc.and_(pc.greater_equal(ln, 4),
+                    pc.is_in(pc.binary_slice(by, 0, 4),
+                             value_set=self._uncompressed)),
+            pc.and_(pc.greater(batch.column("sr_hz"), 0),
+                    pc.greater(batch.column("dur_ms"), 0)))
+        elig = pc.fill_null(eligible, False).to_numpy(
+            zero_copy_only=False).astype(bool)
+        sr = batch.column("sr_hz").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dur = batch.column("dur_ms").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # np.rint == python round (banker's): the q_payload_size /
+        # DurationMismatch rounding contract
+        exp_body = 2 * np.rint(sr * dur / 1000.0).astype(np.int64)
+        act_body = ln.to_numpy(zero_copy_only=False) - 4
+        mask = elig & (act_body != exp_body)
+        part = batch.column("partition").to_numpy(zero_copy_only=False)
+        counters = per_partition_counts(part, mask)
+        viol = None
+        if mask.any():
+            idx = np.nonzero(mask)[0]
+            viol = violations_table(
+                part[idx],
+                batch.column("clip_id").take(pa.array(idx)).to_pylist(),
+                Codes.SIZE_MISMATCH,
+                [f"{int(a)} B body" for a in act_body[idx]],
+                "2 B/sample x round(sr_hz*dur_ms/1000)",
+                "uncompressed payload size vs declared metadata")
+        return BatchOutcome(violations=viol, counters=counters)

@@ -24,7 +24,7 @@ import json
 from typing import Any
 
 from .checks.base import BatchCheck
-from .checks.decode import DecodeCheck
+from .checks.decode import DecodeCheck, PayloadSizeCheck
 from .checks.referential import ReferentialCheck
 from .checks.sketch_checks import (
     DistinctHLLCheck,
@@ -91,6 +91,7 @@ CHECK_REGISTRY = {
     "referential": lambda c: ReferentialCheck(
         c.get("id", "referential_transcript"),
         c.get("check_equality", True)),
+    "payload_size": lambda c: PayloadSizeCheck(c.get("id", "payload_size")),
     "decode": lambda c: DecodeCheck(
         c.get("id", "decode_invariants"),
         sample_fraction=c.get("sample_fraction"),
@@ -117,6 +118,7 @@ ALLOWED_KEYS = {
     "reservoir": {"id", "column", "k"},
     "drift": {"id", "column", "psi_threshold"},
     "referential": {"id", "check_equality"},
+    "payload_size": {"id"},
     "decode": {"id", "sample_fraction", "snr_threshold"},
 }
 assert set(ALLOWED_KEYS) == set(CHECK_REGISTRY)

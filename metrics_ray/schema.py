@@ -75,6 +75,7 @@ class Codes:
     KIND_MISMATCH = "KindMismatch"
     SPEAKING_RATE = "SpeakingRate"
     CTC_INFEASIBLE = "CtcInfeasible"
+    SIZE_MISMATCH = "SizeMismatch"
 
 
 # Declared validity domains (the engine's "vocabulary", VocabularyLoader analog —

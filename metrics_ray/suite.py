@@ -11,7 +11,7 @@ import numpy as np
 import pyarrow as pa
 
 from .checks.base import BatchCheck, CheckContext
-from .checks.decode import DecodeCheck
+from .checks.decode import DecodeCheck, PayloadSizeCheck
 from .checks.keyed import content_duplicates, exact_duplicate_keys
 from .checks.referential import ReferentialCheck
 from .checks.sketch_checks import (
@@ -88,6 +88,9 @@ def full_checks(with_decode: bool = True,
     if with_referential:
         checks.append(ReferentialCheck())
     if with_decode:
+        # triage before decode: the size gate costs an offset read; the
+        # decode check pays per-sample work on the same payload columns
+        checks.append(PayloadSizeCheck())
         checks.append(DecodeCheck())
     return checks
 

@@ -367,6 +367,24 @@ def test_speaking_rate_and_ctc_checks_match_their_queries(report, sf_unit):
     assert got_sr and got_ctc  # fixture seeds both families
 
 
+def test_payload_size_check_matches_its_query(report, sf_unit):
+    """The pre-decode size-triage suite check flags exactly the rows its
+    standalone oracle-backed query returns — suite path and driver-query
+    path share semantics (the speaking_rate/ctc contract)."""
+    from metrics_ray.pipelines.queries import q_payload_size
+
+    df = report.violations.to_pandas()
+    got = sorted(df[df.check_id == "payload_size"].clip_id)
+    want = sorted(q_payload_size(sf_unit).column("clip_id").to_pylist())
+    assert got == want
+    assert got  # fixture seeds size-corrupted uncompressed payloads
+    # triage⊆decode sanity: a size-flagged clip is always also flagged by
+    # the decode stage (truncation or duration mismatch) — the gate never
+    # invents a violation the expensive stage wouldn't confirm
+    decode_ids = set(df[df.check_id == "decode_invariants"].clip_id)
+    assert set(got).issubset(decode_ids)
+
+
 def test_circuit_budget_with_keyed_has_unique_metric_rows(sf_unit):
     """The circuit breaker's synthetic partition=-1 counter row must not
     leak a second (check_id, -1) metric row into keyed checks' rollups —

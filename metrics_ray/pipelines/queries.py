@@ -2401,6 +2401,81 @@ SELECT partition, CAST(n_rows AS BIGINT) AS n_rows,
 FROM counts, tot ORDER BY partition"""
 
 
+RESAMPLE_EPOCH_ROWS = 200  # small vs fixture so the downsample is exercised
+
+
+def q_mix_resample(sf_dir: str) -> pa.Table:
+    """Materialize one epoch of the q_mix_weights plan — the deterministic
+    DOWN-sampling pass of a multi-source training sampler: each source
+    (partition) keeps rows whose md5 coin falls below its acceptance
+    fraction f_p = min(1, w_p·E/n_p); sources slated for repetition
+    (f_p ≥ 1) pass through whole (upsampling is the loader's job — a
+    materialization must never duplicate rows). The kept SET is stable
+    across runs, batch sizes and partitioning because the coin is a pure
+    function of clip_id.
+
+    Scale shape: one O(partitions) counts pass (per-batch combiner → tiny
+    groupby), acceptance fractions broadcast in the task closure
+    (O(sources) floats), then one row-local filter pass — no shuffle of
+    data rows at any corpus size."""
+    from ray.data.aggregate import Sum
+
+    from ..sketches import md5_lower64
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = b.column("partition").to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(part, return_counts=True)
+        return pa.table({"partition": pa.array(vals.astype(np.int32)),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    counts = (_meta_ds(sf_dir).select_columns(["partition"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("partition").aggregate(Sum("cnt", alias_name="cnt"))
+              .to_pandas().sort_values("partition"))
+    n = counts["cnt"].to_numpy(np.float64)
+    scaled = n ** MIX_TEMPERATURE
+    w = scaled / scaled.sum()
+    # threshold in coin units; the float64 u64→double comparison is the
+    # same IEEE operation DuckDB performs, so the kept set mirrors exactly
+    f = np.minimum(1.0, w * RESAMPLE_EPOCH_ROWS / n)
+    parts = counts["partition"].to_numpy().astype(np.int64)
+    thr = np.full(int(parts.max()) + 1, -1.0)
+    thr[parts] = f * 18446744073709551615.0
+
+    def keep(b: pa.Table) -> pa.Table:
+        coins = md5_lower64(b.column("clip_id").to_pylist()).astype(
+            np.float64)
+        t = thr[b.column("partition").to_numpy(zero_copy_only=False)
+                .astype(np.int64)]
+        return b.filter(pa.array(coins <= t))
+
+    ds = (_meta_ds(sf_dir).select_columns(["clip_id", "partition"])
+          .map_batches(keep, batch_format="pyarrow"))
+    t = _collect_simple(ds)
+    if t is None:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "partition": pa.array([], pa.int32())})
+    return t.sort_by([("clip_id", "ascending"), ("partition", "ascending")])
+
+
+SQL_MIX_RESAMPLE = f"""WITH {synth.CLIPS_SQL},
+counts AS (
+    SELECT partition, COUNT(*) AS n_rows FROM clips GROUP BY partition
+),
+tot AS (SELECT SUM(pow(n_rows, {MIX_TEMPERATURE})) AS z FROM counts),
+fr AS (
+    SELECT partition,
+           LEAST(1.0, pow(n_rows, {MIX_TEMPERATURE}) / z
+                      * {RESAMPLE_EPOCH_ROWS} / n_rows) AS f
+    FROM counts, tot
+)
+SELECT c.clip_id, c.partition
+FROM clips c JOIN fr ON c.partition = fr.partition
+WHERE CAST(md5_number_lower(c.clip_id) AS DOUBLE)
+      <= f * 18446744073709551615.0
+ORDER BY c.clip_id, c.partition"""
+
+
 def q_drift_chisq(sf_dir: str) -> pa.Table:
     """Categorical drift, chi-square flavor: the two-sample homogeneity
     statistic over the codec distribution, current (partitions
@@ -3679,6 +3754,7 @@ VALIDATION_QUERIES = {
     "val_drift_codec": (q_drift_codec, SQL_DRIFT_CODEC),
     "val_drift_chisq": (q_drift_chisq, SQL_DRIFT_CHISQ),
     "val_mix_weights": (q_mix_weights, SQL_MIX_WEIGHTS),
+    "val_mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
     "val_partition_fingerprints": (q_partition_fingerprints,
                                    SQL_PARTITION_FINGERPRINTS),
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
@@ -3740,7 +3816,7 @@ VALIDATION_QUERIES = {
 # a hash row upgrades them. Tier 3: never-checked rows-only (weak check).
 _DRIVER_UNVERIFIED_FIRST = [
     # tier 1 — never driver-checked, oracle-backed (newest additions first)
-    "val_payload_size", "val_char_entropy",
+    "val_payload_size", "val_char_entropy", "val_mix_resample",
     "val_alphabet", "val_len_fit", "val_problem_models", "val_epoch_shuffle",
     "val_transcript_editdist", "val_drift_chisq", "val_mix_weights",
     "doc_bigrams", "emb_outliers", "doc_zipf", "val_partition_fingerprints",

@@ -246,6 +246,37 @@ def test_payload_size_matches_brute_force(sf_unit):
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
 
 
+def test_mix_resample_clamp_keeps_everything(sf_unit, monkeypatch):
+    """With an epoch larger than the corpus every source hits the f=1
+    clamp and the materialized epoch is the whole table (a downsampling
+    materialization must never drop rows it was asked to repeat)."""
+    from metrics_ray.pipelines import queries as Q
+    from metrics_ray.pipelines.clips import clips_dataset
+
+    monkeypatch.setattr(Q, "RESAMPLE_EPOCH_ROWS", 10_000_000)
+    got = Q.q_mix_resample(sf_unit)
+    total = clips_dataset(sf_unit, with_audio=False).count()
+    assert got.num_rows == total
+
+
+def test_mix_resample_is_a_stable_subset(sf_unit):
+    """The kept set is a per-row pure function of clip_id: rerunning
+    yields the identical table, and every kept id exists in the corpus."""
+    from metrics_ray.pipelines.clips import clips_dataset
+    from metrics_ray.pipelines.queries import q_mix_resample
+
+    a = q_mix_resample(sf_unit)
+    b = q_mix_resample(sf_unit)
+    assert a.equals(b)
+    assert 0 < a.num_rows
+    corpus = set()
+    for blk in clips_dataset(sf_unit, with_audio=False).select_columns(
+            ["clip_id"]).iter_batches(batch_format="pyarrow"):
+        corpus.update(pa.table(blk).column("clip_id").to_pylist())
+    assert set(a.column("clip_id").to_pylist()).issubset(corpus)
+    assert a.num_rows < len(corpus)  # the fixture epoch downsamples
+
+
 def test_auto_batch_size_budget(tmp_path):
     """Byte-budget sizing: rows ~ TARGET_BATCH_BYTES / bytes-per-row,
     clamped; unreadable dirs fall back to the safe default."""

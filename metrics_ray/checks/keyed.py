@@ -421,6 +421,118 @@ class ContentHashCheck:
         return 1.0, True, ""
 
 
+# composite keyed rows carry check_id so ONE exchange can serve several
+# keyed checks at once; field order == VIOLATION_SCHEMA so sink-mode casts
+# are zero-rearrangement
+COMPOSITE_KEYED_SCHEMA = pa.schema(
+    [("check_id", pa.string()), *KEYED_VIOLATION_SCHEMA])
+
+_COMPOSITE_PRE_SCHEMA = pa.schema([
+    ("check_id", pa.string()),
+    ("key", pa.string()),
+    ("partition", pa.int32()),
+    ("clip_id", pa.string()),
+    ("cnt", pa.int64()),
+])
+
+# fused checks whose key rows pre-aggregate to (key, partition, cnt)
+# partials before the exchange (pure-count semantics, no member payload)
+_COMPOSITE_PREAGG_KIDS = frozenset({"clipid_unique_exact"})
+
+
+def composite_fused_duplicates(keys_ds):
+    """ONE composite-key exchange for ALL fused keyed checks — exact
+    clip_id uniqueness (ValidIFPUsage.java:42-148 semantics) and exact
+    content dedup (ExtensionalConciseness.java:92-134 semantics) share a
+    single bucketed co-group instead of one exchange each.
+
+    Why: each keyed exchange is a short Ray pipeline (tag → sort →
+    reduce) whose ~4 mini-stage fixed latencies a small driver
+    serializes; at 2 cpus that tail is the documented suite-efficiency
+    gap (BASELINE.md round-3 trials 14-17). Bucketing on the composite
+    (check_id, key) halves the exchange count with byte-identical
+    violations — the per-bucket reducers are unchanged, merely
+    dispatched by check_id inside the bucket. Keys from different checks
+    can never collide because check_id is part of the group key.
+
+    Input: the suite's fused key stream (kind='k' tagged rows: check_id,
+    actual=key, partition, clip_id). Output: violations Dataset with a
+    leading check_id column (COMPOSITE_KEYED_SCHEMA); the caller splits
+    per check_id."""
+
+    def pre(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cid = b.column("check_id")
+        um = pc.is_in(cid, value_set=pa.array(
+            sorted(_COMPOSITE_PREAGG_KIDS), pa.string()))
+        parts = []
+        ub = b.filter(um)
+        if ub.num_rows:
+            # per-batch (check_id, key, partition, cnt) combiner — the
+            # _preagg_key_counts shape with check_id carried through
+            df = pd.DataFrame({
+                "check_id": ub.column("check_id").to_pylist(),
+                "key": ub.column("actual").to_pylist(),
+                "partition": ub.column("partition").to_numpy(
+                    zero_copy_only=False),
+            })
+            g = (df.groupby(["check_id", "key", "partition"], sort=False)
+                 .size().reset_index(name="cnt"))
+            parts.append(pa.table({
+                "check_id": pa.array(g["check_id"].tolist(), pa.string()),
+                "key": pa.array(g["key"].tolist(), pa.string()),
+                "partition": pa.array(
+                    g["partition"].to_numpy().astype(np.int32)),
+                "clip_id": pa.nulls(len(g), pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64)),
+            }))
+        cb = b.filter(pc.invert(um))
+        if cb.num_rows:
+            parts.append(pa.table({
+                "check_id": cb.column("check_id"),
+                "key": cb.column("actual"),
+                "partition": cb.column("partition"),
+                "clip_id": cb.column("clip_id"),
+                "cnt": pa.array(np.ones(cb.num_rows, dtype=np.int64)),
+            }))
+        if not parts:
+            return _COMPOSITE_PRE_SCHEMA.empty_table()
+        return pa.concat_tables(
+            [p.cast(_COMPOSITE_PRE_SCHEMA) for p in parts])
+
+    _EMPTY_OUT = {
+        "check_id": pd.Series(dtype="object"),
+        "partition": pd.Series(dtype="int32"),
+        "clip_id": pd.Series(dtype="object"),
+        "code": pd.Series(dtype="object"),
+        "actual": pd.Series(dtype="object"),
+        "expected": pd.Series(dtype="object"),
+        "detail": pd.Series(dtype="object"),
+    }
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kid, sub in df.groupby("check_id", sort=True):
+            if kid in _COMPOSITE_PREAGG_KIDS:
+                r = _dup_bucket_rows(sub[["key", "partition", "cnt"]],
+                                     Codes.DUPLICATE_KEY, "unique clip_id")
+            else:
+                r = _content_bucket_rows(
+                    sub[["key", "partition", "clip_id"]])
+            if len(r):
+                r.insert(0, "check_id", kid)
+                outs.append(r)
+        if not outs:
+            return pd.DataFrame(_EMPTY_OUT)
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(
+        keys_ds.map_batches(pre, batch_format="pyarrow"),
+        ["check_id", "key"], bucket,
+        out_schema=COMPOSITE_KEYED_SCHEMA)
+
+
 def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
                        right_key: str | None = None, n_buckets: int = 32):
     """Hash-partitioned anti-join for a non-broadcastable right side

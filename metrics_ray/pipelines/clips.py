@@ -365,7 +365,7 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
     from ..checks.keyed import (
         ContentHashCheck,
         KeyUniquenessEmitter,
-        content_duplicates_from_keys,
+        composite_fused_duplicates,
         exact_duplicate_keys_from_keys,
     )
     from ..checks.referential import referential_violations_dist
@@ -400,15 +400,25 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
     ctx = default_ctx(transcript_index=index,
                       baseline_profile=fut_profile.result)
     keyed_from_keys = None
+    keyed_composite = None
     if fuse_content_dedup:
         # fused mode: EVERY keyed check consumes key rows emitted by the
         # shared batch pass — one source scan total, and no independent
-        # pipeline contends with the decode-heavy pass for cpus
-        keyed_from_keys = {"clipid_unique_exact": (
-            KeyUniquenessEmitter(), exact_duplicate_keys_from_keys)}
+        # pipeline contends with the decode-heavy pass for cpus. With
+        # both keyed checks active they share ONE composite-key exchange
+        # (composite_fused_duplicates) instead of one exchange each —
+        # halves the per-exchange fixed latencies that dominate the
+        # suite's scaling tail on small drivers (BASELINE.md round-3
+        # trials 14-17); violations are byte-identical (pinned by
+        # tests/test_runner.py::test_unfused_keyed_path_matches_fused).
         if with_content_dedup:
-            keyed_from_keys["content_dedup"] = (
-                ContentHashCheck(), content_duplicates_from_keys)
+            keyed_composite = (
+                [KeyUniquenessEmitter(), ContentHashCheck()],
+                composite_fused_duplicates,
+                ["clipid_unique_exact", "content_dedup"])
+        else:
+            keyed_from_keys = {"clipid_unique_exact": (
+                KeyUniquenessEmitter(), exact_duplicate_keys_from_keys)}
         keyed = {}
     else:
         keyed = keyed_checks(with_content_dedup=with_content_dedup)
@@ -424,6 +434,7 @@ def validate_with_factory(factory, sf_dir: str, replicas: int = 1,
                        batch_size=batch_size,
                        concurrency=concurrency,
                        keyed_from_keys=keyed_from_keys,
+                       keyed_composite=keyed_composite,
                        violations_sink=violations_sink)
     report.manifest["side_inputs_s"] = side_inputs_s
     return report

@@ -585,6 +585,7 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
               batch_size: int = 4096,
               concurrency=None,
               keyed_from_keys: dict[str, tuple[Any, Callable]] | None = None,
+              keyed_composite: tuple[list[Any], Callable, list[str]] | None = None,
               error_budget: int | None = None,
               violations_sink: str | None = None,
               ) -> SuiteReport:
@@ -597,7 +598,15 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
     ``keyed_from_keys`` maps check_id → (key_emitter_check, fn(keys_ds)):
     the FUSED keyed path — the emitter runs inside the shared batch pass
     (payload read once), its key rows stay a distributed Dataset, and fn
-    shuffles those instead of re-reading the table."""
+    shuffles those instead of re-reading the table.
+
+    ``keyed_composite`` = (emitter_checks, plan_fn, check_ids): the
+    COMPOSITE fused path — several keyed checks share ONE exchange.
+    plan_fn(keys_ds) returns a violations Dataset with a leading
+    check_id column (COMPOSITE_KEYED_SCHEMA); the runner splits it back
+    into per-check results. Halves the per-exchange fixed latencies vs
+    one keyed_from_keys entry per check (the round-3 suite-efficiency
+    tail, BASELINE.md trials 14-17)."""
     from concurrent.futures import ThreadPoolExecutor
 
     import ray
@@ -618,6 +627,8 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
         ctx = dataclasses.replace(ctx, baseline_profile={})
     keyed_from_keys = keyed_from_keys or {}
     emitters = [em for em, _ in keyed_from_keys.values()]
+    if keyed_composite is not None:
+        emitters = emitters + list(keyed_composite[0])
     pass_checks = checks + emitters
     cols = set()
     for c in pass_checks:
@@ -679,6 +690,56 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
             keyed_wall[kid] = round(time.time() - tk, 3)
         return out
 
+    def collect_composite(kv_ds, kids: list[str]):
+        """Collect a composite keyed Dataset (leading check_id column) and
+        split it back into the per-check shapes collect_keyed produces —
+        a table per check, or (n_violations, per-partition counts) in
+        sink mode."""
+        import pyarrow.compute as pc
+
+        from .checks.keyed import COMPOSITE_KEYED_SCHEMA
+
+        tk = time.time()
+        out: dict[str, Any] = {}
+        if violations_sink is None:
+            tables = [t.cast(COMPOSITE_KEYED_SCHEMA)
+                      for t in ray.get(arrow_refs(kv_ds)) if t.num_rows]
+            full = (pa.concat_tables(tables) if tables
+                    else COMPOSITE_KEYED_SCHEMA.empty_table())
+            for kid in kids:
+                out[kid] = (full.filter(pc.equal(full.column("check_id"),
+                                                 kid))
+                            .drop_columns(["check_id"]).cast(keyed_schema))
+        else:
+            import pyarrow.parquet as _pq
+
+            os.makedirs(violations_sink, exist_ok=True)
+            counts = {kid: (0, {}) for kid in kids}
+            for i, ref in enumerate(arrow_refs(kv_ds)):
+                t = ray.get(ref)
+                if not t.num_rows:
+                    continue
+                t = t.cast(COMPOSITE_KEYED_SCHEMA)
+                for kid in kids:
+                    sub = t.filter(pc.equal(t.column("check_id"), kid))
+                    if not sub.num_rows:
+                        continue
+                    sub = sub.cast(VIOLATION_SCHEMA)
+                    _pq.write_table(sub, os.path.join(
+                        violations_sink, f"keyed_{kid}_{i:06d}.parquet"))
+                    n_v, bad = counts[kid]
+                    vp = sub.column("partition").to_numpy(
+                        zero_copy_only=False)
+                    uniq, cnt = np.unique(vp, return_counts=True)
+                    for p, c in zip(uniq.tolist(), cnt.tolist()):
+                        bad[int(p)] = bad.get(int(p), 0) + int(c)
+                    counts[kid] = (n_v + sub.num_rows, bad)
+            out = counts
+        wall = round(time.time() - tk, 3)
+        for kid in kids:
+            keyed_wall[kid] = wall
+        return out
+
     # build every dataset plan serially (read_parquet path resolution is
     # not thread-safe when optional fs backends are missing); only the
     # EXECUTION runs concurrently
@@ -718,7 +779,8 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
                          for kid, kv_ds in keyed_plans]
     else:
         pool = ThreadPoolExecutor(
-            max_workers=1 + len(keyed_plans) + len(keyed_from_keys))
+            max_workers=1 + len(keyed_plans) + len(keyed_from_keys)
+            + (1 if keyed_composite is not None else 0))
 
         def _launch_fused(keys_ds):
             # called from inside the batch pass the moment the tagged
@@ -727,6 +789,10 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
             for kid, (_em, fn) in keyed_from_keys.items():
                 fused_futs[kid] = pool.submit(
                     collect_keyed, fn(_fused_plan(keys_ds, kid)), kid)
+            if keyed_composite is not None:
+                _ems, plan_fn, kids = keyed_composite
+                fused_futs["__composite__"] = pool.submit(
+                    collect_composite, plan_fn(keys_ds), kids)
 
         with pool:
             fut_batch = pool.submit(
@@ -735,14 +801,21 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
                          for kid, kv_ds in keyed_plans]
             batch_out, pass_wall_s = fut_batch.result()
             keyed_results = [(kid, f.result()) for kid, f in fut_keyed]
-            keyed_results += [(kid, f.result())
-                              for kid, f in fused_futs.items()]
+            for kid, f in fused_futs.items():
+                if kid == "__composite__":
+                    keyed_results += list(f.result().items())
+                else:
+                    keyed_results.append((kid, f.result()))
     if emitters:
         viol, counters, partials, keys_ds = batch_out
         if not fused_futs:  # sequential mode: run fused stages inline
             for kid, (_em, fn) in keyed_from_keys.items():
                 keyed_results.append(
                     (kid, collect_keyed(fn(_fused_plan(keys_ds, kid)), kid)))
+            if keyed_composite is not None:
+                _ems, plan_fn, kids = keyed_composite
+                keyed_results += list(
+                    collect_composite(plan_fn(keys_ds), kids).items())
     else:
         viol, counters, partials = batch_out
 
@@ -806,7 +879,9 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
     manifest = {
         "rows_scanned": total_rows,
         "n_violations": int(viol.num_rows),
-        "n_checks": len(checks) + len(keyed or {}) + len(keyed_from_keys),
+        "n_checks": (len(checks) + len(keyed or {}) + len(keyed_from_keys)
+                     + (len(keyed_composite[2])
+                        if keyed_composite is not None else 0)),
         "estimation": {c.check_id: c.is_estimate for c in checks},
         "wall_s": round(time.time() - t0, 3),
         # the streaming batch-check pass alone (concurrent with keyed

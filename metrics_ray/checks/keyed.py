@@ -440,7 +440,9 @@ _COMPOSITE_PRE_SCHEMA = pa.schema([
 _COMPOSITE_PREAGG_KIDS = frozenset({"clipid_unique_exact"})
 
 
-def composite_fused_duplicates(keys_ds):
+def composite_fused_duplicates(
+        keys_ds, kids: tuple[str, ...] = ("clipid_unique_exact",
+                                          "content_dedup")):
     """ONE composite-key exchange for ALL fused keyed checks — exact
     clip_id uniqueness (ValidIFPUsage.java:42-148 semantics) and exact
     content dedup (ExtensionalConciseness.java:92-134 semantics) share a
@@ -463,6 +465,11 @@ def composite_fused_duplicates(keys_ds):
     def pre(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # the fused key stream carries rows for EVERY emitter; keep only
+        # this composite's checks so a coexisting keyed_from_keys entry
+        # can never leak rows in
+        b = b.filter(pc.is_in(b.column("check_id"),
+                              value_set=pa.array(sorted(kids), pa.string())))
         cid = b.column("check_id")
         um = pc.is_in(cid, value_set=pa.array(
             sorted(_COMPOSITE_PREAGG_KIDS), pa.string()))

@@ -460,3 +460,42 @@ def test_run_suite_violations_sink_keyed(sf_unit, tmp_path):
     files = glob.glob(os.path.join(sink, "**", "*.parquet"), recursive=True)
     assert files
     assert any("keyed_" in os.path.basename(f) for f in files)
+
+
+def test_composite_exchange_scopes_and_splits():
+    """composite_fused_duplicates: (a) both checks reduce correctly in
+    ONE exchange, (b) key rows from a foreign emitter are ignored, (c)
+    identical key VALUES under different check_ids never cross-talk."""
+    import pyarrow as pa
+    import ray
+
+    from metrics_ray.checks.keyed import (COMPOSITE_KEYED_SCHEMA,
+                                          composite_fused_duplicates)
+
+    # fused tagged key stream shape: check_id, actual(=key), partition,
+    # clip_id. Key 'K' appears under BOTH checks: twice for uniqueness
+    # (a duplicate) and once for content (no duplicate) — composite
+    # bucketing on (check_id, key) must keep them apart.
+    rows = {
+        "check_id": (["clipid_unique_exact"] * 3
+                     + ["content_dedup"] * 3
+                     + ["some_other_check"]),
+        "actual": ["K", "K", "solo", "K", "h2", "h2", "K"],
+        "partition": pa.array([0, 1, 0, 0, 1, 1, 0], pa.int32()),
+        "clip_id": ["K", "K", "solo", "c1", "c2", "c3", "foreign"],
+    }
+    keys_ds = ray.data.from_arrow(pa.table(rows))
+    out = pa.concat_tables(
+        [t.cast(COMPOSITE_KEYED_SCHEMA) for t in
+         ray.get(composite_fused_duplicates(keys_ds).to_arrow_refs())
+         if t.num_rows])
+    df = out.to_pandas().sort_values(["check_id", "clip_id"])
+    # uniqueness: key K duplicated (2 occurrences) -> 2 violation rows
+    u = df[df.check_id == "clipid_unique_exact"]
+    assert list(u.clip_id) == ["K", "K"]
+    assert set(u.actual) == {"2 occurrences"}
+    # content: h2 shared by c2,c3 -> second member flagged; the 'K'
+    # content key (single member) and the foreign row produce nothing
+    c = df[df.check_id == "content_dedup"]
+    assert list(c.clip_id) == ["c3"]
+    assert "some_other_check" not in set(df.check_id)

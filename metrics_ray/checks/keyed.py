@@ -440,6 +440,88 @@ _COMPOSITE_PRE_SCHEMA = pa.schema([
 _COMPOSITE_PREAGG_KIDS = frozenset({"clipid_unique_exact"})
 
 
+def _composite_pre(b: pa.Table, kids: tuple[str, ...]) -> pa.Table:
+    """Per-block combiner for the composite exchange: scope to this
+    composite's checks, pre-aggregate pure-count checks to (check_id,
+    key, partition, cnt) partials, pass member-payload checks through
+    with cnt=1. Shared by the Dataset plan and the task-graph plan."""
+    import pyarrow.compute as pc
+
+    # the fused key stream carries rows for EVERY emitter; keep only
+    # this composite's checks so a coexisting keyed_from_keys entry
+    # can never leak rows in
+    b = b.filter(pc.is_in(b.column("check_id"),
+                          value_set=pa.array(sorted(kids), pa.string())))
+    cid = b.column("check_id")
+    um = pc.is_in(cid, value_set=pa.array(
+        sorted(_COMPOSITE_PREAGG_KIDS), pa.string()))
+    parts = []
+    ub = b.filter(um)
+    if ub.num_rows:
+        # per-batch (check_id, key, partition, cnt) combiner — the
+        # _preagg_key_counts shape with check_id carried through
+        df = pd.DataFrame({
+            "check_id": ub.column("check_id").to_pylist(),
+            "key": ub.column("actual").to_pylist(),
+            "partition": ub.column("partition").to_numpy(
+                zero_copy_only=False),
+        })
+        g = (df.groupby(["check_id", "key", "partition"], sort=False)
+             .size().reset_index(name="cnt"))
+        parts.append(pa.table({
+            "check_id": pa.array(g["check_id"].tolist(), pa.string()),
+            "key": pa.array(g["key"].tolist(), pa.string()),
+            "partition": pa.array(
+                g["partition"].to_numpy().astype(np.int32)),
+            "clip_id": pa.nulls(len(g), pa.string()),
+            "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64)),
+        }))
+    cb = b.filter(pc.invert(um))
+    if cb.num_rows:
+        parts.append(pa.table({
+            "check_id": cb.column("check_id"),
+            "key": cb.column("actual"),
+            "partition": cb.column("partition"),
+            "clip_id": cb.column("clip_id"),
+            "cnt": pa.array(np.ones(cb.num_rows, dtype=np.int64)),
+        }))
+    if not parts:
+        return _COMPOSITE_PRE_SCHEMA.empty_table()
+    return pa.concat_tables(
+        [p.cast(_COMPOSITE_PRE_SCHEMA) for p in parts])
+
+
+_COMPOSITE_EMPTY_OUT = {
+    "check_id": pd.Series(dtype="object"),
+    "partition": pd.Series(dtype="int32"),
+    "clip_id": pd.Series(dtype="object"),
+    "code": pd.Series(dtype="object"),
+    "actual": pd.Series(dtype="object"),
+    "expected": pd.Series(dtype="object"),
+    "detail": pd.Series(dtype="object"),
+}
+
+
+def _composite_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket reducer: dispatch each check's rows to its unchanged
+    per-bucket reduction; check_id in the group key means identical key
+    VALUES under different checks can never cross-talk."""
+    outs = []
+    for kid, sub in df.groupby("check_id", sort=True):
+        if kid in _COMPOSITE_PREAGG_KIDS:
+            r = _dup_bucket_rows(sub[["key", "partition", "cnt"]],
+                                 Codes.DUPLICATE_KEY, "unique clip_id")
+        else:
+            r = _content_bucket_rows(
+                sub[["key", "partition", "clip_id"]])
+        if len(r):
+            r.insert(0, "check_id", kid)
+            outs.append(r)
+    if not outs:
+        return pd.DataFrame(_COMPOSITE_EMPTY_OUT)
+    return pd.concat(outs, ignore_index=True)
+
+
 def composite_fused_duplicates(
         keys_ds, kids: tuple[str, ...] = ("clipid_unique_exact",
                                           "content_dedup")):
@@ -463,81 +545,103 @@ def composite_fused_duplicates(
     per check_id."""
 
     def pre(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        # the fused key stream carries rows for EVERY emitter; keep only
-        # this composite's checks so a coexisting keyed_from_keys entry
-        # can never leak rows in
-        b = b.filter(pc.is_in(b.column("check_id"),
-                              value_set=pa.array(sorted(kids), pa.string())))
-        cid = b.column("check_id")
-        um = pc.is_in(cid, value_set=pa.array(
-            sorted(_COMPOSITE_PREAGG_KIDS), pa.string()))
-        parts = []
-        ub = b.filter(um)
-        if ub.num_rows:
-            # per-batch (check_id, key, partition, cnt) combiner — the
-            # _preagg_key_counts shape with check_id carried through
-            df = pd.DataFrame({
-                "check_id": ub.column("check_id").to_pylist(),
-                "key": ub.column("actual").to_pylist(),
-                "partition": ub.column("partition").to_numpy(
-                    zero_copy_only=False),
-            })
-            g = (df.groupby(["check_id", "key", "partition"], sort=False)
-                 .size().reset_index(name="cnt"))
-            parts.append(pa.table({
-                "check_id": pa.array(g["check_id"].tolist(), pa.string()),
-                "key": pa.array(g["key"].tolist(), pa.string()),
-                "partition": pa.array(
-                    g["partition"].to_numpy().astype(np.int32)),
-                "clip_id": pa.nulls(len(g), pa.string()),
-                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64)),
-            }))
-        cb = b.filter(pc.invert(um))
-        if cb.num_rows:
-            parts.append(pa.table({
-                "check_id": cb.column("check_id"),
-                "key": cb.column("actual"),
-                "partition": cb.column("partition"),
-                "clip_id": cb.column("clip_id"),
-                "cnt": pa.array(np.ones(cb.num_rows, dtype=np.int64)),
-            }))
-        if not parts:
-            return _COMPOSITE_PRE_SCHEMA.empty_table()
-        return pa.concat_tables(
-            [p.cast(_COMPOSITE_PRE_SCHEMA) for p in parts])
-
-    _EMPTY_OUT = {
-        "check_id": pd.Series(dtype="object"),
-        "partition": pd.Series(dtype="int32"),
-        "clip_id": pd.Series(dtype="object"),
-        "code": pd.Series(dtype="object"),
-        "actual": pd.Series(dtype="object"),
-        "expected": pd.Series(dtype="object"),
-        "detail": pd.Series(dtype="object"),
-    }
-
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for kid, sub in df.groupby("check_id", sort=True):
-            if kid in _COMPOSITE_PREAGG_KIDS:
-                r = _dup_bucket_rows(sub[["key", "partition", "cnt"]],
-                                     Codes.DUPLICATE_KEY, "unique clip_id")
-            else:
-                r = _content_bucket_rows(
-                    sub[["key", "partition", "clip_id"]])
-            if len(r):
-                r.insert(0, "check_id", kid)
-                outs.append(r)
-        if not outs:
-            return pd.DataFrame(_EMPTY_OUT)
-        return pd.concat(outs, ignore_index=True)
+        return _composite_pre(b, kids)
 
     return grouped_apply(
         keys_ds.map_batches(pre, batch_format="pyarrow"),
-        ["check_id", "key"], bucket,
+        ["check_id", "key"], _composite_bucket,
         out_schema=COMPOSITE_KEYED_SCHEMA)
+
+
+# Above this many (input blocks × buckets) shuffle slices, the task-graph
+# exchange's G×B small-object fan-out outweighs its latency win and the
+# Dataset sort path (push/sort shuffle, bounded object counts) takes over.
+COMPOSITE_TASK_MAX_FANOUT = 50_000
+
+
+def _composite_split_task(B: int, kids: tuple[str, ...], *blocks):
+    """Wave 1 of the task-graph exchange: concat this group's tagged
+    blocks, keep kind='k' rows, run the shared pre-combiner, and
+    hash-partition into B bucket slices (num_returns=B)."""
+    import pyarrow.compute as pc
+
+    from .. import quiet_ray_logs
+    from ..sketches import hash_column
+
+    quiet_ray_logs()
+    t = pa.concat_tables(blocks)
+    if "kind" in t.column_names:  # raw tagged stream: key rows only
+        t = t.filter(pc.equal(t.column("kind"), "k"))
+    pre = _composite_pre(t, kids)
+    h = np.zeros(len(pre), dtype=np.uint64)
+    for k in ("check_id", "key"):
+        h = h * _GOLD + hash_column(pre.column(k))
+    bk = (h % np.uint64(B)).astype(np.int64)
+    out = tuple(pre.filter(pa.array(bk == i)) for i in range(B))
+    return out if B > 1 else out[0]
+
+
+def _composite_reduce_task(kids: tuple[str, ...], *parts) -> pa.Table:
+    """Wave 2: this task IS one hash bucket — every row of every key
+    assigned to it is present, so the shared per-bucket reducer applies
+    unchanged."""
+    from .. import quiet_ray_logs
+
+    quiet_ray_logs()
+    df = pa.concat_tables(parts).to_pandas()
+    return pa.Table.from_pandas(_composite_bucket(df),
+                                schema=COMPOSITE_KEYED_SCHEMA,
+                                preserve_index=False)
+
+
+def composite_fused_duplicates_refs(
+        block_refs, kids: tuple[str, ...] = ("clipid_unique_exact",
+                                             "content_dedup"),
+        n_buckets: int | None = None, group_width: int = 16):
+    """The composite exchange as a TWO-WAVE raw-task hash shuffle over
+    already-materialized tagged blocks — same semantics as
+    ``composite_fused_duplicates`` (shared ``_composite_pre`` /
+    ``_composite_bucket``), ~5x lower fixed latency.
+
+    Why raw tasks here: the Dataset plan (filter → map → sort → reduce)
+    carries ~4 mini-stage scheduling latencies (~4 s measured at 8 cpus
+    on a 322k-row key stream — BASELINE.md session-7) that land entirely
+    on the suite's critical path because the exchange can only start at
+    the pass's materialize barrier. Over blocks that ALREADY sit in the
+    object store, the same hash exchange is two task waves: G split
+    tasks (filter+combine+partition, ``num_returns=B``) and B reduce
+    tasks (one per bucket) — 0.8 s for the same input, byte-identical
+    violations (tests/test_runner.py::test_composite_task_graph_matches_dataset_path).
+
+    Scale: data movement equals the Dataset path (every key row crosses
+    once, pre-aggregated); per-reduce memory is rows/B. The G×B
+    small-object fan-out is the scale ceiling — callers switch paths via
+    COMPOSITE_TASK_MAX_FANOUT, keeping the Dataset sort exchange as the
+    large-cluster default.
+
+    Returns a list of ObjectRefs of COMPOSITE_KEYED_SCHEMA tables (one
+    per bucket)."""
+    import math
+
+    import ray
+
+    B = int(n_buckets or shuffle_blocks())
+    G = max(1, math.ceil(len(block_refs) / group_width))
+    groups = [list(block_refs[i::G]) for i in range(G)]
+    groups = [g for g in groups if g]
+    split = ray.remote(_composite_split_task)
+    reduce_ = ray.remote(_composite_reduce_task)
+    outs = [split.options(num_returns=B).remote(B, tuple(kids), *g)
+            for g in groups]
+    if B == 1:
+        outs = [[o] for o in outs]
+    return [reduce_.remote(tuple(kids), *[o[b] for o in outs])
+            for b in range(B)]
+
+
+# the runner picks the task-graph plan when the key stream is already
+# materialized and the fan-out is under COMPOSITE_TASK_MAX_FANOUT
+composite_fused_duplicates.refs_variant = composite_fused_duplicates_refs
 
 
 def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",

@@ -25,7 +25,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Any, Callable, NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -307,6 +307,15 @@ def _suite_task(batch: pa.Table, *, cache_key: str,
     return ex(batch)
 
 
+class KeyStream(NamedTuple):
+    """Fused key rows handed to keyed stages: ``dataset`` is the lazy
+    kind=='k' view (the Dataset-plan input); ``tagged`` is the
+    MATERIALIZED full tagged stream whose block refs let a task-graph
+    exchange start without paying a separate filter job."""
+    dataset: Any
+    tagged: Any = None
+
+
 def run_batch_checks(ds, checks: list[BatchCheck],
                      ctx: CheckContext | None = None,
                      batch_size: int = 4096,
@@ -373,7 +382,8 @@ def run_batch_checks(ds, checks: list[BatchCheck],
         # (plus violations, when no sink) come back to the driver
         tagged = tagged.materialize()
         if return_keys:
-            keys_ds = tagged.filter(expr='kind == "k"')
+            keys_ds = KeyStream(dataset=tagged.filter(expr='kind == "k"'),
+                                tagged=tagged)
             if on_keys is not None:
                 # hand the key stream to the caller the moment the pass
                 # materializes, so fused keyed shuffles overlap the
@@ -691,19 +701,24 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
         return out
 
     def collect_composite(kv_ds, kids: list[str]):
-        """Collect a composite keyed Dataset (leading check_id column) and
-        split it back into the per-check shapes collect_keyed produces —
-        a table per check, or (n_violations, per-partition counts) in
-        sink mode."""
+        """Collect a composite keyed plan — a Dataset (leading check_id
+        column) or a list of task-graph reduce ObjectRefs — and split it
+        back into the per-check shapes collect_keyed produces — a table
+        per check, or (n_violations, per-partition counts) in sink
+        mode."""
         import pyarrow.compute as pc
 
         from .checks.keyed import COMPOSITE_KEYED_SCHEMA
 
         tk = time.time()
         out: dict[str, Any] = {}
+        kv_refs = (kv_ds if isinstance(kv_ds, list)
+                   else None)
         if violations_sink is None:
             tables = [t.cast(COMPOSITE_KEYED_SCHEMA)
-                      for t in ray.get(arrow_refs(kv_ds)) if t.num_rows]
+                      for t in ray.get(kv_refs if kv_refs is not None
+                                       else arrow_refs(kv_ds))
+                      if t.num_rows]
             full = (pa.concat_tables(tables) if tables
                     else COMPOSITE_KEYED_SCHEMA.empty_table())
             for kid in kids:
@@ -715,7 +730,8 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
 
             os.makedirs(violations_sink, exist_ok=True)
             counts = {kid: (0, {}) for kid in kids}
-            for i, ref in enumerate(arrow_refs(kv_ds)):
+            for i, ref in enumerate(kv_refs if kv_refs is not None
+                                    else arrow_refs(kv_ds)):
                 t = ray.get(ref)
                 if not t.num_rows:
                     continue
@@ -743,7 +759,28 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
     # build every dataset plan serially (read_parquet path resolution is
     # not thread-safe when optional fs backends are missing); only the
     # EXECUTION runs concurrently
+    def _composite_plan(plan_fn, ks, kids):
+        """Pick the composite exchange's physical plan: the two-wave
+        task-graph hash shuffle when the tagged stream is already
+        materialized and the G×B fan-out is bounded (it starts from the
+        existing block refs — no filter job, ~5x lower fixed latency);
+        the Dataset sort exchange otherwise (the large-cluster default,
+        see COMPOSITE_TASK_MAX_FANOUT)."""
+        refs_variant = getattr(plan_fn, "refs_variant", None)
+        tagged_src = getattr(ks, "tagged", None)
+        if refs_variant is not None and tagged_src is not None:
+            from .checks.keyed import (COMPOSITE_TASK_MAX_FANOUT,
+                                       shuffle_blocks)
+
+            refs = arrow_refs(tagged_src)  # materialized: enumeration only
+            B = shuffle_blocks()
+            if len(refs) * B <= COMPOSITE_TASK_MAX_FANOUT:
+                return refs_variant(refs, tuple(kids), B)
+        return plan_fn(ks.dataset if isinstance(ks, KeyStream) else ks)
+
     def _fused_plan(keys_ds, kid):
+        if isinstance(keys_ds, KeyStream):
+            keys_ds = keys_ds.dataset
         # fused keyed stages shuffle the already-computed key rows
         # (kind='k': key in 'actual'); the payload was read exactly once.
         # NOTE (measured, do not "optimize"): forcing a batch_size here to
@@ -792,7 +829,8 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
             if keyed_composite is not None:
                 _ems, plan_fn, kids = keyed_composite
                 fused_futs["__composite__"] = pool.submit(
-                    collect_composite, plan_fn(keys_ds), kids)
+                    collect_composite, _composite_plan(plan_fn, keys_ds,
+                                                       kids), kids)
 
         with pool:
             fut_batch = pool.submit(
@@ -815,7 +853,8 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
             if keyed_composite is not None:
                 _ems, plan_fn, kids = keyed_composite
                 keyed_results += list(
-                    collect_composite(plan_fn(keys_ds), kids).items())
+                    collect_composite(_composite_plan(plan_fn, keys_ds,
+                                                      kids), kids).items())
     else:
         viol, counters, partials = batch_out
 

@@ -499,3 +499,49 @@ def test_composite_exchange_scopes_and_splits():
     c = df[df.check_id == "content_dedup"]
     assert list(c.clip_id) == ["c3"]
     assert "some_other_check" not in set(df.check_id)
+
+
+def test_composite_task_graph_matches_dataset_path():
+    """The two-wave task-graph exchange (composite_fused_duplicates_refs)
+    produces byte-identical violations to the Dataset sort-exchange plan,
+    including: kind-column filtering of a raw tagged stream, foreign-check
+    scoping, and key cross-talk isolation — at several bucket counts."""
+    import pyarrow as pa
+    import ray
+
+    from metrics_ray.checks.keyed import (COMPOSITE_KEYED_SCHEMA,
+                                          composite_fused_duplicates,
+                                          composite_fused_duplicates_refs)
+
+    rows = {
+        "kind": ["k"] * 7 + ["v"],  # one non-key row: must be dropped
+        "check_id": (["clipid_unique_exact"] * 3
+                     + ["content_dedup"] * 3
+                     + ["some_other_check", "clipid_unique_exact"]),
+        "actual": ["K", "K", "solo", "K", "h2", "h2", "K", "K"],
+        "partition": pa.array([0, 1, 0, 0, 1, 1, 0, 0], pa.int32()),
+        "clip_id": ["K", "K", "solo", "c1", "c2", "c3", "foreign", "vrow"],
+    }
+    t = pa.table(rows)
+    # Dataset path consumes the kind=='k' view (as run_suite's KeyStream
+    # dataset does); the task path consumes the RAW tagged blocks
+    keys_tbl = t.filter(pa.compute.equal(t.column("kind"), "k"))
+    ds_out = pa.concat_tables(
+        [x.cast(COMPOSITE_KEYED_SCHEMA) for x in
+         ray.get(composite_fused_duplicates(
+             ray.data.from_arrow(keys_tbl)).to_arrow_refs())
+         if x.num_rows]).to_pandas()
+    ds_out = ds_out.sort_values(list(ds_out.columns)).reset_index(drop=True)
+
+    # split the raw tagged table across two blocks to exercise multi-ref
+    # grouping, at B=1 (single bucket) and B=5 (keys split across buckets)
+    refs = [ray.put(t.slice(0, 3)), ray.put(t.slice(3))]
+    for B in (1, 5):
+        got = pa.concat_tables(
+            [x for x in ray.get(composite_fused_duplicates_refs(
+                refs, n_buckets=B, group_width=1)) if x.num_rows]
+        ).to_pandas()
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, ds_out)

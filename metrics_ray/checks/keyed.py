@@ -104,6 +104,93 @@ def grouped_apply(ds, key, fn, n_buckets: int | None = None,
             .map_groups(apply, batch_format="pyarrow"))
 
 
+def _ga_hash_buckets(t: pa.Table, key, B: int) -> np.ndarray:
+    """Bucket ids for ``t``'s rows under grouped_apply's key hash."""
+    from ..sketches import hash_column
+
+    if isinstance(key, str):
+        h = hash_column(t.column(key))
+    else:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for k in key:
+            h = h * _GOLD + hash_column(t.column(k))
+    return (h % np.uint64(B)).astype(np.int64)
+
+
+def _ga_split_task(B: int, key, map_fn, *blocks):
+    """Wave 1 of grouped_apply_refs: per-block map (optional), then
+    hash-partition this group's rows into B bucket slices."""
+    from .. import quiet_ray_logs
+
+    quiet_ray_logs()
+    mapped = [map_fn(b) if map_fn is not None else b for b in blocks]
+    mapped = [m for m in mapped if m.num_rows] or [mapped[0]]
+    t = pa.concat_tables(mapped, promote_options="default")
+    bk = _ga_hash_buckets(t, key, B)
+    out = tuple(t.filter(pa.array(bk == i)) for i in range(B))
+    return out if B > 1 else out[0]
+
+
+def _ga_reduce_task(fn, out_schema, *parts) -> pa.Table:
+    """Wave 2: one hash bucket — concat every source's slice and run the
+    per-bucket reducer (same contract as grouped_apply's ``fn``)."""
+    from .. import quiet_ray_logs
+
+    quiet_ray_logs()
+    t = pa.concat_tables([p for p in parts if p.num_rows]
+                         or [parts[0]], promote_options="default")
+    out = fn(t.to_pandas())
+    if out_schema is not None and isinstance(out, pd.DataFrame):
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+    return out
+
+
+def grouped_apply_refs(sources, key, fn, n_buckets: int | None = None,
+                       out_schema: pa.Schema | None = None,
+                       group_width: int = 8,
+                       max_fanout: int | None = None):
+    """``grouped_apply`` as a TWO-WAVE task-graph hash exchange over
+    ALREADY-materialized blocks — same per-bucket ``fn`` contract and
+    co-location guarantee, without the Dataset plan's ~4 mini-stage
+    scheduling latencies (the documented fixed-latency tax that dominates
+    short exchanges; see composite_fused_duplicates_refs).
+
+    ``sources``: list of ``(block_refs, map_fn | None)`` — each source's
+    blocks get ``map_fn`` applied per block in the split task (the
+    task-graph analog of ``ds.map_batches(map_fn)`` feeding the
+    exchange), letting several tagged streams co-group in ONE exchange
+    (the union-then-shuffle shape of the distributed verify join).
+
+    Returns a list of per-bucket ObjectRefs, or ``None`` when the G×B
+    fan-out exceeds ``max_fanout`` — callers then fall back to the
+    Dataset plan, which keeps bounded object counts at cluster scale."""
+    import math
+
+    import ray
+
+    B = int(n_buckets or shuffle_blocks())
+    n_refs = sum(len(refs) for refs, _ in sources)
+    cap = COMPOSITE_TASK_MAX_FANOUT if max_fanout is None else max_fanout
+    if n_refs == 0:
+        return []
+    if math.ceil(n_refs / group_width) * B > cap:
+        return None
+    split = ray.remote(_ga_split_task)
+    reduce_ = ray.remote(_ga_reduce_task)
+    outs = []
+    for refs, map_fn in sources:
+        G = max(1, math.ceil(len(refs) / group_width))
+        for i in range(G):
+            g = list(refs[i::G])
+            if not g:
+                continue
+            o = split.options(num_returns=B).remote(B, key, map_fn, *g)
+            outs.append([o] if B == 1 else o)
+    return [reduce_.remote(fn, out_schema, *[o[b] for o in outs])
+            for b in range(B)]
+
+
 def cap_group_members(ids: np.ndarray, cap: int,
                       salt: int = 0x5BD1E995) -> np.ndarray:
     """Deterministic bounded subsample of a hot group's members.

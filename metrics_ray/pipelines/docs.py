@@ -319,6 +319,86 @@ def shingle_hash_array(text: str) -> np.ndarray:
                      .astype(np.uint64))
 
 
+def _vp_explode(b: pa.Table) -> pa.Table:
+    a = b.column("doc_a").to_numpy(zero_copy_only=False)
+    bb = b.column("doc_b").to_numpy(zero_copy_only=False)
+    key = np.concatenate([a, bb])
+    return pa.table({
+        "key": pa.array(key, pa.int64()),
+        "side": pa.array(["m"] * len(key), pa.string()),
+        "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+        "doc_b": pa.array(np.concatenate([bb, bb]), pa.int64()),
+        "sh": pa.array([None] * len(key), pa.list_(pa.uint64())),
+    })
+
+
+def _vp_tag_corpus(b: pa.Table) -> pa.Table:
+    n = b.num_rows
+    sh = [shingle_hash_array(t or "")
+          for t in b.column("text").to_pylist()]
+    return pa.table({
+        "key": b.column("doc_id").cast(pa.int64()),
+        "side": pa.array(["t"] * n, pa.string()),
+        "doc_a": pa.array([None] * n, pa.int64()),
+        "doc_b": pa.array([None] * n, pa.int64()),
+        "sh": pa.array(sh, pa.list_(pa.uint64())),
+    })
+
+
+def _vp_attach(df: pd.DataFrame) -> pd.DataFrame:
+    t = df[df["side"] == "t"]
+    # a pair surfaced by several bands arrives as identical member
+    # rows in the SAME bucket (key = member doc) — dedupe here, before
+    # any payload is attached, so duplicate candidates never amplify
+    # the downstream exchange (multiplicity can reach the band count)
+    m = df[df["side"] == "m"].drop_duplicates(["key", "doc_a", "doc_b"])
+    if m.empty:
+        return pd.DataFrame({
+            "doc_a": pd.Series(dtype="int64"),
+            "doc_b": pd.Series(dtype="int64"),
+            "member": pd.Series(dtype="int64"),
+            "sh": pd.Series(dtype="object"),
+        })
+    tmap = pd.Series(t["sh"].to_numpy(), index=t["key"].to_numpy())
+    tmap = tmap[~tmap.index.duplicated()]
+    return pd.DataFrame({
+        "doc_a": m["doc_a"].astype("int64"),
+        "doc_b": m["doc_b"].astype("int64"),
+        "member": m["key"].astype("int64"),
+        "sh": m["key"].map(tmap),
+    })
+
+
+def _vp_verify(df: pd.DataFrame, tau: float = NEAR_DUP_TAU) -> pd.DataFrame:
+    rows_a, rows_b, rows_j = [], [], []
+    # pairs are rare (banding already filtered); the loop touches only
+    # candidate groups inside this bucket. Duplicate candidate rows
+    # (same pair surfaced by several bands) collapse here for free —
+    # the co-group brings them together and dict() dedupes — so
+    # callers need NO separate dedupe shuffle before verification.
+    for (a, bb), g in df.groupby(["doc_a", "doc_b"], sort=False):
+        tx = dict(zip(g["member"], g["sh"]))
+        ta, tb = tx.get(a), tx.get(bb)
+        if ta is None or tb is None:
+            continue
+        ha = np.asarray(ta, dtype=np.uint64)
+        hb = np.asarray(tb, dtype=np.uint64)
+        if not len(ha) and not len(hb):
+            j = 1.0
+        else:
+            inter = np.intersect1d(ha, hb, assume_unique=True).size
+            union = len(ha) + len(hb) - inter
+            j = inter / union if union else 1.0
+        if j >= tau:
+            rows_a.append(int(a)); rows_b.append(int(bb))
+            rows_j.append(round_half_away(j, 6))
+    return pd.DataFrame({
+        "doc_a": pd.Series(rows_a, dtype="int64"),
+        "doc_b": pd.Series(rows_b, dtype="int64"),
+        "jacc": pd.Series(rows_j, dtype="float64"),
+    })
+
+
 def verify_pairs_distributed(cand, corpus, tau: float = NEAR_DUP_TAU):
     """Exact-Jaccard verification of candidate pairs WITHOUT any driver
     materialization or whole-corpus broadcast (round-1's #1 scale defect:
@@ -337,89 +417,38 @@ def verify_pairs_distributed(cand, corpus, tau: float = NEAR_DUP_TAU):
          exact Jaccard via sorted-array intersection, keep >= tau.
     At 10^12 rows every stage is a key-hash shuffle with per-bucket
     vectorized reduction; nothing scales with corpus size on the driver."""
-    def explode(b: pa.Table) -> pa.Table:
-        a = b.column("doc_a").to_numpy(zero_copy_only=False)
-        bb = b.column("doc_b").to_numpy(zero_copy_only=False)
-        key = np.concatenate([a, bb])
-        return pa.table({
-            "key": pa.array(key, pa.int64()),
-            "side": pa.array(["m"] * len(key), pa.string()),
-            "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
-            "doc_b": pa.array(np.concatenate([bb, bb]), pa.int64()),
-            "sh": pa.array([None] * len(key), pa.list_(pa.uint64())),
-        })
+    from functools import partial as _p
 
-    def tag_corpus(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        sh = [shingle_hash_array(t or "")
-              for t in b.column("text").to_pylist()]
-        return pa.table({
-            "key": b.column("doc_id").cast(pa.int64()),
-            "side": pa.array(["t"] * n, pa.string()),
-            "doc_a": pa.array([None] * n, pa.int64()),
-            "doc_b": pa.array([None] * n, pa.int64()),
-            "sh": pa.array(sh, pa.list_(pa.uint64())),
-        })
-
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        t = df[df["side"] == "t"]
-        # a pair surfaced by several bands arrives as identical member
-        # rows in the SAME bucket (key = member doc) — dedupe here, before
-        # any payload is attached, so duplicate candidates never amplify
-        # the downstream exchange (multiplicity can reach the band count)
-        m = df[df["side"] == "m"].drop_duplicates(["key", "doc_a", "doc_b"])
-        if m.empty:
-            return pd.DataFrame({
-                "doc_a": pd.Series(dtype="int64"),
-                "doc_b": pd.Series(dtype="int64"),
-                "member": pd.Series(dtype="int64"),
-                "sh": pd.Series(dtype="object"),
-            })
-        tmap = pd.Series(t["sh"].to_numpy(), index=t["key"].to_numpy())
-        tmap = tmap[~tmap.index.duplicated()]
-        return pd.DataFrame({
-            "doc_a": m["doc_a"].astype("int64"),
-            "doc_b": m["doc_b"].astype("int64"),
-            "member": m["key"].astype("int64"),
-            "sh": m["key"].map(tmap),
-        })
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b, rows_j = [], [], []
-        # pairs are rare (banding already filtered); the loop touches only
-        # candidate groups inside this bucket. Duplicate candidate rows
-        # (same pair surfaced by several bands) collapse here for free —
-        # the co-group brings them together and dict() dedupes — so
-        # callers need NO separate dedupe shuffle before verification.
-        for (a, bb), g in df.groupby(["doc_a", "doc_b"], sort=False):
-            tx = dict(zip(g["member"], g["sh"]))
-            ta, tb = tx.get(a), tx.get(bb)
-            if ta is None or tb is None:
-                continue
-            ha = np.asarray(ta, dtype=np.uint64)
-            hb = np.asarray(tb, dtype=np.uint64)
-            if not len(ha) and not len(hb):
-                j = 1.0
-            else:
-                inter = np.intersect1d(ha, hb, assume_unique=True).size
-                union = len(ha) + len(hb) - inter
-                j = inter / union if union else 1.0
-            if j >= tau:
-                rows_a.append(int(a)); rows_b.append(int(bb))
-                rows_j.append(round_half_away(j, 6))
-        return pd.DataFrame({
-            "doc_a": pd.Series(rows_a, dtype="int64"),
-            "doc_b": pd.Series(rows_b, dtype="int64"),
-            "jacc": pd.Series(rows_j, dtype="float64"),
-        })
-
-    members = cand.map_batches(explode, batch_format="pyarrow")
+    members = cand.map_batches(_vp_explode, batch_format="pyarrow")
     tagged = members.union(
-        corpus.map_batches(tag_corpus, batch_format="pyarrow"))
-    attached = grouped_apply(tagged, "key", attach,
+        corpus.map_batches(_vp_tag_corpus, batch_format="pyarrow"))
+    attached = grouped_apply(tagged, "key", _vp_attach,
                              out_schema=_ATTACHED_SCHEMA)
-    return grouped_apply(attached, ["doc_a", "doc_b"], verify,
+    return grouped_apply(attached, ["doc_a", "doc_b"],
+                         _p(_vp_verify, tau=tau),
                          out_schema=_PAIR_J_SCHEMA)
+
+
+def verify_pairs_refs(cand_refs, corpus_refs, tau: float = NEAR_DUP_TAU):
+    """verify_pairs_distributed's exchanges as chained two-wave
+    task-graph hash shuffles (checks/keyed.py grouped_apply_refs) —
+    identical dataflow and per-bucket reducers, ~one Dataset-job fixed
+    latency per exchange less. The two exchanges chain through object
+    refs, so wave 2 of the attach overlaps wave 1 of the verify.
+    Returns per-bucket refs of _PAIR_J_SCHEMA tables, or None when the
+    fan-out guard prefers the Dataset plan."""
+    from functools import partial as _p
+
+    from ..checks.keyed import grouped_apply_refs
+
+    attached = grouped_apply_refs(
+        [(cand_refs, _vp_explode), (corpus_refs, _vp_tag_corpus)],
+        "key", _vp_attach, out_schema=_ATTACHED_SCHEMA)
+    if attached is None:
+        return None
+    return grouped_apply_refs(
+        [(attached, None)], ["doc_a", "doc_b"], _p(_vp_verify, tau=tau),
+        out_schema=_PAIR_J_SCHEMA)
 
 
 from functools import lru_cache
@@ -457,8 +486,25 @@ def minhash_pairs(corpus_refs, tau: float = NEAR_DUP_TAU):
     blocks (doc_id, text, ...): banding → bucketed candidate pairs →
     distributed exact-Jaccard verify. Reused by the standalone near-dup
     query and the end-to-end curation pipeline (which runs it on the
-    quality+exact-dedup survivor stream)."""
+    quality+exact-dedup survivor stream).
+
+    Physical plan: with the corpus already in the object store, all
+    three exchanges (band, member-attach, pair-verify) run as chained
+    two-wave task-graph hash shuffles (grouped_apply_refs) — identical
+    reducers and violations, minus three Dataset-job fixed latencies
+    (parity pinned by tests/test_docops.py); past the fan-out guard the
+    Dataset sort-exchange plan takes over unchanged."""
     import ray.data as rd
+
+    from ..checks.keyed import grouped_apply_refs
+
+    cand_refs = grouped_apply_refs(
+        [(corpus_refs, _band_batch)], "band", _bucket_pairs,
+        out_schema=_PAIR_SCHEMA)
+    if cand_refs is not None:
+        pair_refs = verify_pairs_refs(cand_refs, corpus_refs, tau=tau)
+        if pair_refs is not None:
+            return rd.from_arrow_refs(pair_refs)
 
     bands = rd.from_arrow_refs(corpus_refs).map_batches(
         _band_batch, batch_format="pyarrow")

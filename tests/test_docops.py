@@ -428,3 +428,31 @@ def test_seq_pack_overbudget_doc_packs_alone(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     assert got["seq_id"].tolist() == [0, 1, 2, 2]
     assert got["tok_offset"].tolist() == [0, 0, 0, 10]
+
+
+def test_minhash_refs_path_matches_dataset_path():
+    """minhash_pairs' task-graph plan (grouped_apply_refs chain) must be
+    row-identical to the Dataset sort-exchange plan on the same corpus
+    blocks — including the jacc values (shared reducers)."""
+    import ray
+    import ray.data as rd
+
+    import metrics_ray.pipelines.docs as D
+    from metrics_ray.collect import collect_sorted
+
+    sf = "/root/testdata/sf0.001"
+    refs = D.corpus_ds(sf).materialize().to_arrow_refs()
+    out_refs = collect_sorted(D.minhash_pairs(refs), ["doc_a", "doc_b"])
+
+    bands = rd.from_arrow_refs(refs).map_batches(
+        D._band_batch, batch_format="pyarrow")
+    cand = D.grouped_apply(bands, "band", D._bucket_pairs,
+                           out_schema=D._PAIR_SCHEMA)
+    out_ds = collect_sorted(D.verify_pairs_distributed(
+        cand, rd.from_arrow_refs(refs).map_batches(
+            lambda b: b.select(["doc_id", "text"]),
+            batch_format="pyarrow")), ["doc_a", "doc_b"])
+    if out_ds is None:
+        assert out_refs is None or out_refs.num_rows == 0
+    else:
+        assert out_refs is not None and out_refs.equals(out_ds)

@@ -241,6 +241,106 @@ def _write_partition(part_dir: str, out_part_dir: str,
                        shard_ms)[pname]
 
 
+def _partition_tar_rows(part_dir: str, tmp_dir: str,
+                        shard_ms: int) -> list[dict]:
+    """Write every shard of ONE partition from a single streaming pass
+    over its parquet files — payload moves storage → writer exactly once,
+    with NO object-store exchange (the wave-job form shuffles every
+    payload byte through a sort exchange keyed by shard; at payload
+    volumes that doubles data movement and was the dominant cost of the
+    sink at bench scale).
+
+    Shard membership is the same shard_assign prefix scan (metadata
+    only); rows accumulate per shard and each shard's tar is flushed the
+    moment its expected member count arrives, so in-flight memory is
+    bounded by how far file order strays from clip_id order — worst case
+    one partition, the same bound the partition-commit layout already
+    assumes. Tar bytes are byte-identical to the wave job's (_tar_bytes
+    on clip_id-sorted members; asserted by tests/test_webdataset.py)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+    meta = pq.read_table(part_dir,
+                         columns=["clip_id", "dur_ms"]).to_pandas()
+    assign = shard_assign(meta, shard_ms)
+    if not len(assign):
+        return []
+    shard_of = dict(zip(assign["clip_id"], assign["shard_idx"]))
+    expected = assign.groupby("shard_idx").size().to_dict()
+    acc: dict[int, list[dict]] = {}
+    out_rows: list[dict] = []
+
+    def flush(sid: int) -> None:
+        rows = acc.pop(sid)
+        blob = _tar_bytes(rows)
+        path = os.path.join(tmp_dir, f"shard-{int(sid):05d}.tar")
+        with open(path + ".part", "wb") as f:
+            f.write(blob)
+        os.replace(path + ".part", path)
+        out_rows.append({
+            "shard_idx": int(sid), "n_members": len(rows),
+            "total_ms": int(sum(r["dur_ms"] for r in rows)),
+            "sha256": hashlib.sha256(blob).hexdigest()})
+
+    for fn in files:
+        pf = pq.ParquetFile(fn)
+        for rg in range(pf.num_row_groups):
+            t = pf.read_row_group(rg, columns=list(_WDS_COLUMNS))
+            for r in t.to_pylist():
+                sid = shard_of.get(r["clip_id"])
+                if sid is None:  # dur_ms <= 0: range-check domain
+                    continue
+                acc.setdefault(int(sid), []).append(r)
+                if len(acc[int(sid)]) == expected[sid]:
+                    flush(int(sid))
+    if acc:  # every member was scanned, so every shard must have flushed
+        raise RuntimeError(
+            f"shards {sorted(acc)} incomplete after full partition scan "
+            f"of {part_dir} — assignment/metadata mismatch")
+    return sorted(out_rows, key=lambda r: r["shard_idx"])
+
+
+def _write_wave_tasks(part_dirs: dict, out_dirs: dict,
+                      shard_ms: int) -> dict:
+    """One Ray TASK per partition (no Ray Data job, no exchange): each
+    task streams its partition and writes its shards
+    (_partition_tar_rows); the coordinating thread then commits each
+    partition atomically exactly as the wave job does. Parallelism
+    across partitions — the design-scale axis (millions of partitions)
+    — instead of across shards within one."""
+    import ray
+
+    task = ray.remote(_partition_tar_rows)
+    tmp_dirs, futs = {}, {}
+    for pname, pdir in part_dirs.items():
+        tmp = out_dirs[pname] + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        tmp_dirs[pname] = tmp
+        futs[pname] = task.remote(pdir, tmp, shard_ms)
+
+    results = {}
+    for pname in part_dirs:
+        shards = ray.get(futs[pname])
+        counts = {
+            "n_members": int(sum(s["n_members"] for s in shards)),
+            "n_shards": len(shards),
+            "total_ms": int(sum(s["total_ms"] for s in shards)),
+            "shards": shards,
+        }
+        out_part_dir = out_dirs[pname]
+        shutil.rmtree(out_part_dir, ignore_errors=True)
+        os.replace(tmp_dirs[pname], out_part_dir)
+        marker_tmp = os.path.join(out_part_dir, "_SUCCESS.tmp")
+        with open(marker_tmp, "w") as f:
+            json.dump(counts, f, sort_keys=True)
+        os.replace(marker_tmp, os.path.join(out_part_dir, "_SUCCESS"))
+        results[pname] = counts
+    return results
+
+
 def read_webdataset(root: str):
     """Dataset over a WebDataset directory written by
     ``write_webdataset_sf``: one untar task per tar shard (shard paths
@@ -382,10 +482,18 @@ def verify_webdataset(root: str):
 
 def write_webdataset_sf(sf_dir: str, out_dir: str,
                         shard_ms: int = SHARD_MS, replicas: int = 1,
-                        wave_size: int | None = None) -> dict:
+                        wave_size: int | None = None,
+                        mode: str = "tasks") -> dict:
     """Shard the derived clips table into WebDataset tars under
     ``out_dir/partition=P/``; re-entrant (committed partitions are
-    skipped). Returns the merged manifest."""
+    skipped). Returns the merged manifest.
+
+    ``mode='tasks'`` (default): one Ray task per partition streaming its
+    own files — payload moves storage → writer once, no exchange.
+    ``mode='exchange'``: the wave-job form (one Ray Data job per wave,
+    payload through a (part, shard) co-group) — the fallback when a
+    single partition outweighs a worker and intra-partition shard
+    parallelism is worth a payload shuffle."""
     from .. import harden_fsspec_race
     from ..pipelines.clips import ensure_clips_hive
 
@@ -418,9 +526,10 @@ def write_webdataset_sf(sf_dir: str, out_dir: str,
         # one Ray Data job per wave (not two per partition): the wave is
         # the progressive-commit granule — committed waves survive a
         # crash, the in-flight wave re-runs
+        writer = _write_wave_tasks if mode == "tasks" else _write_wave
         for i in range(0, len(pending), wave_size):
             wave = pending[i:i + wave_size]
-            results = _write_wave(
+            results = writer(
                 {p: os.path.join(hive, p) for p in wave},
                 {p: os.path.join(out_dir, p) for p in wave}, shard_ms)
             manifest["partitions"].update(results)

@@ -261,3 +261,32 @@ def test_torn_success_marker_reshards_partition(manifest, sf_unit):
     m2 = write_webdataset_sf(sf_unit, OUT)
     assert m2["partitions"][victim]["shards"] == \
         m1["partitions"][victim]["shards"]
+
+
+def test_task_writer_matches_exchange_writer():
+    """mode='tasks' (per-partition streaming writer, no exchange) and
+    mode='exchange' (wave-job co-group) must produce byte-identical tars
+    and identical committed manifests."""
+    import glob
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    from metrics_ray.sinks.webdataset import write_webdataset_sf
+
+    sf = "/root/testdata/sf0.001"
+    outs = {}
+    for mode in ("exchange", "tasks"):
+        root = f"/tmp/metrics_ray_wds_mode_{mode}"
+        shutil.rmtree(root, ignore_errors=True)
+        m = write_webdataset_sf(sf, root, mode=mode)
+        h = hashlib.sha256()
+        for p in sorted(glob.glob(os.path.join(root, "partition=*",
+                                               "*.tar"))):
+            h.update(os.path.relpath(p, root).encode())
+            h.update(open(p, "rb").read())
+        outs[mode] = (json.dumps(m["partitions"], sort_keys=True),
+                      h.hexdigest())
+        shutil.rmtree(root, ignore_errors=True)
+    assert outs["exchange"] == outs["tasks"]

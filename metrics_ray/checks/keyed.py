@@ -141,6 +141,12 @@ def _ga_reduce_task(fn, out_schema, *parts) -> pa.Table:
                          or [parts[0]], promote_options="default")
     out = fn(t.to_pandas())
     if out_schema is not None and isinstance(out, pd.DataFrame):
+        if not len(out):
+            # an empty bucket's frame carries pandas-inferred dtypes (an
+            # empty named-agg yields int64 object columns) that a strict
+            # from_pandas(schema=...) refuses; the typed empty table IS
+            # the correct value
+            return out_schema.empty_table()
         return pa.Table.from_pandas(out, schema=out_schema,
                                     preserve_index=False)
     return out
@@ -189,6 +195,32 @@ def grouped_apply_refs(sources, key, fn, n_buckets: int | None = None,
             outs.append([o] if B == 1 else o)
     return [reduce_.remote(fn, out_schema, *[o[b] for o in outs])
             for b in range(B)]
+
+
+def grouped_apply_fast(ds, key, fn, n_buckets: int | None = None,
+                       out_schema: pa.Schema | None = None):
+    """grouped_apply with the task-graph physical plan: materialize the
+    keyed stream, then run the two-wave hash exchange over its blocks
+    (grouped_apply_refs); Dataset sort-exchange fallback past the
+    fan-out guard. Returns a Dataset either way.
+
+    Use when the exchange input is a COMPACT derived stream (key rows,
+    fingerprints, pre-aggregated partials) — there the exchange's fixed
+    mini-stage latency dominates its data movement, and the materialize
+    barrier costs nothing the sort exchange would not also pay (a sort
+    materializes its whole input anyway). Keep plain grouped_apply when
+    bulk rows cross the exchange and streaming overlap with the upstream
+    matters."""
+    import ray.data as rd
+
+    mat = ds.materialize()
+    out = grouped_apply_refs([(tuple(mat.to_arrow_refs()), None)],
+                             key, fn, n_buckets=n_buckets,
+                             out_schema=out_schema)
+    if out is not None:
+        return rd.from_arrow_refs(out)
+    return grouped_apply(mat, key, fn, n_buckets=n_buckets,
+                         out_schema=out_schema)
 
 
 def cap_group_members(ids: np.ndarray, cap: int,
@@ -291,7 +323,7 @@ def duplicate_key_groups(ds, column: str = "clip_id"):
             members=lambda s: ",".join("p" + s.astype(str))).reset_index()
         return g[["key", "n_members", "members"]]
 
-    return grouped_apply(keyed, "key", bucket,
+    return grouped_apply_fast(keyed, "key", bucket,
                          out_schema=PROBLEM_MODEL_SCHEMA)
 
 
@@ -306,7 +338,7 @@ def exact_duplicate_keys(ds, column: str = "clip_id",
     keys per batch only."""
     pre = ds.select_columns([column, "partition"]).map_batches(
         lambda b: _preagg_key_counts(b, column), batch_format="pyarrow")
-    return grouped_apply(
+    return grouped_apply_fast(
         pre, "key",
         lambda g: _dup_bucket_rows(g, Codes.DUPLICATE_KEY,
                                    "unique " + column),
@@ -321,7 +353,7 @@ def exact_duplicate_keys_from_keys(keys_ds, column: str = "clip_id"):
     per-batch (key, partition, cnt) partials enter the exchange."""
     pre = keys_ds.map_batches(lambda b: _preagg_key_counts(b, "key"),
                               batch_format="pyarrow")
-    return grouped_apply(
+    return grouped_apply_fast(
         pre, "key",
         lambda g: _dup_bucket_rows(g, Codes.DUPLICATE_KEY,
                                    "unique " + column),
@@ -466,7 +498,7 @@ def content_duplicates(ds, cols: tuple[str, ...] = ("bytes", "transcript"),
     Shuffles 16-byte hex keys, never the payload."""
     hashed = ds.select_columns([*cols, "clip_id", "partition"]).map_batches(
         lambda b: content_hash_batch(b, cols), batch_format="pyarrow")
-    return grouped_apply(hashed, "key", _content_bucket_rows,
+    return grouped_apply_fast(hashed, "key", _content_bucket_rows,
                          out_schema=KEYED_VIOLATION_SCHEMA)
 
 
@@ -475,7 +507,7 @@ def content_duplicates_from_keys(keys_ds):
     the suite's single payload scan emits (key, clip_id, partition) rows
     via ContentHashCheck, so the payload bytes are read ONCE for decode +
     hashing together instead of twice."""
-    return grouped_apply(keys_ds, "key", _content_bucket_rows,
+    return grouped_apply_fast(keys_ds, "key", _content_bucket_rows,
                          out_schema=KEYED_VIOLATION_SCHEMA)
 
 

@@ -46,7 +46,7 @@ def referential_violations_dist(clips_ds, index_ds,
     Shuffle payload: (clip_id, transcript|ref_transcript, partition) —
     the audio payload never enters the exchange. Returns a violations
     Dataset (KEYED_VIOLATION_SCHEMA, no check_id column)."""
-    from .keyed import KEYED_VIOLATION_SCHEMA, grouped_apply
+    from .keyed import KEYED_VIOLATION_SCHEMA, grouped_apply_fast
 
     def tag(side: str, text_col: str):
         def f(b: pa.Table) -> pa.Table:
@@ -119,7 +119,7 @@ def referential_violations_dist(clips_ds, index_ds,
             })
         return pd.concat(out, ignore_index=True)
 
-    return grouped_apply(tagged, "key", reduce_bucket, n_buckets=n_buckets,
+    return grouped_apply_fast(tagged, "key", reduce_bucket, n_buckets=n_buckets,
                          out_schema=KEYED_VIOLATION_SCHEMA)
 
 

@@ -212,7 +212,7 @@ def dedup_drop_ds(factory):
     is the projected (key, partition, clip_id, meta_ok) stream only."""
     import pandas as pd
 
-    from ..checks.keyed import content_hash_batch, grouped_apply
+    from ..checks.keyed import content_hash_batch, grouped_apply_fast
 
     def hash_with_meta(b: pa.Table) -> pa.Table:
         t = content_hash_batch(b)
@@ -232,7 +232,7 @@ def dedup_drop_ds(factory):
             "clip_id": dup["clip_id"].astype(str),
         })
 
-    return grouped_apply(keyed, "key", bucket, out_schema=DROP_SCHEMA)
+    return grouped_apply_fast(keyed, "key", bucket, out_schema=DROP_SCHEMA)
 
 
 # ---------------------------------------------- phase 2: per-partition work

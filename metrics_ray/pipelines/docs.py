@@ -27,7 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..checks.keyed import cap_group_members, grouped_apply, shuffle_blocks
+from ..checks.keyed import (cap_group_members, grouped_apply,
+                            grouped_apply_fast, shuffle_blocks)
 from ..functions import text as T
 from ..functions.rounding import round_half_away
 from ..sketches import hash64
@@ -288,7 +289,7 @@ def q_doc_exact_dups(sf_dir: str) -> pa.Table:
         })
 
     ds = corpus_ds(sf_dir).map_batches(key_batch, batch_format="pyarrow")
-    return _collect(grouped_apply(ds, "key", bucket_rows,
+    return _collect(grouped_apply_fast(ds, "key", bucket_rows,
                                   out_schema=_DUP_SCHEMA), ["doc_id"])
 
 
@@ -665,7 +666,7 @@ def q_doc_incremental_dups(sf_dir: str) -> pa.Table:
         return pd.DataFrame({"doc_id": hit["doc_id"].astype("int64")})
 
     ds = corpus_ds(sf_dir).map_batches(key_batch, batch_format="pyarrow")
-    out = _collect(grouped_apply(
+    out = _collect(grouped_apply_fast(
         ds, "key", flag_new_dups,
         out_schema=pa.schema([("doc_id", pa.int64())])), ["doc_id"])
     if out is None:
@@ -903,7 +904,7 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pa.Table:
                              "doc_b": pd.Series(rows_b, dtype="int64"),
                              "jacc": pd.Series(rows_j, dtype="float64")})
 
-    out = grouped_apply(ds.map_batches(tag, batch_format="pyarrow"),
+    out = grouped_apply_fast(ds.map_batches(tag, batch_format="pyarrow"),
                         "pair", pair_rows, out_schema=_PAIR_J_SCHEMA)
     return _collect(out, ["doc_a", "doc_b"])
 
@@ -1816,7 +1817,7 @@ def q_doc_curation(sf_dir: str) -> pa.Table:
         return pd.DataFrame({"doc_id": df.loc[df["doc_id"] != keeper,
                                               "doc_id"].astype("int64")})
 
-    ex_t = _collect(grouped_apply(
+    ex_t = _collect(grouped_apply_fast(
         rd.from_arrow_refs(meta_refs).map_batches(
             lambda b: b.select(["doc_id", "dg", "q_ok"]),
             batch_format="pyarrow"),
@@ -2065,7 +2066,7 @@ def q_doc_postings(sf_dir: str) -> pa.Table:
                 str(d) for d in s.iloc[:POSTINGS_CAP]))
         return df_n.reset_index()
 
-    out = grouped_apply(
+    out = grouped_apply_fast(
         documents_ds(sf_dir, ["doc_id", "text"])
         .map_batches(pairs, batch_format="pyarrow"),
         "term", build,
@@ -2149,7 +2150,7 @@ def q_doc_dup_spans(sf_dir: str) -> pa.Table:
             n_windows=("cnt", "sum"), n_dup=("dup", "sum"))
         return out
 
-    folded = grouped_apply(
+    folded = grouped_apply_fast(
         corpus_ds(sf_dir).map_batches(gram_partials, batch_format="pyarrow"),
         "gram", mark_and_fold,
         out_schema=pa.schema([("doc_id", pa.int64()),
@@ -2323,7 +2324,7 @@ def q_doc_rank_pctl(sf_dir: str) -> pa.Table:
                 (rank - 1) / max(n_total - 1, 1), 6),
         })
 
-    out = grouped_apply(
+    out = grouped_apply_fast(
         pairs, "n_tokens", local_ranks,
         out_schema=pa.schema([("doc_id", pa.int64()),
                               ("n_tokens", pa.int64()),
@@ -2416,7 +2417,7 @@ def q_doc_seq_pack(sf_dir: str) -> pa.Table:
                                  for f in _SEQ_PACK_SCHEMA})
         return pd.concat(outs, ignore_index=True)
 
-    out = grouped_apply(
+    out = grouped_apply_fast(
         documents_ds(sf_dir, ["lang", "doc_id", "text"])
         .map_batches(tok_counts, batch_format="pyarrow"),
         "lang", pack_bucket, out_schema=_SEQ_PACK_SCHEMA)

@@ -25,7 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..checks.keyed import cap_group_members, grouped_apply
+from ..checks.keyed import cap_group_members, grouped_apply_fast
 from ..sketches import hash64
 from ..functions.rounding import round_half_away
 from ..collect import arrow_refs
@@ -537,8 +537,8 @@ def q_emb_neardup_lsh(sf_dir: str) -> pa.Table:
         return pd.concat(outs, ignore_index=True)
 
     tagged = vcorpus_ds(sf_dir).map_batches(tag, batch_format="pyarrow")
-    out = grouped_apply(
-        grouped_apply(tagged, "bucket", bucket_verified_pairs,
+    out = grouped_apply_fast(
+        grouped_apply_fast(tagged, "bucket", bucket_verified_pairs,
                       out_schema=pair_schema),
         ["vec_a", "vec_b"],  # dedupe pairs found in >1 table
         lambda df: df.drop_duplicates(["vec_a", "vec_b"]),

@@ -492,7 +492,7 @@ def q_column_profile(sf_dir: str) -> pa.Table:
     here keep the DuckDB comparison bit-for-bit."""
     import pandas as pd
 
-    from ..checks.keyed import grouped_apply, shuffle_blocks
+    from ..checks.keyed import grouped_apply_fast, shuffle_blocks
     from ray.data.aggregate import Sum
 
     ds = _meta_ds(sf_dir)
@@ -525,7 +525,7 @@ def q_column_profile(sf_dir: str) -> pa.Table:
              .groupby("col_name").size().reset_index(name="nd"))
         return u
 
-    nd = (grouped_apply(
+    nd = (grouped_apply_fast(
         ds.map_batches(distinct_pairs, batch_format="pyarrow"),
         ["col_name", "key"], count_uniques,
         out_schema=pa.schema([("col_name", pa.string()),
@@ -876,7 +876,7 @@ def q_alphabet(sf_dir: str) -> pa.Table:
             "occ": pa.array(counts.astype(np.int64)),
         })
 
-    from ..checks.keyed import grouped_apply
+    from ..checks.keyed import grouped_apply_fast
 
     out_schema = pa.schema([("grapheme", pa.string()),
                             ("n_occ", pa.int64()),
@@ -890,7 +890,7 @@ def q_alphabet(sf_dir: str) -> pa.Table:
         agg["n_clips"] = agg["n_clips"].astype("int64")
         return agg
 
-    t = _collect_simple(grouped_apply(
+    t = _collect_simple(grouped_apply_fast(
         ds.map_batches(pairs, batch_format="pyarrow"),
         "grapheme", fold, out_schema=out_schema))
     if t is None:
@@ -1392,7 +1392,7 @@ def q_split_leakage(sf_dir: str) -> pa.Table:
 
     import pyarrow.compute as pc
 
-    from ..checks.keyed import grouped_apply
+    from ..checks.keyed import grouped_apply_fast
     from ..sketches import md5_lower64
     from .docs import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
 
@@ -1434,7 +1434,7 @@ def q_split_leakage(sf_dir: str) -> pa.Table:
         g["leaked"] = g["n_splits"] > 1
         return g
 
-    out = grouped_apply(ds.map_batches(assign, batch_format="pyarrow"),
+    out = grouped_apply_fast(ds.map_batches(assign, batch_format="pyarrow"),
                         "t_key", audit, out_schema=out_schema)
     t = _collect_simple(out)
     if t is None:
@@ -2899,7 +2899,7 @@ def q_audio_neardup(sf_dir: str) -> pa.Table:
     cap."""
     import pandas as pd
 
-    from ..checks.keyed import grouped_apply
+    from ..checks.keyed import grouped_apply_fast
 
     path = ensure_clips_parquet(sf_dir)
     ds = clips_factory(path)(["clip_id", "bytes"]).map_batches(
@@ -2949,7 +2949,7 @@ def q_audio_neardup(sf_dir: str) -> pa.Table:
                         out_a.append(ids[i]); out_b.append(ids[j])
         return pd.DataFrame({"clip_a": out_a, "clip_b": out_b})
 
-    pairs = grouped_apply(
+    pairs = grouped_apply_fast(
         ds.map_batches(fingerprint, batch_format="pyarrow"),
         "band", verify,
         out_schema=pa.schema([("clip_a", pa.string()),

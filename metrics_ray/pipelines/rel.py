@@ -266,7 +266,7 @@ def q_ev_sliding_distinct(sf_dir: str) -> pa.Table:
     windows whose user cardinality outgrows a worker, the HLL sketch path
     (checks/agg.distinct_per_key, ~0.8% err) is the drop-in estimate —
     same shuffle shape, O(registers) state."""
-    from ..checks.keyed import grouped_apply
+    from ..checks.keyed import grouped_apply_fast
 
     def pairs(b: pa.Table) -> pa.Table:
         ts = b.column("ts").to_pandas()
@@ -291,7 +291,7 @@ def q_ev_sliding_distinct(sf_dir: str) -> pa.Table:
 
     pre = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
         pairs, batch_format="pyarrow")
-    out = grouped_apply(pre, "window_start", nunique,
+    out = grouped_apply_fast(pre, "window_start", nunique,
                         out_schema=pa.schema([
                             ("window_start", pa.string()),
                             ("n_users", pa.int64())]))
@@ -333,7 +333,7 @@ def q_ev_sessions(sf_dir: str) -> pa.Table:
     ``groupby(user).map_groups`` shape costs a python call + DataFrame
     per user — the exact anti-pattern grouped_apply exists to avoid; the
     bucketed fold keeps identical semantics (keys only need co-location)."""
-    from ..checks.keyed import grouped_apply
+    from ..checks.keyed import grouped_apply_fast
 
     def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -348,7 +348,7 @@ def q_ev_sessions(sf_dir: str) -> pa.Table:
             "n_sessions": (g["brk"] + 1).astype("int64"),
         })
 
-    out = grouped_apply(
+    out = grouped_apply_fast(
         _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
         "user_id", sessions_bucket, out_schema=_SESSIONS_SCHEMA)
     return _collect(out, ["user_id"])
@@ -727,7 +727,7 @@ def _disjoint_types_ds(sf_dir: str, entity_fraction: float | None):
     never a per-entity python dispatch)."""
     import pyarrow.compute as pc
 
-    from ..checks.keyed import grouped_apply
+    from ..checks.keyed import grouped_apply_fast
     from ..stages.sampling import md5_lower64
 
     thr = (None if entity_fraction is None else
@@ -769,7 +769,7 @@ def _disjoint_types_ds(sf_dir: str, entity_fraction: float | None):
 
     ds = (_read(sf_dir, "events", ["user_id", "event_type", "value"])
           .map_batches(distinct_types, batch_format="pyarrow"))
-    return grouped_apply(ds, "user_id", check_bucket,
+    return grouped_apply_fast(ds, "user_id", check_bucket,
                          out_schema=_DISJOINT_SCHEMA)
 
 
@@ -848,7 +848,7 @@ def q_ev_funnel(sf_dir: str) -> pa.Table:
     three vectorized stage passes inside the bucket (per-user min over
     the stage events filtered by the previous stage's timestamp via an
     indexed merge) — no python-per-user dispatch, no window shuffle."""
-    from ..checks.keyed import grouped_apply
+    from ..checks.keyed import grouped_apply_fast
 
     def funnel_bucket(df: pd.DataFrame) -> pd.DataFrame:
         users = df["user_id"].drop_duplicates().sort_values()
@@ -866,7 +866,7 @@ def q_ev_funnel(sf_dir: str) -> pa.Table:
         return pd.DataFrame({"user_id": depth.index.astype("int64"),
                              "funnel_depth": depth.to_numpy()})
 
-    out = grouped_apply(
+    out = grouped_apply_fast(
         _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
         "user_id", funnel_bucket, out_schema=_FUNNEL_SCHEMA)
     return _collect(out, ["user_id"])
@@ -904,7 +904,7 @@ def q_ev_retention(sf_dir: str) -> pa.Table:
     never user rows."""
     from ray.data.aggregate import Sum
 
-    from ..checks.keyed import grouped_apply
+    from ..checks.keyed import grouped_apply_fast
 
     def cohort_bucket(df: pd.DataFrame) -> pd.DataFrame:
         day = df["ts"].to_numpy().astype("datetime64[D]")
@@ -919,7 +919,7 @@ def q_ev_retention(sf_dir: str) -> pa.Table:
         g["cohort"] = g["cohort"].astype(str)
         return g
 
-    out = (grouped_apply(
+    out = (grouped_apply_fast(
         _read(sf_dir, "events", ["user_id", "ts"]),
         "user_id", cohort_bucket,
         out_schema=pa.schema([("cohort", pa.string()),

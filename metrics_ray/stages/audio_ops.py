@@ -512,7 +512,7 @@ def pack_clips(meta_ds, cap_ms: int = PACK_CAP_MS,
     exchange (checks/keyed.py grouped_apply), then a vectorized sort +
     cumsum per partition. Order-dependent per partition by construction —
     parallelism is across partitions, which at design scale are millions."""
-    from ..checks.keyed import grouped_apply
+    from ..checks.keyed import grouped_apply_fast
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["dur_ms"] > 0].sort_values(
@@ -528,5 +528,5 @@ def pack_clips(meta_ds, cap_ms: int = PACK_CAP_MS,
         })
 
     projected = meta_ds.select_columns(["partition", "clip_id", "dur_ms"])
-    return grouped_apply(projected, "partition", per_bucket,
+    return grouped_apply_fast(projected, "partition", per_bucket,
                          n_buckets=n_buckets, out_schema=PACK_SCHEMA)

@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..checks.keyed import grouped_apply
+from ..checks.keyed import grouped_apply_fast
 
 _MSG_SCHEMA = pa.schema([("doc", pa.int64()), ("lbl", pa.int64()),
                          ("own", pa.int64())])
@@ -98,7 +98,7 @@ def label_propagation(edges_ds, max_rounds: int = 8):
             "lbl": np.minimum(g["src"], g["dst"]).astype("int64"),
         })
 
-    labels = grouped_apply(rd.from_arrow_refs(edge_refs), "src", seed,
+    labels = grouped_apply_fast(rd.from_arrow_refs(edge_refs), "src", seed,
                            out_schema=_LBL_SCHEMA)
 
     def tag_lbl(b: pa.Table) -> pa.Table:
@@ -138,9 +138,9 @@ def label_propagation(edges_ds, max_rounds: int = 8):
         tagged = (labels.map_batches(tag_lbl, batch_format="pyarrow")
                   .union(rd.from_arrow_refs(edge_refs).map_batches(
                       tag_edge, batch_format="pyarrow")))
-        msgs = grouped_apply(tagged, "key", emit_msgs,
+        msgs = grouped_apply_fast(tagged, "key", emit_msgs,
                              out_schema=_MSG_SCHEMA)
-        new_labels = grouped_apply(msgs, "doc", reduce_min,
+        new_labels = grouped_apply_fast(msgs, "doc", reduce_min,
                                    out_schema=_OUT_SCHEMA).materialize()
         # distributed count — only the scalar reaches the driver
         # (take_all here would ship O(nodes) rows per round)

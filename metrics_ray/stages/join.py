@@ -40,7 +40,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..checks.keyed import grouped_apply
+from ..checks.keyed import grouped_apply_fast
 from ..sketches import hash64
 from ..collect import arrow_refs
 
@@ -168,7 +168,7 @@ def bucketed_inner_join(left_ds, right_ds, left_key: str, right_key: str,
         merged = l.merge(r, on="__key").drop(columns="__key")
         return post(merged) if post is not None else merged
 
-    return grouped_apply(tagged, "__key", reduce_bucket,
+    return grouped_apply_fast(tagged, "__key", reduce_bucket,
                          n_buckets=n_buckets, out_schema=out_schema)
 
 
@@ -250,7 +250,7 @@ def bucketed_asof_join(left_ds, right_ds, left_key: str, right_key: str,
         merged = merged.drop(columns="__key")
         return post(merged) if post is not None else merged
 
-    return grouped_apply(tagged, "__key", reduce_bucket,
+    return grouped_apply_fast(tagged, "__key", reduce_bucket,
                          n_buckets=n_buckets, out_schema=out_schema)
 
 
@@ -339,7 +339,7 @@ def bucketed_range_count(left_ds, right_ds, left_ts: str, right_ts: str,
                  out_count: pd.Series([], dtype="int64")})
         return pd.concat(out, ignore_index=True)
 
-    return grouped_apply(tagged, "__tile", count_tile,
+    return grouped_apply_fast(tagged, "__tile", count_tile,
                          n_buckets=n_buckets, out_schema=out_schema)
 
 
@@ -435,6 +435,6 @@ def bloom_anti_join(left_ds, right_ds, left_key: str, right_key: str,
         l = df[df["__side"] == "l"]
         return l.loc[~l["__key"].isin(rkeys), left_cols]
 
-    survivors = grouped_apply(maybe_tagged, "__key", verify,
+    survivors = grouped_apply_fast(maybe_tagged, "__key", verify,
                               n_buckets=n_buckets, out_schema=out_schema)
     return definite.union(survivors)

@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..checks.keyed import grouped_apply
+from ..checks.keyed import grouped_apply_fast
 from ..sketches import hash64
 
 _GOLD = 0x9E3779B97F4A7C15
@@ -94,4 +94,4 @@ def per_key_sample(ds, key: str, k: int, row_key: str,
         out = df[rank < k].drop(columns="__pri")
         return out.sort_values([key, row_key], kind="stable")
 
-    return grouped_apply(ds, key, pick, out_schema=out_schema)
+    return grouped_apply_fast(ds, key, pick, out_schema=out_schema)

@@ -307,6 +307,34 @@ def _suite_task(batch: pa.Table, *, cache_key: str,
     return ex(batch)
 
 
+def _filter_kinds_task(kinds: tuple[str, ...], *blocks) -> pa.Table:
+    """Filter a group of tagged blocks to the driver-bound row kinds."""
+    import pyarrow.compute as pc
+
+    t = pa.concat_tables(blocks)
+    return t.filter(pc.is_in(t.column("kind"),
+                             value_set=pa.array(list(kinds), pa.string())))
+
+
+def _collect_kinds(tagged, kinds: tuple[str, ...],
+                   group_width: int = 8) -> list[pa.Table]:
+    """Driver collection of the tagged stream's small rows as one task
+    wave over the already-materialized block refs (to_arrow_refs on a
+    materialized dataset is pure enumeration — no job)."""
+    import math
+
+    import ray
+
+    refs = tagged.to_arrow_refs()
+    if not refs:
+        return []
+    task = ray.remote(_filter_kinds_task)
+    G = max(1, math.ceil(len(refs) / group_width))
+    futs = [task.remote(tuple(kinds), *refs[i::G]) for i in range(G)
+            if refs[i::G]]
+    return [t for t in ray.get(futs) if t.num_rows]
+
+
 class KeyStream(NamedTuple):
     """Fused key rows handed to keyed stages: ``dataset`` is the lazy
     kind=='k' view (the Dataset-plan input); ``tagged`` is the
@@ -394,15 +422,17 @@ def run_batch_checks(ds, checks: list[BatchCheck],
                    .select_columns(VIOLATION_SCHEMA.names)
                    .write_parquet(violations_sink,
                                   partition_cols=["partition"]))
-            driver_expr = 'kind == "p"'
+            keep_kinds = ("p",)
         else:
-            driver_expr = 'kind != "k"'
-        batches = list(
-            tagged.filter(expr=driver_expr)
-            .iter_batches(batch_size=65536, batch_format="pyarrow"))
-        all_rows = (pa.concat_tables(
-            [pa.table(b) for b in batches]).cast(TAGGED_SCHEMA)
-            if batches else _EMPTY_TAGGED)
+            keep_kinds = ("p", "v")
+        # ONE task wave over the existing materialized block refs instead
+        # of a filter Dataset job (~1.3-1.6 s of fixed mini-stage latency
+        # at 8 cpus on the suite's critical path): each task filters its
+        # group of blocks to the driver-bound kinds; bulk 'k' (and sinked
+        # 'v') rows never leave the object store
+        tables = _collect_kinds(tagged, keep_kinds)
+        all_rows = (pa.concat_tables(tables).cast(TAGGED_SCHEMA)
+                    if tables else _EMPTY_TAGGED)
         kinds = all_rows.column("kind").to_numpy(zero_copy_only=False)
         if violations_sink is not None:
             viol = None

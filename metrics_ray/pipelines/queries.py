@@ -290,6 +290,10 @@ def q_missing_refs_bloom(sf_dir: str) -> pa.Table:
     return pa.concat_tables(tables).sort_by("clip_id")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)  # pure function of sf_dir; editdist reuses phase 1
 def q_transcript_mismatch_dist(sf_dir: str) -> pa.Table:
     """Distributed transcript-equality check: bucketed inner join of the
     clips stream with the Ray-derived index. Same oracle as the broadcast

@@ -324,6 +324,11 @@ def staged_factory(parquet_dir: str):
         ds = rd.from_arrow_refs(refs)
         return ds.select_columns(columns) if columns else ds
 
+    # consumers that only need a column slice (baseline profile) read the
+    # blocks directly in a task wave — an Arrow column select inside the
+    # task is zero-copy, vs select_columns' projection job that rewrites
+    # every payload-bearing block
+    factory.block_refs = tuple(refs)
     return factory
 
 

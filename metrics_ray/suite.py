@@ -107,6 +107,18 @@ def keyed_checks(with_content_dedup: bool = True) -> dict:
     return out
 
 
+def _hist_partial_task(column: str, edges: tuple, *blocks) -> bytes:
+    """One histogram partial over a group of materialized blocks (the
+    baseline profile's task-wave path)."""
+    from .sketches import FixedHistogram
+
+    h = FixedHistogram(np.asarray(edges, dtype=np.float64))
+    for b in blocks:
+        h.add(b.column(column).to_numpy(
+            zero_copy_only=False).astype(np.float64))
+    return h.dumps()
+
+
 def build_baseline_profile(ds_factory, column: str = "dur_ms",
                            n_bins: int = 30,
                            domain: tuple[float, float] | None = None) -> dict[str, Any]:
@@ -132,15 +144,33 @@ def build_baseline_profile(ds_factory, column: str = "dur_ms",
         edges = (np.geomspace(domain[0], domain[1], n_bins + 1)
                  if domain[0] > 0 else np.linspace(domain[0], domain[1],
                                                    n_bins + 1))
-    ds = ds_factory([column, "partition"])
+    refs = getattr(ds_factory, "block_refs", None)
+    if refs:
+        # staged input: ONE task wave over the existing block refs — the
+        # in-task Arrow column read is zero-copy, vs a select_columns
+        # projection job that rewrites every payload-bearing block just
+        # to histogram one numeric column
+        import math
 
-    def hist_partial(b: pa.Table) -> pa.Table:
-        h = FixedHistogram(edges)
-        h.add(b.column(column).to_numpy(zero_copy_only=False).astype(np.float64))
-        return pa.table({"payload": pa.array([h.dumps()], pa.binary())})
+        import ray
 
-    blobs = [r["payload"] for r in
-             ds.map_batches(hist_partial, batch_format="pyarrow").take_all()]
+        task = ray.remote(_hist_partial_task)
+        G = max(1, math.ceil(len(refs) / 8))
+        futs = [task.remote(column, tuple(edges.tolist()), *refs[i::G])
+                for i in range(G) if refs[i::G]]
+        blobs = ray.get(futs)
+    else:
+        ds = ds_factory([column, "partition"])
+
+        def hist_partial(b: pa.Table) -> pa.Table:
+            h = FixedHistogram(edges)
+            h.add(b.column(column).to_numpy(
+                zero_copy_only=False).astype(np.float64))
+            return pa.table({"payload": pa.array([h.dumps()], pa.binary())})
+
+        blobs = [r["payload"] for r in
+                 ds.map_batches(hist_partial,
+                                batch_format="pyarrow").take_all()]
     h = merge_blobs(blobs)
     if h is None:
         # merge_blobs([]) is None — surface the real cause (empty baseline

@@ -139,7 +139,16 @@ def _ga_reduce_task(fn, out_schema, *parts) -> pa.Table:
     quiet_ray_logs()
     t = pa.concat_tables([p for p in parts if p.num_rows]
                          or [parts[0]], promote_options="default")
-    out = fn(t.to_pandas())
+    if t.num_rows == 0:
+        # match the Dataset plan exactly: map_groups never invokes fn on
+        # an empty partition, so reducers are entitled to assume rows
+        # (empty-frame pandas quirks — e.g. merge(right_index=True)
+        # adopting the right's index name — otherwise leak in)
+        return (out_schema.empty_table() if out_schema is not None else t)
+    # strip pandas schema metadata: a source block built via from_pandas
+    # carries index info that to_pandas would reconstruct as a named
+    # index, colliding with same-named columns inside fn's groupby
+    out = fn(t.replace_schema_metadata(None).to_pandas())
     if out_schema is not None and isinstance(out, pd.DataFrame):
         if not len(out):
             # an empty bucket's frame carries pandas-inferred dtypes (an
@@ -707,7 +716,10 @@ def _composite_reduce_task(kids: tuple[str, ...], *parts) -> pa.Table:
     from .. import quiet_ray_logs
 
     quiet_ray_logs()
-    df = pa.concat_tables(parts).to_pandas()
+    t = pa.concat_tables(parts)
+    if t.num_rows == 0:  # empty bucket: fn is never invoked (Dataset-plan parity)
+        return COMPOSITE_KEYED_SCHEMA.empty_table()
+    df = t.replace_schema_metadata(None).to_pandas()
     return pa.Table.from_pandas(_composite_bucket(df),
                                 schema=COMPOSITE_KEYED_SCHEMA,
                                 preserve_index=False)

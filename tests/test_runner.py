@@ -545,3 +545,57 @@ def test_composite_task_graph_matches_dataset_path():
         import pandas as pd
 
         pd.testing.assert_frame_equal(got, ds_out)
+
+
+def test_grouped_apply_refs_matches_dataset_plan_property():
+    """Property: for arbitrary keyed tables, block splits, and bucket
+    counts, grouped_apply_refs produces the same multiset of output rows
+    as the Dataset-plan grouped_apply — including all-empty-bucket and
+    single-key-skew shapes. (The framework-level pin behind the
+    131/131 cross-cpu invariance sweep.)"""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from metrics_ray.checks.keyed import grouped_apply, grouped_apply_refs
+
+    out_schema = pa.schema([("k", pa.string()), ("n", pa.int64()),
+                            ("s", pa.int64())])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k")["v"].agg(n="size", s="sum").reset_index()
+        return g.astype({"n": "int64", "s": "int64"})
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n = int(rng.integers(0, 200))
+        keys = [f"key{int(x)}" for x in
+                rng.integers(0, max(1, int(rng.integers(1, 12))), n)]
+        vals = rng.integers(-100, 100, n).astype("int64")
+        t = pa.table({"k": pa.array(keys, pa.string()),
+                      "v": pa.array(vals)})
+        # split into 1-5 ragged blocks
+        n_blocks = int(rng.integers(1, 6))
+        cuts = sorted(rng.integers(0, n + 1, n_blocks - 1).tolist())
+        bounds = [0] + cuts + [n]
+        blocks = [t.slice(bounds[i], bounds[i + 1] - bounds[i])
+                  for i in range(len(bounds) - 1)]
+        refs = [ray.put(b) for b in blocks]
+        B = int(rng.integers(1, 40))
+
+        got_refs = grouped_apply_refs([(refs, None)], "k", per_bucket,
+                                      n_buckets=B, out_schema=out_schema)
+        got = pa.concat_tables(
+            [x for x in ray.get(got_refs) if x.num_rows]
+            or [out_schema.empty_table()]).to_pandas()
+        ds_out = grouped_apply(ray.data.from_arrow_refs(refs), "k",
+                               per_bucket, n_buckets=B,
+                               out_schema=out_schema)
+        want = pa.concat_tables(
+            [x.cast(out_schema) for x in
+             ray.get(ds_out.materialize().to_arrow_refs()) if x.num_rows]
+            or [out_schema.empty_table()]).to_pandas()
+        got = got.sort_values(["k"]).reset_index(drop=True)
+        want = want.sort_values(["k"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want), trial

@@ -2112,16 +2112,20 @@ def q_doc_dup_spans(sf_dir: str) -> pa.Table:
     ONE bucketed co-group on gram marks grams seen in >=2 distinct docs
     and folds to per-doc (n_windows, n_dup) partials inside the bucket;
     a tiny groupby-sum on doc_id merges across buckets. Nothing is
-    broadcast and no stage holds more than a bucket. At 10^12 rows the
-    gram key becomes a 64-bit hash (same plan); the exact strings here
-    keep the oracle comparison collision-free."""
+    broadcast and no stage holds more than a bucket. The gram key is a
+    64-bit ordered polynomial hash of the window's token hashes — the
+    10^12-row plan shape: windows never materialize as strings, the
+    per-doc fold is a vectorized np.unique, and the exchange carries
+    8-byte keys. Output equality to the string-keyed SQL mirror holds up
+    to a cross-gram hash collision (p ≈ distinct_grams²/2⁶⁵ — ~1e-8 at
+    a million grams; the same accepted-risk argument as the minhash
+    shingle hashes, docs.py shingle_hash_array)."""
     from ray.data.aggregate import Sum
 
     W = DUP_SPAN_W
+    _G = np.uint64(0x9E3779B97F4A7C15)
 
     def gram_partials(b: pa.Table) -> pa.Table:
-        from collections import Counter
-
         import pyarrow.compute as pc
 
         # tokenize with the SAME re2 kernel the SQL mirror uses
@@ -2129,19 +2133,29 @@ def q_doc_dup_spans(sf_dir: str) -> pa.Table:
         # whitespace (e.g. \xa0) and would window differently
         toks = pc.split_pattern_regex(
             pc.fill_null(b.column("text"), ""), r"\s+").to_pylist()
-        out_g: list[str] = []
+        out_g: list[np.ndarray] = []
         out_d: list[int] = []
-        out_c: list[int] = []
+        out_c: list[np.ndarray] = []
         for did, w in zip(b.column("doc_id").to_pylist(), toks):
             w = [t for t in w if t]
             if len(w) < W:
                 continue
-            c = Counter(" ".join(w[i:i + W]) for i in range(len(w) - W + 1))
-            for g, n in c.items():
-                out_g.append(g); out_d.append(int(did)); out_c.append(n)
-        return pa.table({"gram": pa.array(out_g, pa.string()),
+            th = hash64(np.array(w, dtype=object))
+            n = len(w) - W + 1
+            gh = np.zeros(n, dtype=np.uint64)
+            for j in range(W):  # ordered combine, W vectorized fmas
+                gh = gh * _G + th[j:j + n]
+            uniq, cnt = np.unique(gh, return_counts=True)
+            out_g.append(uniq.view(np.int64))
+            out_d.extend([int(did)] * len(uniq))
+            out_c.append(cnt.astype(np.int64))
+        if not out_g:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"gram": pa.array(np.concatenate(out_g)),
                          "doc_id": pa.array(out_d, pa.int64()),
-                         "cnt": pa.array(out_c, pa.int64())})
+                         "cnt": pa.array(np.concatenate(out_c))})
 
     def mark_and_fold(g: pd.DataFrame) -> pd.DataFrame:
         nd = g.groupby("gram")["doc_id"].transform("nunique")

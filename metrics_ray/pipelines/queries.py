@@ -2863,8 +2863,14 @@ def _spectral_centroids(pcm: np.ndarray) -> tuple[int, list[float]]:
     broadband and ~54 dB below the sine peaks, so it moves an
     energy-weighted peak centroid by far less than the verify tolerance."""
     x = pcm.astype(np.float64)
-    n = len(x)
-    spec = np.abs(np.fft.rfft(x))
+    return _centroids_from_spec(np.abs(np.fft.rfft(x)), len(x))
+
+
+def _centroids_from_spec(spec: np.ndarray, n: int) -> tuple[int, list[float]]:
+    """Centroid extraction from a precomputed |rfft| magnitude spectrum
+    (mutates its copy; the shared-FFT feature pass reuses one transform
+    for both the centroids and the embedding)."""
+    spec = spec.copy()
     spec[0] = 0.0
     cs: list[float] = []
     for _ in range(3):
@@ -2879,6 +2885,50 @@ def _spectral_centroids(pcm: np.ndarray) -> tuple[int, list[float]]:
     while len(cs) < 3:
         cs.append(0.0)
     return n, sorted(cs)
+
+
+@lru_cache(maxsize=4)
+def _acoustic_feature_refs(sf_dir: str) -> tuple:
+    """Decode + SINGLE-rfft feature derivation over the acoustic corpus,
+    memoized per process as materialized block refs: one narrow table
+    (clip_id, n, c1..c3, vec[16]). One decode and one FFT per clip serve
+    BOTH the fingerprint banding (q_audio_neardup) and the embedding
+    search (q_audio_knn) — the decode-once / featurize-once /
+    consume-many feature-store shape; the payload never leaves this
+    stage."""
+    import ray
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes"]).map_batches(
+        _acoustic_corpus_batch, batch_format="pyarrow")
+
+    def feat(b: pa.Table) -> pa.Table:
+        ids, ns, c1s, c2s, c3s, vecs = [], [], [], [], [], []
+        for cid, pay in zip(b.column("clip_id").to_pylist(),
+                            b.column("bytes").to_pylist()):
+            try:
+                _, pcm = audio.decode(pay)
+            except (ValueError, TypeError):
+                continue
+            if len(pcm) == 0:
+                continue
+            mag = np.abs(np.fft.rfft(pcm.astype(np.float64)))
+            n, cs = _centroids_from_spec(mag, len(pcm))
+            v = _embed_from_spec(mag)
+            ids.append(cid); ns.append(n)
+            c1s.append(cs[0]); c2s.append(cs[1]); c3s.append(cs[2])
+            vecs.append([float(x) for x in v])
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "c1": pa.array(c1s, pa.float64()),
+            "c2": pa.array(c2s, pa.float64()),
+            "c3": pa.array(c3s, pa.float64()),
+            "vec": pa.array(vecs, pa.list_(pa.float64())),
+        })
+
+    return tuple(ds.map_batches(feat, batch_format="pyarrow")
+                 .materialize().to_arrow_refs())
 
 
 def q_audio_neardup(sf_dir: str) -> pa.Table:
@@ -2905,21 +2955,15 @@ def q_audio_neardup(sf_dir: str) -> pa.Table:
 
     from ..checks.keyed import grouped_apply_fast
 
-    path = ensure_clips_parquet(sf_dir)
-    ds = clips_factory(path)(["clip_id", "bytes"]).map_batches(
-        _acoustic_corpus_batch, batch_format="pyarrow")
-
     def fingerprint(b: pa.Table) -> pa.Table:
+        # banding over the SHARED feature table (decode + FFT ran once in
+        # _acoustic_feature_refs); only grid quantization happens here
         ids_out, keys, ns, c1s, c2s, c3s = [], [], [], [], [], []
-        for cid, pay in zip(b.column("clip_id").to_pylist(),
-                            b.column("bytes").to_pylist()):
-            try:
-                _, pcm = audio.decode(pay)
-            except (ValueError, TypeError):
-                continue
-            if len(pcm) == 0:
-                continue
-            n, cs = _spectral_centroids(pcm)
+        for cid, n, *cs in zip(b.column("clip_id").to_pylist(),
+                               b.column("n").to_pylist(),
+                               b.column("c1").to_pylist(),
+                               b.column("c2").to_pylist(),
+                               b.column("c3").to_pylist()):
             for gi, grids in enumerate(_AC_GRIDS):
                 q = [int(np.floor(c / _AC_STEP + g))
                      for c, g in zip(cs, grids)]
@@ -2953,8 +2997,11 @@ def q_audio_neardup(sf_dir: str) -> pa.Table:
                         out_a.append(ids[i]); out_b.append(ids[j])
         return pd.DataFrame({"clip_a": out_a, "clip_b": out_b})
 
+    import ray.data as rd
+
     pairs = grouped_apply_fast(
-        ds.map_batches(fingerprint, batch_format="pyarrow"),
+        rd.from_arrow_refs(list(_acoustic_feature_refs(sf_dir)))
+        .map_batches(fingerprint, batch_format="pyarrow"),
         "band", verify,
         out_schema=pa.schema([("clip_a", pa.string()),
                               ("clip_b", pa.string())]))
@@ -3014,7 +3061,13 @@ def _audio_embed(pcm: np.ndarray) -> np.ndarray:
     distinct synth seeds (different sine frequencies) land in different
     bands."""
     x = pcm.astype(np.float64)
-    spec = np.abs(np.fft.rfft(x)) ** 2
+    return _embed_from_spec(np.abs(np.fft.rfft(x)))
+
+
+def _embed_from_spec(mag: np.ndarray) -> np.ndarray:
+    """Embedding from a precomputed |rfft| magnitude spectrum (shared-FFT
+    feature pass)."""
+    spec = mag ** 2
     spec[0] = 0.0
     m = len(spec)
     # 8 equal-width bands + 8 octave bands (emphasize low frequencies,
@@ -3043,33 +3096,13 @@ def q_audio_knn(sf_dir: str) -> pa.Table:
     (one row per query per batch); the driver merges O(batches × queries)
     partial rows, never the corpus."""
     import ray
+    import ray.data as rd
 
-    path = ensure_clips_parquet(sf_dir)
-    ds = clips_factory(path)(["clip_id", "bytes"]).map_batches(
-        _acoustic_corpus_batch, batch_format="pyarrow")
-
-    def embed(b: pa.Table) -> pa.Table:
-        ids, vecs = [], []
-        for cid, pay in zip(b.column("clip_id").to_pylist(),
-                            b.column("bytes").to_pylist()):
-            try:
-                _, pcm = audio.decode(pay)
-            except (ValueError, TypeError):
-                continue
-            if len(pcm) == 0:
-                continue
-            ids.append(cid)
-            vecs.append(_audio_embed(pcm))
-        return pa.table({
-            "clip_id": pa.array(ids, pa.string()),
-            "vec": pa.array([list(map(float, v)) for v in vecs],
-                            pa.list_(pa.float64())),
-        })
-
-    # materialize the NARROW embedding table once (ids + 16 floats per
-    # clip) — both consumers below would otherwise re-execute the whole
-    # decode+FFT lineage
-    embedded = ds.map_batches(embed, batch_format="pyarrow").materialize()
+    # the SHARED feature table (one decode + one FFT per clip, memoized
+    # across the audio queries) already carries the embedding column
+    embedded = rd.from_arrow_refs(
+        list(_acoustic_feature_refs(sf_dir))).select_columns(
+            ["clip_id", "vec"]).materialize()
 
     # query side: the replica clips (clip-8*) — collected once, tiny
     def pick_queries(b: pa.Table) -> pa.Table:

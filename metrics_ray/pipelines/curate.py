@@ -238,18 +238,16 @@ def dedup_drop_ds(factory):
 # ---------------------------------------------- phase 2: per-partition work
 
 
-def _stats_and_kept_keys(mat) -> tuple[dict[str, int], list[pa.Table]]:
-    """ONE collection pass over the staged stream returning both the
-    reason counts and the kept (clip_id, dur_ms) key rows — per batch:
-    a handful of 'c' count rows plus key-only 'k' rows (never payload)."""
-    import ray
+def _stats_partial_task(*blocks) -> pa.Table:
+    """Per-group stats partial over staged blocks (task-wave collection:
+    no Dataset job — the blocks are already in the object store)."""
+    import pyarrow.compute as pc
 
-    def partial(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+    outs = []
+    for b in blocks:
         vc = pc.value_counts(b.column("reason"))
         kept = b.filter(pc.equal(b.column("reason"), R_KEPT))
-        return pa.table({
+        outs.append(pa.table({
             "kind": pa.array(["c"] * len(vc) + ["k"] * kept.num_rows),
             "key": pa.concat_arrays([
                 vc.field("values").cast(pa.string()),
@@ -257,12 +255,25 @@ def _stats_and_kept_keys(mat) -> tuple[dict[str, int], list[pa.Table]]:
             "val": pa.concat_arrays([
                 vc.field("counts").cast(pa.int64()),
                 kept.column("dur_ms").cast(pa.int64()).combine_chunks()]),
-        })
+        }))
+    return pa.concat_tables(outs)
+
+
+def _stats_and_kept_keys(refs) -> tuple[dict[str, int], list[pa.Table]]:
+    """ONE task-wave collection over the staged blocks returning both the
+    reason counts and the kept (clip_id, dur_ms) key rows — per block:
+    a handful of 'c' count rows plus key-only 'k' rows (never payload)."""
+    import math
+
+    import ray
+
+    task = ray.remote(_stats_partial_task)
+    G = max(1, math.ceil(len(refs) / 8))
+    futs = [task.remote(*refs[i::G]) for i in range(G) if refs[i::G]]
 
     counts: dict[str, int] = {}
     kept_keys: list[pa.Table] = []
-    for t in ray.get(arrow_refs(
-            mat.map_batches(partial, batch_format="pyarrow"))):
+    for t in ray.get(futs):
         kinds = t.column("kind").to_numpy(zero_copy_only=False)
         c = t.filter(pa.array(kinds == "c"))
         for r, n in zip(c.column("key").to_pylist(),
@@ -297,8 +308,9 @@ def _curate_partition(part_dir: str, out_part_dir: str, drop_ids: set,
     # in-store blocks regardless of how future Ray versions re-plan a
     # MaterializedDataset (in the pinned 2.49.2 materialize() already
     # rebases on InputData, so this is belt-and-suspenders, not a fix)
-    mat = rd.from_arrow_refs(staged.materialize().to_arrow_refs())
-    counts, kept_keys = _stats_and_kept_keys(mat)
+    staged_refs = staged.materialize().to_arrow_refs()
+    mat = rd.from_arrow_refs(staged_refs)
+    counts, kept_keys = _stats_and_kept_keys(staged_refs)
 
     # pack assignment over kept keys (clip_id unique within a partition)
     if kept_keys:

@@ -70,6 +70,26 @@ def quiet_ray_logs() -> None:
 quiet_ray_logs()
 
 
+def ray_session_tag() -> str:
+    """Identifier of the CURRENT Ray session (job id; 'none' when not
+    initialized). Memo caches holding ObjectRefs key on this so a
+    shutdown+re-init within one process can never serve refs from a dead
+    object store."""
+    import ray
+
+    if not ray.is_initialized():
+        return "none"
+    try:
+        # the timestamped session directory name — unique per ray.init
+        # (the job id is NOT: every local session reuses 01000000)
+        return str(ray._private.worker._global_node.session_name)
+    except Exception:
+        try:
+            return str(ray.get_runtime_context().get_job_id())
+        except Exception:
+            return "unknown"
+
+
 def harden_fsspec_race() -> None:
     """Make Ray Data's lazy fsspec-HTTP probe thread-safe (idempotent).
 

@@ -103,16 +103,19 @@ def corpus_ds(sf_dir: str):
 
 def corpus_block_refs(sf_dir: str) -> tuple:
     """The derived corpus as materialized object-store block refs,
-    computed once per process — the shared input for every pipeline that
-    runs its exchanges on the task-graph plan (minhash, simhash). The
-    refs pin only the documents-table corpus (text, no audio payload);
-    from_arrow_refs on them breaks lineage so no consumer re-runs the
-    derivation, and nothing is pulled to the driver."""
-    return _corpus_block_refs_cached(sf_dir)
+    computed once per Ray SESSION — the shared input for every pipeline
+    that runs its exchanges on the task-graph plan (minhash, simhash).
+    The refs pin only the documents-table corpus (text, no audio
+    payload); from_arrow_refs on them breaks lineage so no consumer
+    re-runs the derivation, and nothing is pulled to the driver. Keyed
+    on the session tag so a ray restart can never serve dead refs."""
+    from .. import ray_session_tag
+
+    return _corpus_block_refs_cached(sf_dir, ray_session_tag())
 
 
-@lru_cache(maxsize=4)
-def _corpus_block_refs_cached(sf_dir: str) -> tuple:
+@lru_cache(maxsize=8)
+def _corpus_block_refs_cached(sf_dir: str, session: str) -> tuple:
     return tuple(corpus_ds(sf_dir).materialize().to_arrow_refs())
 
 

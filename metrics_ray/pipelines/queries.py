@@ -2887,10 +2887,18 @@ def _centroids_from_spec(spec: np.ndarray, n: int) -> tuple[int, list[float]]:
     return n, sorted(cs)
 
 
-@lru_cache(maxsize=4)
 def _acoustic_feature_refs(sf_dir: str) -> tuple:
+    """Session-keyed memo wrapper (a ray restart must never serve refs
+    from a dead object store)."""
+    from .. import ray_session_tag
+
+    return _acoustic_feature_refs_cached(sf_dir, ray_session_tag())
+
+
+@lru_cache(maxsize=8)
+def _acoustic_feature_refs_cached(sf_dir: str, session: str) -> tuple:
     """Decode + SINGLE-rfft feature derivation over the acoustic corpus,
-    memoized per process as materialized block refs: one narrow table
+    memoized per Ray session as materialized block refs: one narrow table
     (clip_id, n, c1..c3, vec[16]). One decode and one FFT per clip serve
     BOTH the fingerprint banding (q_audio_neardup) and the embedding
     search (q_audio_knn) — the decode-once / featurize-once /

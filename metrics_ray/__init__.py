@@ -70,24 +70,39 @@ def quiet_ray_logs() -> None:
 quiet_ray_logs()
 
 
+# Bumped every time this module observes the is_initialized flag flip
+# false→true, so the last-resort tag below is unique per init even if
+# every session-identity API breaks (a constant fallback would let the
+# ObjectRef memo caches serve refs from a dead object store — the exact
+# failure the tag exists to prevent).
+_SESSION_EPOCH = 0
+_SESSION_WAS_UP = False
+
+
 def ray_session_tag() -> str:
-    """Identifier of the CURRENT Ray session (job id; 'none' when not
+    """Identifier of the CURRENT Ray session ('none' when not
     initialized). Memo caches holding ObjectRefs key on this so a
     shutdown+re-init within one process can never serve refs from a dead
-    object store."""
+    object store. Fallback chain: session directory name (unique per
+    ray.init — the job id is NOT: every local session reuses 01000000)
+    → node id (new raylet per local init) → per-init epoch token."""
+    global _SESSION_EPOCH, _SESSION_WAS_UP
     import ray
 
     if not ray.is_initialized():
+        _SESSION_WAS_UP = False
         return "none"
+    if not _SESSION_WAS_UP:
+        _SESSION_WAS_UP = True
+        _SESSION_EPOCH += 1
     try:
         # the timestamped session directory name — unique per ray.init
-        # (the job id is NOT: every local session reuses 01000000)
         return str(ray._private.worker._global_node.session_name)
     except Exception:
         try:
-            return str(ray.get_runtime_context().get_job_id())
+            return f"node-{ray.get_runtime_context().get_node_id()}"
         except Exception:
-            return "unknown"
+            return f"epoch-{_SESSION_EPOCH}"
 
 
 def harden_fsspec_race() -> None:

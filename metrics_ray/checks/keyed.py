@@ -189,7 +189,18 @@ def grouped_apply_refs(sources, key, fn, n_buckets: int | None = None,
     cap = COMPOSITE_TASK_MAX_FANOUT if max_fanout is None else max_fanout
     if n_refs == 0:
         return []
-    if math.ceil(n_refs / group_width) * B > cap:
+    # out_schema=None would let an all-empty bucket keep its PRE-exchange
+    # (input) schema while non-empty buckets carry fn's output schema —
+    # from_arrow_refs over mixed-schema refs breaks downstream. Every
+    # caller passes a schema; make the contract explicit.
+    assert out_schema is not None, "grouped_apply_refs requires out_schema"
+    # guard must count split tasks the way the launch loop below creates
+    # them: per SOURCE (sum of per-source ceils), not one global ceil —
+    # the latter undercounts multi-source fan-out by up to
+    # (n_sources-1)*B bucket slices
+    n_split = sum(max(1, math.ceil(len(refs) / group_width))
+                  for refs, _ in sources if len(refs))
+    if n_split * B > cap:
         return None
     split = ray.remote(_ga_split_task)
     reduce_ = ray.remote(_ga_reduce_task)

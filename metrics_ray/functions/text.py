@@ -41,9 +41,18 @@ BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 BPE_SQL_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
+# RE2's \s — exactly [\t\n\f\r ] in both Arrow and DuckDB (empirically:
+# no \v, \x1c-\x1f, \x85, \xa0 or Unicode spaces, ALL of which Python
+# str.split() does split on). Every scalar tokenizer whose output must
+# agree with a '\S+' / '\s+' SQL mirror splits with this class; using
+# str.split() here made parity hold only on ASCII corpora.
+RE2_WS_RE = re.compile(r"[\t\n\f\r ]+")
+
+
 def ws_tokens(text: str) -> list[str]:
-    """Whitespace tokenization (SQL mirror: string_split_regex '\\s+')."""
-    return text.split()
+    """Whitespace tokenization (SQL mirror: regexp_extract_all '\\S+',
+    RE2 semantics — ASCII whitespace only, unlike str.split())."""
+    return [t for t in RE2_WS_RE.split(text) if t]
 
 
 def bpe_token_count(text: str) -> int:
@@ -53,8 +62,9 @@ def bpe_token_count(text: str) -> int:
 # ------------------------------------------------------------------ shingles
 
 def word_shingles(text: str, w: int = 3) -> set[str]:
-    """Distinct word w-grams (SQL mirror: list_transform over string_split)."""
-    words = text.split()
+    """Distinct word w-grams (SQL mirror: list_transform over
+    regexp_extract_all '\\S+' — tokenized with RE2 \\s semantics)."""
+    words = ws_tokens(text)
     if len(words) < w:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i:i + w]) for i in range(len(words) - w + 1)}
@@ -167,7 +177,7 @@ STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
 def quality_features(text: str) -> dict:
     """Deterministic, SQL-mirrorable quality features."""
     n_chars = len(text)
-    words = text.split()
+    words = ws_tokens(text)
     n_words = len(words)
     n_punct = sum(1 for ch in text if not ch.isalnum() and not ch.isspace())
     n_stop = sum(1 for wrd in words if wrd.lower() in STOPWORDS)
@@ -209,7 +219,7 @@ def lang_id(text: str) -> tuple[str, float]:
     """Function-word-profile language ID → (lang, confidence). 'und'
     (undetermined) below the low-confidence threshold; pair with
     lang_conf_tier for the high/low confidence split."""
-    words = [w.lower() for w in text.split()]
+    words = [w.lower() for w in ws_tokens(text)]
     if not words:
         return "und", 0.0
     best_lang, best_hits = "und", 0

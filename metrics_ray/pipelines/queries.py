@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -293,8 +295,33 @@ def q_missing_refs_bloom(sf_dir: str) -> pa.Table:
 from functools import lru_cache
 
 
-@lru_cache(maxsize=4)  # pure function of sf_dir; editdist reuses phase 1
+def _sf_fingerprint(sf_dir: str) -> tuple:
+    """Cheap source fingerprint — (mtime_ns, size) of the documents
+    parquet the derived clips stream is built from. Memo keys include it
+    so regenerating the data under sf_dir IN-PROCESS invalidates the
+    cache (an sf_dir-only key would serve the stale table)."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
+
+
 def q_transcript_mismatch_dist(sf_dir: str) -> pa.Table:
+    """Memoized per (sf_dir, source fingerprint, ray session) — editdist
+    reuses phase 1; the fingerprint/session keys mean a regenerated
+    dataset or a fresh ray.init recomputes instead of serving the memo
+    (and repeated-run benchmarks in fresh sessions measure real work)."""
+    from .. import ray_session_tag
+
+    return _transcript_mismatch_dist_impl(sf_dir, _sf_fingerprint(sf_dir),
+                                          ray_session_tag())
+
+
+@lru_cache(maxsize=4)
+def _transcript_mismatch_dist_impl(sf_dir: str, _fp: tuple,
+                                   _session: str) -> pa.Table:
     """Distributed transcript-equality check: bucketed inner join of the
     clips stream with the Ray-derived index. Same oracle as the broadcast
     val_transcript_mismatch.
@@ -3853,42 +3880,36 @@ VALIDATION_QUERIES = {
 # driver-verified (rounds 1+2 covered the union of CORRECTNESS_r01/r02);
 # already-verified queries follow in their original order. Newly added
 # queries should be inserted into this priority list.
-# Tier 1 (50 entries): oracle-backed queries that have NEVER appeared in any
-# driver CORRECTNESS gate — a 50-entry gate covers all of them exactly.
-# ev_disjoint_types_sampled is ranked 51st (first tier-1 casualty) because
-# its sibling ev_disjoint_types pins the same semantics. Tier 2: queries the
-# driver has only rows-only-checked but which now carry full SQL oracles —
-# a hash row upgrades them. Tier 3: never-checked rows-only (weak check).
+# Round-4 rotation (VERDICT r3 "Next round" #2): tier 1 = the 16 queries
+# with ZERO driver CORRECTNESS rows across rounds 1-3 (the r3 gate window
+# stopped at position 50, just short of them), then doc_chunking (its
+# oracle's integer-division type bug is fixed this round — needs a green
+# re-verify), then any queries ADDED this round, then tier 2 (rows-only
+# driver rows whose oracles were upgraded since), back-filled with the
+# OLDEST-verified rows (r1-only, then r2) up to the 50-entry gate window.
 _DRIVER_UNVERIFIED_FIRST = [
-    # tier 1 — never driver-checked, oracle-backed (newest additions first)
-    "val_payload_size", "val_char_entropy", "val_mix_resample",
-    "val_alphabet", "val_len_fit", "val_problem_models", "val_epoch_shuffle",
-    "val_transcript_editdist", "val_drift_chisq", "val_mix_weights",
-    "doc_bigrams", "emb_outliers", "doc_zipf", "val_partition_fingerprints",
-    "img_decode_geometry", "vid_frame_geometry", "val_clipid_dup_groups",
-    "val_audio_specmask", "val_ctc_feasible", "val_split_leakage",
-    "val_oov_rate", "val_wds_shards",
-    "emb_hardneg", "doc_seq_pack",
-    "doc_license", "doc_dup_clusters", "doc_top_tokens",
-    "doc_top_tokens_approx", "doc_tfidf_top_term", "doc_mix", "doc_chunking",
-    "doc_normalize", "doc_postings", "doc_pii", "doc_repetition",
-    "doc_contamination", "doc_keep_best", "doc_incremental_dups",
-    "doc_dup_spans", "doc_lm_score", "doc_rank_pctl",
-    "emb_drift", "emb_dup_clusters", "emb_project", "emb_quantize",
-    "emb_centroids",
-    "ev_amount_outliers", "ev_props_rollup", "rel_nation_revenue",
-    "rel_region_brand_revenue", "rel_priority_revenue",
-    "rel_segment_top_orders", "ev_sliding_distinct", "ev_disjoint_types",
-    "ev_purchase_attribution", "ev_click_burst",
-    "ev_funnel", "ev_retention", "rel_pricing_summary",
-    "val_audio_speed", "val_speaking_rate", "val_batch_buckets",
-    "val_quality_sample", "val_audio_noisemix",
-    # tier 1 overflow (51st)
-    "ev_disjoint_types_sampled",
+    # tier 1 — never driver-checked in any round (16)
+    "rel_priority_revenue", "rel_segment_top_orders", "ev_sliding_distinct",
+    "ev_disjoint_types", "ev_disjoint_types_sampled",
+    "ev_purchase_attribution", "ev_click_burst", "ev_funnel", "ev_retention",
+    "rel_pricing_summary", "val_audio_speed", "val_speaking_rate",
+    "val_batch_buckets", "val_quality_sample", "val_audio_noisemix",
+    "emb_kcenter",
+    # re-verify after round-4 oracle fix (r3's only red row)
+    "doc_chunking",
     # tier 2 — rows-only driver rows exist; oracles added since → re-verify
     "val_curation", "val_audio_neardup", "doc_neardup_simhash", "doc_lang_id",
-    # tier 3 — never checked, rows-only by design
-    "emb_kcenter",
+    # back-fill: oldest driver evidence first (r1-only, then r2)
+    "doc_neardup_minhash", "doc_ngram_jaccard", "emb_knn", "emb_knn_ivf",
+    "emb_neardup", "emb_neardup_lsh", "emb_norm_check", "ev_daily_counts",
+    "ev_sessions", "ev_sliding_counts", "ev_type_stats",
+    "rel_cust_no_premium_orders", "rel_segment_revenue",
+    "doc_curation", "doc_exact_dups", "doc_fingerprints", "doc_quality",
+    "doc_rolling_fp", "doc_split", "doc_token_counts", "ev_user_sample",
+    "img_features", "img_format_mismatch", "val_audio_chunks",
+    "val_audio_features", "val_audio_gain", "val_audio_knn",
+    "val_audio_resample", "val_audio_silence", "val_check_summary",
+    "val_clip_packing",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},

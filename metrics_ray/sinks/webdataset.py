@@ -480,20 +480,41 @@ def verify_webdataset(root: str):
                                             batch_size=1)
 
 
+# A 'tasks'-mode writer task buffers undelivered shard rows — payload
+# bytes included — while file order strays from clip_id order, worst
+# case one whole partition in one worker's heap. Partitions whose
+# on-disk bytes exceed this bound are routed to 'exchange' mode, whose
+# per-shard-writer memory is bounded by a single shard regardless of
+# partition size. Parquet of ~incompressible audio payload ≈ memory
+# footprint, so file bytes are the right cheap proxy.
+TASKS_MODE_MAX_PART_BYTES = int(os.environ.get(
+    "METRICS_RAY_WDS_TASKS_MAX_PART_BYTES", str(2 << 30)))
+
+
+def _partition_bytes(part_dir: str) -> int:
+    import glob
+
+    return sum(os.stat(f).st_size
+               for f in glob.glob(os.path.join(part_dir, "*.parquet")))
+
+
 def write_webdataset_sf(sf_dir: str, out_dir: str,
                         shard_ms: int = SHARD_MS, replicas: int = 1,
                         wave_size: int | None = None,
-                        mode: str = "tasks") -> dict:
+                        mode: str = "auto") -> dict:
     """Shard the derived clips table into WebDataset tars under
     ``out_dir/partition=P/``; re-entrant (committed partitions are
     skipped). Returns the merged manifest.
 
-    ``mode='tasks'`` (default): one Ray task per partition streaming its
-    own files — payload moves storage → writer once, no exchange.
+    ``mode='tasks'``: one Ray task per partition streaming its own files
+    — payload moves storage → writer once, no exchange; worker memory is
+    bounded by ONE PARTITION (rows buffer until their shard completes).
     ``mode='exchange'``: the wave-job form (one Ray Data job per wave,
-    payload through a (part, shard) co-group) — the fallback when a
-    single partition outweighs a worker and intra-partition shard
-    parallelism is worth a payload shuffle."""
+    payload through a (part, shard) co-group) — a payload shuffle, but
+    per-writer memory bounded by one SHARD.
+    ``mode='auto'`` (default): per partition — 'tasks' up to
+    TASKS_MODE_MAX_PART_BYTES of on-disk parquet, 'exchange' above it,
+    so an oversized partition can never OOM a streaming writer task."""
     from .. import harden_fsspec_race
     from ..pipelines.clips import ensure_clips_hive
 
@@ -526,11 +547,21 @@ def write_webdataset_sf(sf_dir: str, out_dir: str,
         # one Ray Data job per wave (not two per partition): the wave is
         # the progressive-commit granule — committed waves survive a
         # crash, the in-flight wave re-runs
-        writer = _write_wave_tasks if mode == "tasks" else _write_wave
+        def pick(pname: str) -> str:
+            if mode != "auto":
+                return mode
+            return ("tasks" if _partition_bytes(os.path.join(hive, pname))
+                    <= TASKS_MODE_MAX_PART_BYTES else "exchange")
+
         for i in range(0, len(pending), wave_size):
             wave = pending[i:i + wave_size]
-            results = writer(
-                {p: os.path.join(hive, p) for p in wave},
-                {p: os.path.join(out_dir, p) for p in wave}, shard_ms)
-            manifest["partitions"].update(results)
+            by_mode: dict[str, list[str]] = {}
+            for p in wave:
+                by_mode.setdefault(pick(p), []).append(p)
+            for m, ps in by_mode.items():
+                writer = _write_wave_tasks if m == "tasks" else _write_wave
+                results = writer(
+                    {p: os.path.join(hive, p) for p in ps},
+                    {p: os.path.join(out_dir, p) for p in ps}, shard_ms)
+                manifest["partitions"].update(results)
     return manifest

@@ -22,14 +22,23 @@ def con():
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Normalize WIDTH but preserve KIND: ints → int64, floats →
+    rounded float64, bools → bool, rest → str. The driver's value hash
+    is dtype-sensitive (r3's doc_chunking red row was an oracle emitting
+    double where the engine emits int64), so the comparison below runs
+    check_dtype=True over these normalized frames — an int-vs-float
+    mismatch fails here exactly as it fails the driver gate."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(9)
+        kind = getattr(df[c].dtype, "kind", "O")
+        if kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif kind == "f":
+            df[c] = df[c].round(9).astype("float64")
+        elif kind == "b":
+            df[c] = df[c].astype(bool)
         else:
-            df[c] = df[c].astype("int64") if str(df[c].dtype).startswith("int") else df[c]
+            df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
@@ -52,7 +61,7 @@ def test_query_matches_oracle(name, con):
     assert list(sorted(got.columns)) == list(sorted(want.columns)), name
     g, w = _normalize(got), _normalize(want)
     assert len(g) == len(w), f"{name}: {len(g)} vs {len(w)} rows"
-    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    pd.testing.assert_frame_equal(g, w, check_dtype=True)
 
 
 def test_rows_only_queries_run():

@@ -1,0 +1,122 @@
+"""Engine↔oracle parity on a corpus containing NON-ASCII whitespace
+(U+00A0, U+2009, U+000B, U+0085, U+3000) — the class of input where
+Python str.split() (Unicode whitespace rules) silently disagrees with
+the RE2 '\\S+' tokenizer both Arrow and DuckDB implement (\\s ==
+[\\t\\n\\f\\r ] only). VERDICT r3 "What's wrong" #2: simhash /
+repetition / contamination kept str.split() and held parity only
+because every fixture was ASCII; this file locks all tokenizing
+operators onto RE2 semantics with a corpus where the two disagree on
+almost every document."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from test_oracle_parity import _normalize
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+# Tokens carrying non-ASCII whitespace INSIDE them: RE2 keeps each as one
+# token, str.split() breaks them apart (different token streams, counts,
+# shingles, signatures).
+NBSP, THIN, VT, NEL, IDEO = " ", " ", "\x0b", "\x85", "　"
+
+
+def _make_corpus(tmp_path) -> str:
+    rng = np.random.RandomState(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", f"non{NBSP}break", f"thin{THIN}sp",
+             f"vert{VT}tab", f"nel{NEL}x", f"wide{IDEO}gap", "the", "and",
+             "of", "to", "in"]
+    rows = []
+    for doc_id in range(30):
+        n = 10 + int(rng.randint(0, 5))
+        toks = [words[int(rng.randint(0, len(words)))] for _ in range(n)]
+        # every third doc opens with a weird-whitespace run between words
+        sep = f" {NBSP} " if doc_id % 3 == 0 else " "
+        text = sep.join(toks)
+        rows.append((doc_id, text, ["en", "de", "es"][doc_id % 3], "unit",
+                     len(text)))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    return _make_corpus(tmp_path_factory.mktemp("nonascii"))
+
+
+@pytest.fixture(scope="module")
+def con(corpus_dir):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM "
+              f"read_parquet('{corpus_dir}/documents.parquet')")
+    return c
+
+
+TOKENIZING_QUERIES = [
+    "doc_neardup_simhash",   # str.split() before round 4
+    "doc_repetition",        # str.split() before round 4
+    "doc_contamination",     # str.split() before round 4
+    "doc_dup_spans",         # fixed in round 3 — regression lock
+    "doc_lm_score",          # fixed in round 3 — regression lock
+    "doc_neardup_minhash",   # word_shingles used str.split()
+    "doc_quality",
+    "doc_token_counts",
+    "doc_tfidf_top_term",
+    "doc_chunking",
+    "doc_top_tokens",
+    "doc_bigrams",
+    "doc_zipf",
+]
+
+
+@pytest.mark.parametrize("name", TOKENIZING_QUERIES)
+def test_tokenizing_query_parity_on_nonascii_ws(name, corpus_dir, con):
+    from metrics_ray.pipelines.queries import VALIDATION_QUERIES
+
+    fn, sql = VALIDATION_QUERIES[name]
+    got = fn(corpus_dir)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = con.execute(sql).df()
+    assert sorted(got.columns) == sorted(want.columns), name
+    g, w = _normalize(got), _normalize(want)
+    assert len(g) == len(w), f"{name}: {len(g)} vs {len(w)} rows"
+    pd.testing.assert_frame_equal(g, w, check_dtype=True)
+
+
+def test_corpus_actually_disagrees_under_str_split(corpus_dir):
+    """The fixture is only meaningful if str.split() and RE2 disagree."""
+    import pyarrow.compute as pc
+
+    docs = pq.read_table(f"{corpus_dir}/documents.parquet",
+                         columns=["text"])
+    py_counts = [len((t or "").split()) for t in
+                 docs.column("text").to_pylist()]
+    re2_counts = pc.count_substring_regex(
+        docs.column("text"), r"\S+").to_pylist()
+    assert py_counts != re2_counts
+
+
+def test_ws_tokens_matches_re2():
+    import pyarrow.compute as pc
+
+    from metrics_ray.functions import text as T
+
+    samples = [f"a{NBSP}b c", f"x{THIN}y\tz", f"v{VT}w", f"n{NEL}m",
+               f"i{IDEO}j", " plain  ascii ", "", "\t\n\f\r "]
+    for s in samples:
+        re2 = [t for t in pc.split_pattern_regex(
+            pa.array([s]), r"\s+").to_pylist()[0] if t]
+        assert T.ws_tokens(s) == re2, repr(s)

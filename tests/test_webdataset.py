@@ -290,3 +290,36 @@ def test_task_writer_matches_exchange_writer():
                       h.hexdigest())
         shutil.rmtree(root, ignore_errors=True)
     assert outs["exchange"] == outs["tasks"]
+
+
+def test_auto_mode_routes_oversized_partitions_to_exchange(monkeypatch):
+    """mode='auto' (default) streams small partitions with tasks-mode
+    writers but routes any partition whose on-disk bytes exceed
+    TASKS_MODE_MAX_PART_BYTES to the exchange writer (bounded per-writer
+    memory) — and the output is byte-identical either way."""
+    import glob
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import metrics_ray.sinks.webdataset as W
+
+    sf = "/root/testdata/sf0.001"
+    outs = {}
+    for tag, cap in (("auto_small_cap", 1), ("auto_big_cap", 10 << 30)):
+        # cap=1 byte → every partition routed to exchange; huge cap →
+        # every partition routed to tasks
+        monkeypatch.setattr(W, "TASKS_MODE_MAX_PART_BYTES", cap)
+        root = f"/tmp/metrics_ray_wds_{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        m = W.write_webdataset_sf(sf, root, mode="auto")
+        h = hashlib.sha256()
+        for p in sorted(glob.glob(os.path.join(root, "partition=*",
+                                               "*.tar"))):
+            h.update(os.path.relpath(p, root).encode())
+            h.update(open(p, "rb").read())
+        outs[tag] = (json.dumps(m["partitions"], sort_keys=True),
+                     h.hexdigest())
+        shutil.rmtree(root, ignore_errors=True)
+    assert outs["auto_small_cap"] == outs["auto_big_cap"]

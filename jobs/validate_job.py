@@ -34,6 +34,10 @@ def main() -> None:
                    help="write the report (metrics/verdicts/violations) here")
     p.add_argument("--replicas", type=int, default=1)
     p.add_argument("--wave-size", type=int, default=4)
+    p.add_argument("--config", default=None,
+                   help="declarative suite config (configs/full_suite.yaml"
+                        " layout: checks + keyed sections); default builds"
+                        " the code suite incl. the transcript-editdist gate")
     p.add_argument("--num-cpus", type=int, default=int(
         os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
     args = p.parse_args()
@@ -56,7 +60,8 @@ def main() -> None:
         t0 = time.time()
         report = validate_checkpointed(
             args.sf_dir, args.checkpoint_dir,
-            replicas=args.replicas, wave_size=args.wave_size)
+            replicas=args.replicas, wave_size=args.wave_size,
+            config_path=args.config)
         wall = time.time() - t0
 
         if args.output:

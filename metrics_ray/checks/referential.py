@@ -123,6 +123,103 @@ def referential_violations_dist(clips_ds, index_ds,
                          out_schema=KEYED_VIOLATION_SCHEMA)
 
 
+EDITDIST_DEFAULT_CAP = 8
+
+
+def transcript_editdist_violations(clips_ds, index_ds,
+                                   cap: int = EDITDIST_DEFAULT_CAP,
+                                   n_buckets: int | None = None):
+    """Graded transcript-drift audit as a KEYED suite check (the
+    ray-job/resume surface of pipelines.queries.q_transcript_editdist):
+    clips whose transcript is within 1..cap byte-level edits of the
+    indexed reference become EditDistance violations — a small distance
+    is a typo/light re-label; equality and hard mismatches are the
+    ReferentialCheck's domain.
+
+    Two-phase scale shape (same as the standalone query): phase 1 joins
+    8-byte transcript DIGESTS (text never crosses the wire) and collects
+    only the O(violations) mismatched clip_ids; phase 2 re-filters both
+    sides to that broadcast candidate set and ships text through ONE
+    bucketed exchange, scoring each pair with the pair-batched capped DP
+    (functions.text.levenshtein_batch). Returns a violations Dataset
+    (KEYED_VIOLATION_SCHEMA, no check_id column)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..collect import arrow_refs
+    from ..functions.text import levenshtein_batch
+    from ..sketches import hash_column
+    from ..stages.join import bucketed_inner_join
+    from .keyed import KEYED_VIOLATION_SCHEMA
+
+    def hashed(src_col: str, out_col: str, with_partition: bool):
+        def f(b: pa.Table) -> pa.Table:
+            dig = pc.cast(pa.array(hash_column(b.column(src_col)),
+                                   pa.uint64()), pa.string())
+            cols = {"clip_id": b.column("clip_id"), out_col: dig}
+            if with_partition:
+                cols["partition"] = (
+                    b.column("partition").cast(pa.int32())
+                    if "partition" in b.column_names
+                    else pa.nulls(b.num_rows, pa.int32()))
+            return pa.table(cols)
+        return f
+
+    left_h = clips_ds.map_batches(hashed("transcript", "th", False),
+                                  batch_format="pyarrow")
+    right_h = index_ds.map_batches(hashed("ref_transcript", "rth", False),
+                                   batch_format="pyarrow")
+
+    def mismatched(df: pd.DataFrame) -> pd.DataFrame:
+        neq = df["th"] != df["rth"]
+        return pd.DataFrame({"clip_id": df.loc[neq, "clip_id"].astype(str)})
+
+    cand_t = [t for t in ray.get(arrow_refs(bucketed_inner_join(
+        left_h, right_h, left_key="clip_id", right_key="clip_id",
+        left_cols=["clip_id", "th"], right_cols=["rth"],
+        post=mismatched, n_buckets=n_buckets,
+        out_schema=pa.schema([("clip_id", pa.string())]))))
+        if t.num_rows]
+    if not cand_t:
+        return rd.from_arrow(KEYED_VIOLATION_SCHEMA.empty_table())
+    cand_ref = ray.put(
+        pa.concat_tables(cand_t).column("clip_id").combine_chunks())
+
+    def member_filter(drop_null_transcript: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b.column("clip_id"), value_set=ray.get(cand_ref))
+            if drop_null_transcript:
+                m = pc.and_(m, pc.is_valid(b.column("transcript")))
+            return b.filter(m)
+        return f
+
+    left = clips_ds.map_batches(member_filter(True), batch_format="pyarrow")
+    right = index_ds.map_batches(member_filter(False),
+                                 batch_format="pyarrow")
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        d = levenshtein_batch(df["transcript"].tolist(),
+                              df["ref_transcript"].tolist(), cap=cap)
+        keep = (d >= 1) & (d <= cap)
+        bad = df[keep]
+        return pd.DataFrame({
+            "partition": bad["partition"].fillna(-1).astype("int32"),
+            "clip_id": bad["clip_id"].astype(str),
+            "code": Codes.EDIT_DISTANCE,
+            "actual": d[keep].astype(np.int64).astype(str),
+            "expected": "0 byte edits vs indexed reference",
+            "detail": f"levenshtein<= {cap}",
+        })
+
+    return bucketed_inner_join(
+        left, right, left_key="clip_id", right_key="clip_id",
+        left_cols=["clip_id", "transcript", "partition"],
+        right_cols=["ref_transcript"],
+        post=post, n_buckets=n_buckets,
+        out_schema=KEYED_VIOLATION_SCHEMA)
+
+
 class ReferentialCheck(BatchCheck):
     check_id = "referential_transcript"
     columns = ("clip_id", "transcript", "partition")

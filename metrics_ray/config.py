@@ -124,18 +124,109 @@ ALLOWED_KEYS = {
 assert set(ALLOWED_KEYS) == set(CHECK_REGISTRY)
 
 
-def checks_from_config(cfg: dict | str) -> list[BatchCheck]:
-    """Build a check list from a config dict or a path to a .yaml/.json
-    file. Every entry needs ``type`` (registry key) and, for most types,
-    ``id``; remaining keys are type-specific parameters."""
+# ------------------------- keyed (global-audit) section -------------------
+# The ``keyed:`` list names the checkpointed global audits (the ``keyed``
+# dict the validate surfaces pass to state.checkpoint.checkpointed_validate).
+# Builders return fn(factory) closures; audits needing the transcript index
+# receive it through the ``transcript_index_ds`` zero-arg callable.
+
+def _k_unique(c: dict, env: dict):
+    from .checks.keyed import exact_duplicate_keys
+
+    col = c.get("column", "clip_id")
+    return lambda f: exact_duplicate_keys(f([col, "partition"]))
+
+
+def _k_content_dedup(c: dict, env: dict):
+    from .checks.keyed import content_duplicates
+
+    return lambda f: content_duplicates(
+        f(["bytes", "transcript", "clip_id", "partition"]))
+
+
+def _k_referential_dist(c: dict, env: dict):
+    from .checks.referential import referential_violations_dist
+
+    eq = c.get("check_equality", True)
+    return lambda f: referential_violations_dist(
+        f(["clip_id", "transcript", "partition"]),
+        env["transcript_index_ds"](), check_equality=eq)
+
+
+def _k_editdist(c: dict, env: dict):
+    from .checks.referential import transcript_editdist_violations
+
+    cap = c.get("cap", 8)
+    return lambda f: transcript_editdist_violations(
+        f(["clip_id", "transcript", "partition"]),
+        env["transcript_index_ds"](), cap=cap)
+
+
+KEYED_REGISTRY = {
+    "unique_key": _k_unique,
+    "content_dedup": _k_content_dedup,
+    "referential_dist": _k_referential_dist,
+    "transcript_editdist": _k_editdist,
+}
+
+KEYED_ALLOWED_KEYS = {
+    "unique_key": {"id", "column"},
+    "content_dedup": {"id"},
+    "referential_dist": {"id", "check_equality"},
+    "transcript_editdist": {"id", "cap"},
+}
+assert set(KEYED_ALLOWED_KEYS) == set(KEYED_REGISTRY)
+
+_NEEDS_INDEX = {"referential_dist", "transcript_editdist"}
+
+
+def keyed_from_config(cfg: dict | str,
+                      transcript_index_ds=None) -> dict:
+    """Build the keyed-audit dict (check_id → fn(factory) → violations
+    Dataset) from the config's ``keyed:`` list. Same loud-failure
+    contract as checks_from_config; audits that join the transcript
+    index require the ``transcript_index_ds`` callable."""
+    cfg = _load_cfg(cfg)
+    out: dict = {}
+    env = {"transcript_index_ds": transcript_index_ds}
+    for i, entry in enumerate(cfg.get("keyed", [])):
+        t = entry.get("type")
+        if t not in KEYED_REGISTRY:
+            raise ValueError(
+                f"keyed[{i}]: unknown keyed audit type {t!r} "
+                f"(known: {sorted(KEYED_REGISTRY)})")
+        unknown = set(entry) - KEYED_ALLOWED_KEYS[t] - {"type"}
+        if unknown:
+            raise ValueError(
+                f"keyed[{i}] (type={t}): unknown parameter(s) "
+                f"{sorted(unknown)} (allowed: "
+                f"{sorted(KEYED_ALLOWED_KEYS[t])})")
+        if t in _NEEDS_INDEX and transcript_index_ds is None:
+            raise ValueError(
+                f"keyed[{i}] (type={t}): requires transcript_index_ds")
+        kid = entry.get("id", t)
+        if kid in out:
+            raise ValueError(f"keyed[{i}]: duplicate audit id {kid!r}")
+        out[kid] = KEYED_REGISTRY[t](entry, env)
+    return out
+
+
+def _load_cfg(cfg: dict | str) -> dict:
     if isinstance(cfg, str):
         with open(cfg) as f:
             if cfg.endswith((".yaml", ".yml")):
                 import yaml  # ships with ray
 
-                cfg = yaml.safe_load(f)
-            else:
-                cfg = json.load(f)
+                return yaml.safe_load(f)
+            return json.load(f)
+    return cfg
+
+
+def checks_from_config(cfg: dict | str) -> list[BatchCheck]:
+    """Build a check list from a config dict or a path to a .yaml/.json
+    file. Every entry needs ``type`` (registry key) and, for most types,
+    ``id``; remaining keys are type-specific parameters."""
+    cfg = _load_cfg(cfg)
     if not isinstance(cfg, dict) or "checks" not in cfg:
         raise ValueError("suite config must be a mapping with a 'checks' list")
     out: list[BatchCheck] = []

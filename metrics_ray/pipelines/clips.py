@@ -197,19 +197,34 @@ def auto_batch_size(parquet_dir: str, lo: int = 16, hi: int = 2048) -> int:
 def validate_checkpointed(sf_dir: str, checkpoint_dir: str,
                           replicas: int = 1, wave_size: int = 4,
                           with_decode: bool = True,
+                          with_editdist: bool = True,
                           fail_after_waves: int | None = None,
                           batch_size: int | None = None, concurrency=None,
-                          broadcast_budget_rows: int | None = None):
+                          broadcast_budget_rows: int | None = None,
+                          config_path: str | None = None):
     """Resumable flagship run: hive cache → wave-checkpointed suite
     (metrics_ray.state.checkpoint). Re-entrant: call again with the same
     checkpoint_dir after a crash to resume from completed partitions.
+
+    ``config_path`` switches suite assembly to the declarative config
+    (checks: batch checks, keyed: global audits — SURVEY §2.9): the YAML
+    decides the whole suite, including the referential strategy (list
+    the ``referential`` batch check for broadcast, or the
+    ``referential_dist`` keyed audit past the broadcast budget);
+    with_decode / with_editdist are ignored in config mode.
 
     Referential strategy follows the same broadcast-budget switch as
     validate_sf (the keyed distributed path is itself checkpointed
     wholesale under keyed/, so a resume never re-runs it). The strategy
     is part of the checkpoint fingerprint — resuming a broadcast-strategy
-    checkpoint with the distributed strategy refuses loudly."""
-    from ..checks.referential import referential_violations_dist
+    checkpoint with the distributed strategy refuses loudly.
+
+    ``with_editdist`` adds the graded transcript-drift gate
+    (checks.referential.transcript_editdist_violations) as a keyed,
+    checkpointed audit — the ray-job surface of the standalone
+    val_transcript_editdist query."""
+    from ..checks.referential import (referential_violations_dist,
+                                      transcript_editdist_violations)
     from ..state.checkpoint import checkpointed_validate
 
     path = ensure_clips_hive(sf_dir, replicas=replicas)
@@ -219,14 +234,30 @@ def validate_checkpointed(sf_dir: str, checkpoint_dir: str,
     ctx = default_ctx(
         transcript_index=(None if dist_referential
                           else transcript_index_df(sf_dir, replicas)))
-    keyed = keyed_checks()
-    if dist_referential:
-        keyed["referential_transcript"] = lambda f: referential_violations_dist(
-            f(["clip_id", "transcript", "partition"]),
-            transcript_index_ds(sf_dir, replicas))
+    if config_path is not None:
+        from ..config import checks_from_config, keyed_from_config
+
+        checks = checks_from_config(config_path)
+        keyed = keyed_from_config(
+            config_path,
+            transcript_index_ds=lambda: transcript_index_ds(
+                sf_dir, replicas))
+    else:
+        checks = full_checks(with_decode=with_decode,
+                             with_referential=not dist_referential)
+        keyed = keyed_checks()
+        if dist_referential:
+            keyed["referential_transcript"] = \
+                lambda f: referential_violations_dist(
+                    f(["clip_id", "transcript", "partition"]),
+                    transcript_index_ds(sf_dir, replicas))
+        if with_editdist:
+            keyed["transcript_editdist"] = \
+                lambda f: transcript_editdist_violations(
+                    f(["clip_id", "transcript", "partition"]),
+                    transcript_index_ds(sf_dir, replicas))
     return checkpointed_validate(
-        path, full_checks(with_decode=with_decode,
-                          with_referential=not dist_referential),
+        path, checks,
         ctx=ctx, checkpoint_dir=checkpoint_dir, keyed=keyed,
         wave_size=wave_size,
         batch_size=batch_size if batch_size else auto_batch_size(path),

@@ -76,6 +76,7 @@ class Codes:
     SPEAKING_RATE = "SpeakingRate"
     CTC_INFEASIBLE = "CtcInfeasible"
     SIZE_MISMATCH = "SizeMismatch"
+    EDIT_DISTANCE = "EditDistance"
 
 
 # Declared validity domains (the engine's "vocabulary", VocabularyLoader analog —

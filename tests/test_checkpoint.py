@@ -26,17 +26,21 @@ def _sorted_df(table, keys):
 
 
 def test_single_shot_matches_unchunked(single_shot, sf_unit):
-    """The wave-checkpointed run must agree with the plain streaming run."""
+    """The wave-checkpointed run must agree with the plain streaming run
+    (modulo the editdist gate, which is a job-surface-only keyed audit —
+    validate_sf does not carry it)."""
     from metrics_ray.pipelines.clips import validate_sf
 
     plain = validate_sf(sf_unit, concurrency=2)
     a = _sorted_df(single_shot.violations, ["check_id", "clip_id", "code"])
+    a = a[a.check_id != "transcript_editdist"].reset_index(drop=True)
     b = _sorted_df(plain.violations, ["check_id", "clip_id", "code"])
     assert len(a) == len(b)
     assert (a[["check_id", "clip_id", "code"]].values
             == b[["check_id", "clip_id", "code"]].values).all()
 
     ma = _sorted_df(single_shot.metrics, ["check_id", "partition"])
+    ma = ma[ma.check_id != "transcript_editdist"].reset_index(drop=True)
     mb = _sorted_df(plain.metrics, ["check_id", "partition"])
     exact_a = ma[~ma.is_estimate].reset_index(drop=True)
     exact_b = mb[~mb.is_estimate].reset_index(drop=True)
@@ -254,3 +258,62 @@ def test_checkpoint_empty_parquet_dir_fails_loudly(tmp_path_factory):
         checkpointed_validate(empty, [NonNullCheck("t", "transcript")],
                               checkpoint_dir=str(
                                   tmp_path_factory.mktemp("ckpt_empty")))
+
+
+def test_editdist_gate_in_job_surface(sf_unit, tmp_path):
+    """The graded transcript-drift gate rides the checkpointed job
+    surface (VERDICT r3 next-round #7): its violations match the
+    standalone val_transcript_editdist query fact-for-fact, resume loads
+    the keyed result instead of re-running the join, and the
+    config-built suite (configs/full_suite.yaml keyed section) produces
+    the same gate rows as the code-built one."""
+    import os
+
+    from metrics_ray.pipelines.clips import validate_checkpointed
+    from metrics_ray.pipelines.queries import q_transcript_editdist
+
+    rep = validate_checkpointed(sf_unit, str(tmp_path / "code"),
+                                wave_size=2, concurrency=2)
+    df = rep.violations.to_pandas()
+    gate = df[df.check_id == "transcript_editdist"]
+    assert (gate.code == "EditDistance").all()
+    got = sorted(zip(gate.clip_id, gate.actual.astype(int)))
+
+    want_t = q_transcript_editdist(sf_unit)
+    want = sorted(zip(want_t.column("clip_id").to_pylist(),
+                      want_t.column("edit_dist").to_pylist()))
+    assert got == want and len(want) > 0
+
+    # resume: keyed result is loaded from the checkpoint, not re-run
+    rep2 = validate_checkpointed(sf_unit, str(tmp_path / "code"),
+                                 wave_size=2, concurrency=2)
+    df2 = rep2.violations.to_pandas()
+    gate2 = df2[df2.check_id == "transcript_editdist"]
+    assert sorted(zip(gate2.clip_id, gate2.actual.astype(int))) == got
+
+    # config-built suite: same gate rows from the YAML keyed section
+    cfg = os.path.join(os.path.dirname(__file__), "..", "configs",
+                       "full_suite.yaml")
+    rep3 = validate_checkpointed(sf_unit, str(tmp_path / "cfg"),
+                                 wave_size=2, concurrency=2,
+                                 config_path=cfg)
+    df3 = rep3.violations.to_pandas()
+    gate3 = df3[df3.check_id == "transcript_editdist"]
+    assert sorted(zip(gate3.clip_id, gate3.actual.astype(int))) == got
+    # ...and the config-built run reports metrics for every keyed audit
+    m3 = set(rep3.metrics.to_pandas().check_id)
+    assert {"clipid_unique_exact", "content_dedup",
+            "transcript_editdist"} <= m3
+
+
+def test_keyed_config_rejects_unknown_audit(tmp_path):
+    from metrics_ray.config import keyed_from_config
+
+    with pytest.raises(ValueError, match="unknown keyed audit"):
+        keyed_from_config({"keyed": [{"type": "nope", "id": "x"}]})
+    with pytest.raises(ValueError, match="unknown parameter"):
+        keyed_from_config({"keyed": [{"type": "content_dedup",
+                                      "id": "x", "shards": 3}]})
+    with pytest.raises(ValueError, match="requires transcript_index_ds"):
+        keyed_from_config({"keyed": [{"type": "transcript_editdist",
+                                      "id": "x"}]})

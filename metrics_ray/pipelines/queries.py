@@ -1961,6 +1961,90 @@ FROM bodies WHERE actual_bytes != expected_bytes
 ORDER BY clip_id, actual_bytes"""
 
 
+def q_footer_profile(sf_dir: str) -> pa.Table:
+    """Metadata-ONLY column profile: per partition — row count, dur_ms
+    and sr_hz min/max, transcript null count — read exclusively from
+    parquet FOOTER row-group statistics; no data page is ever opened.
+    This is the 100-TB triage shape (the ultimate "prune at the read"):
+    a footer is a few KB regardless of file size, so profiling a 100 TB
+    table costs megabytes of I/O, and a range/null violation surfaces
+    before any scan is scheduled. Reference analog: the pre-parse triage
+    family (SURVEY §2.5, MisreportedContentType's cheap-attributes-first
+    ordering), lifted from payload bytes to file metadata.
+
+    Distributed as one footer read per FILE (rd.from_items over the hive
+    file list → map_batches doing pq.ParquetFile(...).metadata), with
+    per-batch partial aggregation, then a tiny groupby over partitions.
+    The oracle recomputes the identical profile from the DATA (full
+    scan), so the statistics path is verified against ground truth —
+    stats that lied would hash-mismatch."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .clips import ensure_clips_hive
+
+    hive = ensure_clips_hive(sf_dir)
+    items = []
+    for pdir in sorted(glob.glob(os.path.join(hive, "partition=*"))):
+        part = int(os.path.basename(pdir).split("=", 1)[1])
+        for f in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
+            items.append({"partition": part, "path": f})
+
+    def footer(b: pa.Table) -> pa.Table:
+        parts, rows, dmin, dmax, smin, smax, tnull = ([] for _ in range(7))
+        for part, path in zip(b.column("partition").to_pylist(),
+                              b.column("path").to_pylist()):
+            md = pq.ParquetFile(path).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                dur = g.column(idx["dur_ms"]).statistics
+                sr = g.column(idx["sr_hz"]).statistics
+                tr = g.column(idx["transcript"]).statistics
+                parts.append(int(part))
+                rows.append(g.num_rows)
+                dmin.append(int(dur.min)); dmax.append(int(dur.max))
+                smin.append(int(sr.min)); smax.append(int(sr.max))
+                tnull.append(int(tr.null_count))
+        return pa.table({
+            "partition": pa.array(parts, pa.int64()),
+            "n_rows": pa.array(rows, pa.int64()),
+            "dur_min": pa.array(dmin, pa.int64()),
+            "dur_max": pa.array(dmax, pa.int64()),
+            "sr_min": pa.array(smin, pa.int64()),
+            "sr_max": pa.array(smax, pa.int64()),
+            "transcript_nulls": pa.array(tnull, pa.int64()),
+        })
+
+    out = _collect_simple(
+        rd.from_items(items)
+        .map_batches(footer, batch_format="pyarrow")
+        .groupby("partition", num_partitions=4)
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Min("dur_min", alias_name="dur_min"),
+                   Max("dur_max", alias_name="dur_max"),
+                   Min("sr_min", alias_name="sr_min"),
+                   Max("sr_max", alias_name="sr_max"),
+                   Sum("transcript_nulls", alias_name="transcript_nulls")))
+    return out.sort_by("partition")
+
+
+SQL_FOOTER_PROFILE = f"""WITH {synth.CLIPS_SQL}
+SELECT CAST(partition AS BIGINT) AS partition,
+       COUNT(*) AS n_rows,
+       CAST(MIN(dur_ms) AS BIGINT) AS dur_min,
+       CAST(MAX(dur_ms) AS BIGINT) AS dur_max,
+       CAST(MIN(sr_hz) AS BIGINT) AS sr_min,
+       CAST(MAX(sr_hz) AS BIGINT) AS sr_max,
+       CAST(SUM(CASE WHEN transcript IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS transcript_nulls
+FROM clips GROUP BY partition ORDER BY partition"""
+
+
 STRATIFIED_FRACTION = 0.2
 _SAMPLE_THR = int(STRATIFIED_FRACTION * float(2**64 - 1))
 
@@ -3832,6 +3916,7 @@ VALIDATION_QUERIES = {
     "val_distinct_codecs": (q_distinct_codecs, SQL_DISTINCT_CODECS),
     "val_check_summary": (q_check_summary, SQL_CHECK_SUMMARY),
     "val_payload_size": (q_payload_size, SQL_PAYLOAD_SIZE),
+    "val_footer_profile": (q_footer_profile, SQL_FOOTER_PROFILE),
     "val_char_entropy": (q_char_entropy, SQL_CHAR_ENTROPY),
     "val_decode_violations": (q_decode_violations, SQL_DECODE_VIOLATIONS),
     "val_decode_violations_sampled": (q_decode_violations_sampled,
@@ -3897,6 +3982,8 @@ _DRIVER_UNVERIFIED_FIRST = [
     "emb_kcenter",
     # re-verify after round-4 oracle fix (r3's only red row)
     "doc_chunking",
+    # NEW in round 4 — never driver-checked
+    "val_footer_profile",
     # tier 2 — rows-only driver rows exist; oracles added since → re-verify
     "val_curation", "val_audio_neardup", "doc_neardup_simhash", "doc_lang_id",
     # back-fill: oldest driver evidence first (r1-only, then r2)

@@ -142,3 +142,39 @@ def test_clips_cache_tag_tracks_source_identity(tmp_path, sf_unit):
         assert a != b
     finally:
         C.CACHE_ROOT = old_root
+
+
+def test_grouped_apply_refs_fanout_guard_counts_per_source(ray_session):
+    """The fan-out guard must count split tasks the way the launch loop
+    creates them — per SOURCE — so a multi-source exchange cannot launch
+    more than max_fanout bucket slices (r3 ADVICE: the old global-ceil
+    guard undercounted by up to (n_sources-1)*B)."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from metrics_ray.checks.keyed import grouped_apply_refs
+
+    t = pa.table({"key": ["a", "b"], "v": [1, 2]})
+    refs = [ray.put(t)] * 3
+    schema = pa.schema([("key", pa.string()), ("n", pa.int64())])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("key", as_index=False).size().rename(
+            columns={"size": "n"})
+
+    # 4 sources × ceil(3/8)=1 split each = 4 split tasks; B=8 buckets →
+    # 32 slices. A global-ceil guard would see ceil(12/8)*8 = 16 and
+    # wrongly allow a cap of 20; the per-source guard must refuse it.
+    sources = [(refs, None)] * 4
+    assert grouped_apply_refs(sources, "key", fn, n_buckets=8,
+                              out_schema=schema, max_fanout=20) is None
+    # at the true fan-out the exchange runs
+    out = grouped_apply_refs(sources, "key", fn, n_buckets=8,
+                             out_schema=schema, max_fanout=32)
+    assert out is not None
+    got = pa.concat_tables([x for x in ray.get(out) if x.num_rows])
+    df = got.to_pandas().groupby("key")["n"].sum()
+    assert df.to_dict() == {"a": 12, "b": 12}

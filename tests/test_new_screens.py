@@ -293,3 +293,44 @@ def test_auto_batch_size_budget(tmp_path):
     want = int(min(2048, max(16, TARGET_BATCH_BYTES / (on_disk / 100))))
     assert got == want
     assert auto_batch_size(str(tmp_path / "nonexistent")) == 256
+
+
+def test_footer_profile_aggregates_row_groups_and_files(tmp_path, monkeypatch):
+    """q_footer_profile must fold MULTIPLE row groups and MULTIPLE files
+    per partition correctly: min of mins, max of maxes, summed row and
+    null counts (the sf fixtures write one file per partition, which
+    would hide a bad fold)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import metrics_ray.pipelines.queries as Q
+
+    hive = tmp_path / "hive"
+    for part, specs in {
+        0: [([("a0", 10, 8000, "x"), ("a1", 500, 16000, None)], 1),
+            ([("a2", 7, 48000, "y")], 1)],     # two files
+        1: [([("b0", 30, 8000, None), ("b1", 40, 8000, None),
+              ("b2", 50, 22050, "z"), ("b3", 60, 44100, "w")], 2)],
+    }.items():
+        pdir = hive / f"partition={part}"
+        os.makedirs(pdir, exist_ok=True)
+        for i, (rows, rg_rows) in enumerate(specs):
+            t = pa.table({
+                "clip_id": pa.array([r[0] for r in rows], pa.string()),
+                "dur_ms": pa.array([r[1] for r in rows], pa.int32()),
+                "sr_hz": pa.array([r[2] for r in rows], pa.int32()),
+                "transcript": pa.array([r[3] for r in rows], pa.string()),
+            })
+            pq.write_table(t, pdir / f"f{i}.parquet", row_group_size=rg_rows)
+
+    monkeypatch.setattr(
+        "metrics_ray.pipelines.clips.ensure_clips_hive",
+        lambda sf_dir, **kw: str(hive))
+    got = Q.q_footer_profile("unused").to_pylist()
+    assert got == [
+        {"partition": 0, "n_rows": 3, "dur_min": 7, "dur_max": 500,
+         "sr_min": 8000, "sr_max": 48000, "transcript_nulls": 1},
+        {"partition": 1, "n_rows": 4, "dur_min": 30, "dur_max": 60,
+         "sr_min": 8000, "sr_max": 44100, "transcript_nulls": 2},
+    ]

@@ -3169,6 +3169,71 @@ pairs AS (
 SELECT DISTINCT clip_a, clip_b FROM pairs ORDER BY clip_a, clip_b"""
 
 
+def q_audio_dup_clusters(sf_dir: str) -> pa.Table:
+    """Acoustic duplicate-cluster RESOLUTION: connected components over
+    the verified acoustic near-dup pair graph → (clip_id, cluster_id =
+    lexicographic component min) — the consumption format of audio
+    dedup (keep each cluster's representative, drop its re-encodes),
+    completing the detect→resolve story the doc and embedding families
+    already have (q_doc_dup_clusters / q_emb_dup_clusters).
+
+    Scale shape: pairs are O(seeded dups) from the memoized shared-FFT
+    pair graph (running detection + resolution in one process decodes
+    each payload once); union-find on the driver at oracle scale,
+    stages/components.label_propagation as the unbounded path. All clip
+    ids are 'clip-' + exactly 8 digits, so numeric component-min equals
+    string component-min and ids round-trip losslessly through int64."""
+    import pyarrow.compute as pc
+
+    from ..stages.components import connected_components_local
+
+    pairs = q_audio_neardup(sf_dir)
+    if pairs.num_rows == 0:
+        return pa.table({"clip_id": pa.array([], pa.string()),
+                         "cluster_id": pa.array([], pa.string())})
+
+    def as_int(col):
+        return pc.cast(pc.utf8_slice_codeunits(col, 5, 13), pa.int64())
+
+    df = connected_components_local(pa.table({
+        "doc_a": as_int(pairs.column("clip_a")),
+        "doc_b": as_int(pairs.column("clip_b"))}))
+    return pa.table({
+        "clip_id": pa.array([f"clip-{d:08d}" for d in df["doc_id"]],
+                            pa.string()),
+        "cluster_id": pa.array([f"clip-{c:08d}" for c in df["cluster_id"]],
+                               pa.string()),
+    })
+
+
+# the pair set is pure seed arithmetic (SQL_AUDIO_NEARDUP), so the exact
+# clusters rebuild with a recursive CTE over the mirrored pair CTEs —
+# NOT a per-k GROUP BY: a shared transcode cid can bridge two k-groups,
+# which only true reachability merges
+SQL_AUDIO_DUP_CLUSTERS = (
+    SQL_AUDIO_NEARDUP
+    .replace("WITH ids AS (", "WITH RECURSIVE ids AS (")
+    .replace(
+        "SELECT DISTINCT clip_a, clip_b FROM pairs ORDER BY clip_a, clip_b",
+        """edges AS (
+    SELECT clip_a AS u, clip_b AS v FROM pairs
+    UNION
+    SELECT clip_b, clip_a FROM pairs
+),
+reach(cid, lbl) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.cid
+)
+SELECT cid AS clip_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY cid ORDER BY clip_id"""))
+# the replaced final SELECT leaves the pairs CTE as the last list entry,
+# so the appended CTEs need the separating comma restored
+SQL_AUDIO_DUP_CLUSTERS = SQL_AUDIO_DUP_CLUSTERS.replace(
+    ")\nedges AS (", "),\nedges AS (")
+assert "reach" in SQL_AUDIO_DUP_CLUSTERS
+
+
 AUDIO_EMBED_DIM = 16
 
 
@@ -3929,6 +3994,7 @@ VALIDATION_QUERIES = {
     "val_audio_silence": (q_audio_silence, None),
     "val_audio_gain": (q_audio_gain, None),
     "val_audio_neardup": (q_audio_neardup, SQL_AUDIO_NEARDUP),
+    "val_audio_dup_clusters": (q_audio_dup_clusters, SQL_AUDIO_DUP_CLUSTERS),
     "val_audio_knn": (q_audio_knn, None),
     "val_audio_resample": (q_audio_resample, SQL_AUDIO_RESAMPLE),
     "val_audio_speed": (q_audio_speed, SQL_AUDIO_SPEED),
@@ -3983,7 +4049,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     # re-verify after round-4 oracle fix (r3's only red row)
     "doc_chunking",
     # NEW in round 4 — never driver-checked
-    "val_footer_profile",
+    "val_footer_profile", "val_audio_dup_clusters",
     # tier 2 — rows-only driver rows exist; oracles added since → re-verify
     "val_curation", "val_audio_neardup", "doc_neardup_simhash", "doc_lang_id",
     # back-fill: oldest driver evidence first (r1-only, then r2)

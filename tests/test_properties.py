@@ -394,3 +394,22 @@ def test_timemask_geometry_bounds(sr, dur_ms):
     start = int(md5_lower64(["x#mask"])[0] % np.uint64(n - mlen + 1))
     assert 1 <= mlen <= n
     assert 0 <= start <= n - mlen
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+    max_size=40), max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_ws_tokens_matches_arrow_re2_split(texts):
+    """functions.text.ws_tokens must agree with Arrow's RE2 \\s+ split
+    (the tokenizer every SQL mirror assumes) on ARBITRARY unicode —
+    including the non-ASCII whitespace str.split() would break on."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from metrics_ray.functions import text as T
+
+    arr = pa.array(texts, pa.string())
+    re2 = [[t for t in lst if t]
+           for lst in pc.split_pattern_regex(arr, r"\s+").to_pylist()]
+    assert [T.ws_tokens(s) for s in texts] == re2

@@ -815,6 +815,91 @@ SELECT vec_id, round(avg(e * e), 12) AS mse,
 FROM err GROUP BY vec_id ORDER BY vec_id"""
 
 
+PQ_SUBSPACES = 8    # 64 dims → 8 subvectors of 8 dims
+PQ_CODEBOOK_K = 16  # 16 centroids per subspace → 4-bit codes, 4 B/vector
+
+
+def _pq_codebooks(M: np.ndarray, m: int = PQ_SUBSPACES,
+                  k: int = PQ_CODEBOOK_K,
+                  iters: int = _KMEANS_ITERS) -> np.ndarray:
+    """Deterministic per-subspace Lloyd k-means over a TRAINING SAMPLE
+    (seeded init from evenly spaced rows — same convention as
+    _ivf_centroids, so training is partition-invariant given
+    sample_matrix's canonical vec_id ordering). Returns (m, k, d/m)."""
+    d = M.shape[1]
+    sub = d // m
+    books = []
+    for s in range(m):
+        X = M[:, s * sub:(s + 1) * sub]
+        C = X[np.linspace(0, len(X) - 1, k).astype(np.int64)].copy()
+        for _ in range(iters):
+            d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                sel = X[assign == c]
+                if len(sel):
+                    C[c] = sel.mean(axis=0)
+        books.append(C)
+    return np.stack(books)
+
+
+def _pq_encode(Mn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) → (n, m) uint8 codes: per-subspace nearest centroid."""
+    m, _k, sub = books.shape
+    codes = np.empty((len(Mn), m), dtype=np.uint8)
+    for s in range(m):
+        X = Mn[:, s * sub:(s + 1) * sub]
+        C = books[s]
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def q_emb_pq(sf_dir: str) -> pa.Table:
+    """Product quantization — the ANN-scale compression standard (64-dim
+    float32 → 8 four-bit codes ≈ 4 B/vector, 64× smaller than float32)
+    with a per-row reconstruction audit, completing the compression
+    family next to the int8 scalar quantizer (q_emb_quantize) and the JL
+    projection (q_emb_project).
+
+    Scale shape (the IVF pattern): codebooks train on sample_matrix's
+    distributed hash-sample (driver cost fixed by the sampling rate,
+    independent of corpus size), broadcast once via ray.put; encoding +
+    reconstruction is one row-local pass (per-batch matmuls per
+    subspace). Rows-only (k-means is not SQL-expressible); the golden
+    test recomputes the full chain in numpy, asserts PQ's mean error
+    beats the scalar quantizer's worst case, and the invariance sweep
+    certifies cross-cpu determinism."""
+    import ray
+
+    books = _pq_codebooks(sample_matrix(
+        embeddings_ds(sf_dir, ["vec_id", "embedding"]), rate_inv=4))
+    ref = ray.put(books)
+
+    def encode(b: pa.Table) -> pa.Table:
+        bk = ray.get(ref)
+        M = _emb_matrix(b)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        codes = _pq_encode(Mn, bk)
+        m, _k, sub = bk.shape
+        deq = np.concatenate(
+            [bk[s][codes[:, s]] for s in range(m)], axis=1)
+        err = Mn - deq
+        return pa.table({
+            "vec_id": b.column("vec_id"),
+            "codes": pa.array([c.tolist() for c in codes],
+                              pa.list_(pa.int64())),
+            "mse": pa.array(
+                round_half_away(np.mean(err * err, axis=1), 12)),
+            "max_abs_err": pa.array(
+                round_half_away(np.abs(err).max(axis=1), 9)),
+        })
+
+    return _collect(
+        embeddings_ds(sf_dir, ["vec_id", "embedding"])
+        .map_batches(encode, batch_format="pyarrow"), ["vec_id"])
+
+
 def q_emb_drift(sf_dir: str) -> pa.Table:
     """Embedding-space centroid drift: cosine between the mean vectors of
     the two dataset halves (vec_id parity) — the vector sibling of the
@@ -1176,4 +1261,5 @@ EMB_QUERIES = {
     "emb_dup_clusters": (q_emb_dup_clusters, SQL_EMB_DUP_CLUSTERS),
     "emb_project": (q_emb_project, SQL_EMB_PROJECT),
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
+    "emb_pq": (q_emb_pq, None),
 }

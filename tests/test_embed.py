@@ -216,3 +216,58 @@ def test_hardneg_matches_numpy_and_excludes_query_label(sf_unit):
         order = np.lexsort((cand_ids, -cand))[:HARDNEG_K]
         assert sub.neighbor_id.tolist() == cand_ids[order].tolist()
         assert sub.cos.to_numpy() == pytest.approx(cand[order], abs=1e-9)
+
+
+def test_pq_matches_numpy_recompute_and_beats_random_codes(sf_unit):
+    """q_emb_pq must equal a straight numpy recompute of the full chain
+    (distributed hash-sample training → per-subspace k-means → encode →
+    reconstruct), and the learned codebooks must actually help: mean
+    reconstruction MSE far below that of seeded random codebooks."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from metrics_ray.pipelines.embed import (
+        PQ_CODEBOOK_K, PQ_SUBSPACES, _emb_matrix, _pq_codebooks,
+        _pq_encode, embeddings_ds, q_emb_pq, sample_matrix)
+    from metrics_ray.functions.rounding import round_half_away
+
+    got = q_emb_pq(sf_unit)
+
+    # reference: same sample, same k-means, plain numpy end-to-end
+    train = sample_matrix(
+        embeddings_ds(sf_unit, ["vec_id", "embedding"]), rate_inv=4)
+    books = _pq_codebooks(train)
+    t = pq.read_table(f"{sf_unit}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    t = t.take(order)
+    M = _emb_matrix(t)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    codes = _pq_encode(Mn, books)
+    deq = np.concatenate(
+        [books[s][codes[:, s]] for s in range(PQ_SUBSPACES)], axis=1)
+    err = Mn - deq
+
+    assert got.column("vec_id").to_pylist() == \
+        t.column("vec_id").to_pylist()
+    assert got.column("codes").to_pylist() == \
+        [c.tolist() for c in codes]
+    np.testing.assert_array_equal(
+        got.column("mse").to_numpy(),
+        round_half_away(np.mean(err * err, axis=1), 12))
+
+    # quality: learned codebooks beat seeded random centroid sets by a
+    # wide margin (sanity that training actually ran and helps)
+    rng = np.random.RandomState(5)
+    rand_books = np.stack([
+        train[rng.choice(len(train), PQ_CODEBOOK_K, replace=False),
+              s * (M.shape[1] // PQ_SUBSPACES):
+              (s + 1) * (M.shape[1] // PQ_SUBSPACES)]
+        for s in range(PQ_SUBSPACES)])
+    rcodes = _pq_encode(Mn, rand_books)
+    rdeq = np.concatenate(
+        [rand_books[s][rcodes[:, s]] for s in range(PQ_SUBSPACES)], axis=1)
+    rmse = np.mean((Mn - rdeq) ** 2)
+    assert got.column("mse").to_numpy().mean() < 0.9 * rmse
+    # 4 B of codes reconstruct within a usable error envelope
+    assert got.column("mse").to_numpy().mean() < 0.01

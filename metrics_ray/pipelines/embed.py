@@ -900,6 +900,82 @@ def q_emb_pq(sf_dir: str) -> pa.Table:
         .map_batches(encode, batch_format="pyarrow"), ["vec_id"])
 
 
+PQ_SHORTLIST = 4  # ADC shortlist width = PQ_SHORTLIST × KNN_K per batch
+
+
+def q_emb_knn_pq(sf_dir: str) -> pa.Table:
+    """Approximate top-k via PQ asymmetric distance (ADC) with exact
+    re-rank — the standard product-quantization search architecture:
+    each batch scores its rows against every query USING ONLY THE 4-BYTE
+    CODES (one table lookup + add per subspace — the compute shape that
+    lets a scan touch 64× less memory than float32), keeps an ADC
+    shortlist of PQ_SHORTLIST×K rows per query, and re-ranks just the
+    shortlist with exact dots. Recall loss only occurs when a true
+    top-K row falls outside its batch's ADC shortlist; asserted ≥0.9
+    vs the exact brute force (q_emb_knn) in tests — the same contract
+    as the IVF path.
+
+    Scale shape: codebooks from the distributed hash-sample, broadcast
+    once with the per-query lookup tables (nq × m × k floats); per-batch
+    work is one encode + nq table-gathers; driver merges
+    O(batches × queries × K) partials, never the corpus."""
+    import pyarrow.parquet as pq
+    import ray
+
+    qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    qsel = qt.filter(pa.compute.less(qt.column("vec_id"), N_QUERIES))
+    Q = _emb_matrix(qsel)
+    qids = qsel.column("vec_id").to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    books = _pq_codebooks(sample_matrix(
+        embeddings_ds(sf_dir, ["vec_id", "embedding"]), rate_inv=4))
+    m, k, sub = books.shape
+    # ADC tables: T[q, s, c] = <query subvector s, codebook s centroid c>
+    T = np.einsum("qsd,skd->qsk",
+                  Qn.reshape(len(Qn), m, sub), books)
+    ref = ray.put((qids, Qn, books, T))
+
+    def topk(b: pa.Table) -> pa.Table:
+        q_ids, Qm, bk, tab = ray.get(ref)
+        M = _emb_matrix(b)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        codes = _pq_encode(Mn, bk)
+        # adc[n, q] = sum_s tab[q, s, codes[n, s]]
+        adc = np.zeros((len(Mn), len(q_ids)))
+        for s in range(bk.shape[0]):
+            adc += tab[:, s, :][:, codes[:, s]].T
+        shortlist = PQ_SHORTLIST * KNN_K
+        rows_q, rows_n, rows_c = [], [], []
+        for j, qid in enumerate(q_ids):
+            mask = ids != qid
+            cand_idx = np.nonzero(mask)[0]
+            if not len(cand_idx):
+                continue
+            s_adc = adc[cand_idx, j]
+            top = cand_idx[np.argsort(-s_adc, kind="stable")[:shortlist]]
+            exact = round_half_away(Mn[top] @ Qm[j], 6)
+            kk = min(KNN_K, len(top))
+            order = np.lexsort((ids[top], -exact))[:kk]
+            rows_q.extend([qid] * kk)
+            rows_n.extend(ids[top][order].tolist())
+            rows_c.extend(exact[order].tolist())
+        return pa.table({
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "cos": pa.array(rows_c, pa.float64()),
+        })
+
+    return _merge_topk(_collect(
+        embeddings_ds(sf_dir, ["vec_id", "embedding"])
+        .map_batches(topk, batch_format="pyarrow"),
+        ["query_id", "neighbor_id"]))
+
+
 def q_emb_drift(sf_dir: str) -> pa.Table:
     """Embedding-space centroid drift: cosine between the mean vectors of
     the two dataset halves (vec_id parity) — the vector sibling of the
@@ -1262,4 +1338,5 @@ EMB_QUERIES = {
     "emb_project": (q_emb_project, SQL_EMB_PROJECT),
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
     "emb_pq": (q_emb_pq, None),
+    "emb_knn_pq": (q_emb_knn_pq, None),
 }

@@ -271,3 +271,24 @@ def test_pq_matches_numpy_recompute_and_beats_random_codes(sf_unit):
     assert got.column("mse").to_numpy().mean() < 0.9 * rmse
     # 4 B of codes reconstruct within a usable error envelope
     assert got.column("mse").to_numpy().mean() < 0.01
+
+
+def test_pq_adc_knn_recall(sf_unit):
+    """PQ asymmetric-distance shortlist + exact re-rank: recall vs exact
+    brute force ≥ 0.9, and every reported cosine is EXACT (re-ranked),
+    so overlapping rows agree with the brute-force values bit-for-bit."""
+    from metrics_ray.pipelines.embed import q_emb_knn, q_emb_knn_pq
+
+    exact = q_emb_knn(sf_unit).to_pandas()
+    adc = q_emb_knn_pq(sf_unit).to_pandas()
+    assert set(adc.query_id) == set(exact.query_id)
+    hits = total = 0
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].neighbor_id)
+        a = set(adc[adc.query_id == qid].neighbor_id)
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.9
+    merged = adc.merge(exact, on=["query_id", "neighbor_id"],
+                       suffixes=("_adc", "_exact"))
+    assert (merged.cos_adc == merged.cos_exact).all()

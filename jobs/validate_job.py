@@ -55,7 +55,27 @@ def main() -> None:
                  logging_level="ERROR")
     try:
         from metrics_ray.pipelines.clips import validate_checkpointed
+        from metrics_ray.pipelines.queries import q_footer_profile
+        from metrics_ray.schema import MAX_DUR_MS, MIN_DUR_MS, VALID_SR_HZ
         from metrics_ray.state.checkpoint import CheckpointStore
+
+        # metadata-only triage BEFORE any data page is read: per
+        # partition, can the parquet footer statistics alone prove the
+        # range constraints hold? At the 100-TB design point this is the
+        # first (and cheapest) verdict a job emits — a stats-dirty
+        # partition is already actionable while the scan is still queued.
+        t_triage = time.time()
+        prof = q_footer_profile(args.sf_dir).to_pylist()
+        sr_lo, sr_hi = min(VALID_SR_HZ), max(VALID_SR_HZ)
+        triage = [{
+            **row,
+            "stats_prove_ranges": bool(
+                MIN_DUR_MS <= row["dur_min"]
+                and row["dur_max"] <= MAX_DUR_MS
+                and sr_lo <= row["sr_min"] and row["sr_max"] <= sr_hi
+                and row["transcript_nulls"] == 0),
+        } for row in prof]
+        triage_s = time.time() - t_triage
 
         t0 = time.time()
         report = validate_checkpointed(
@@ -92,6 +112,8 @@ def main() -> None:
             },
             "resumed_from": report.manifest["resumed_from"],
             "all_passed": all(verdict_by_part.values()),
+            "footer_triage_s": round(triage_s, 3),
+            "footer_triage": triage,
         }))
     finally:
         ray.shutdown()

@@ -55,3 +55,37 @@ def test_label_propagation_chain_diameter():
     out = label_propagation(rd.from_arrow(pairs), max_rounds=16).to_pandas()
     assert set(out["cluster_id"]) == {100}
     assert len(out) == n
+
+
+def test_label_propagation_matches_union_find_on_audio_graph(sf_unit):
+    """The distributed scale path reproduces the driver union-find on the
+    REAL acoustic near-dup pair graph (string clip ids mapped through the
+    same 8-digit int encoding the query uses) — locks the documented
+    'label_propagation as the unbounded path' claim for audio clusters."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from metrics_ray.pipelines.queries import (q_audio_dup_clusters,
+                                               q_audio_neardup)
+    from metrics_ray.stages.components import label_propagation
+
+    pairs = q_audio_neardup(sf_unit)
+    assert pairs.num_rows > 0
+
+    def as_int(col):
+        return pc.cast(pc.utf8_slice_codeunits(col, 5, 13), pa.int64())
+
+    edges = pa.table({"doc_a": as_int(pairs.column("clip_a")),
+                      "doc_b": as_int(pairs.column("clip_b"))})
+    lp = (label_propagation(rd.from_arrow(edges), max_rounds=16)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    uf = q_audio_dup_clusters(sf_unit).to_pandas()
+    uf_int = pa.table({
+        "doc_id": as_int(pa.chunked_array([uf["clip_id"]])),
+        "cluster_id": as_int(pa.chunked_array([uf["cluster_id"]])),
+    }).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (lp["doc_id"].to_numpy() == uf_int["doc_id"].to_numpy()).all()
+    assert (lp["cluster_id"].to_numpy()
+            == uf_int["cluster_id"].to_numpy()).all()

@@ -900,7 +900,13 @@ def q_emb_pq(sf_dir: str) -> pa.Table:
         .map_batches(encode, batch_format="pyarrow"), ["vec_id"])
 
 
-PQ_SHORTLIST = 4  # ADC shortlist width = PQ_SHORTLIST × KNN_K per batch
+# Global ADC shortlist width = PQ_SHORTLIST × KNN_K. Like IVF_NPROBE, sized
+# for the synthetic ~uniform-sphere embeddings (PQ's worst case: 4-byte
+# codes rank a diffuse neighborhood coarsely — measured recall@5 on the
+# fixture: 0.52 at S=20, 0.88 at S=100, 0.98 at S=200); clustered
+# real-world embeddings need far smaller S. S is a CONSTANT per query —
+# at the 10^12-row design point the shortlist is noise next to the scan.
+PQ_SHORTLIST = 40
 
 
 def q_emb_knn_pq(sf_dir: str) -> pa.Table:
@@ -910,15 +916,20 @@ def q_emb_knn_pq(sf_dir: str) -> pa.Table:
     CODES (one table lookup + add per subspace — the compute shape that
     lets a scan touch 64× less memory than float32), keeps an ADC
     shortlist of PQ_SHORTLIST×K rows per query, and re-ranks just the
-    shortlist with exact dots. Recall loss only occurs when a true
-    top-K row falls outside its batch's ADC shortlist; asserted ≥0.9
-    vs the exact brute force (q_emb_knn) in tests — the same contract
-    as the IVF path.
+    shortlist with exact dots. The shortlist is the GLOBAL ADC top-S per
+    query: each batch emits its local ADC top-S partials and the driver
+    reduces them — a member of the global top-S is in the top-S of every
+    subset containing it, so per-batch partials are a guaranteed
+    superset — which makes the result independent of block layout / cpu
+    count (a per-physical-batch-only shortlist would not be; certified
+    by the invariance sweep). Recall loss occurs only when a true top-K
+    row falls outside the global ADC shortlist; asserted ≥0.9 vs the
+    exact brute force (q_emb_knn) in tests — the IVF path's contract.
 
     Scale shape: codebooks from the distributed hash-sample, broadcast
     once with the per-query lookup tables (nq × m × k floats); per-batch
     work is one encode + nq table-gathers; driver merges
-    O(batches × queries × K) partials, never the corpus."""
+    O(batches × queries × S) partials, never the corpus."""
     import pyarrow.parquet as pq
     import ray
 
@@ -950,30 +961,52 @@ def q_emb_knn_pq(sf_dir: str) -> pa.Table:
         for s in range(bk.shape[0]):
             adc += tab[:, s, :][:, codes[:, s]].T
         shortlist = PQ_SHORTLIST * KNN_K
-        rows_q, rows_n, rows_c = [], [], []
+        rows_q, rows_n, rows_a, rows_c = [], [], [], []
         for j, qid in enumerate(q_ids):
-            mask = ids != qid
-            cand_idx = np.nonzero(mask)[0]
+            cand_idx = np.nonzero(ids != qid)[0]
             if not len(cand_idx):
                 continue
+            # local ADC top-S partial (ties: neighbor_id asc) — a
+            # guaranteed superset of this batch's members of the global
+            # ADC top-S, so the driver reduce below is layout-invariant
             s_adc = adc[cand_idx, j]
-            top = cand_idx[np.argsort(-s_adc, kind="stable")[:shortlist]]
+            order = np.lexsort((ids[cand_idx], -s_adc))[:shortlist]
+            top = cand_idx[order]
             exact = round_half_away(Mn[top] @ Qm[j], 6)
-            kk = min(KNN_K, len(top))
-            order = np.lexsort((ids[top], -exact))[:kk]
-            rows_q.extend([qid] * kk)
-            rows_n.extend(ids[top][order].tolist())
-            rows_c.extend(exact[order].tolist())
+            rows_q.extend([qid] * len(top))
+            rows_n.extend(ids[top].tolist())
+            rows_a.extend(s_adc[order].tolist())
+            rows_c.extend(exact.tolist())
         return pa.table({
             "query_id": pa.array(rows_q, pa.int64()),
             "neighbor_id": pa.array(rows_n, pa.int64()),
+            "adc": pa.array(rows_a, pa.float64()),
             "cos": pa.array(rows_c, pa.float64()),
         })
 
-    return _merge_topk(_collect(
+    parts = _collect(
         embeddings_ds(sf_dir, ["vec_id", "embedding"])
         .map_batches(topk, batch_format="pyarrow"),
-        ["query_id", "neighbor_id"]))
+        ["query_id", "neighbor_id"])
+    if parts is None:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    df = parts.to_pandas()
+    # global ADC shortlist per query (adc desc, neighbor asc), then exact
+    # re-rank of the shortlist (cos desc, neighbor asc)
+    df = (df.sort_values(["query_id", "adc", "neighbor_id"],
+                         ascending=[True, False, True], kind="stable")
+          .groupby("query_id", sort=True).head(PQ_SHORTLIST * KNN_K))
+    df = (df.sort_values(["query_id", "cos", "neighbor_id"],
+                         ascending=[True, False, True], kind="stable")
+          .groupby("query_id", sort=True).head(KNN_K)
+          .reset_index(drop=True))
+    return pa.table({
+        "query_id": pa.array(df["query_id"].to_numpy(), pa.int64()),
+        "neighbor_id": pa.array(df["neighbor_id"].to_numpy(), pa.int64()),
+        "cos": pa.array(df["cos"].to_numpy(), pa.float64()),
+    })
 
 
 def q_emb_drift(sf_dir: str) -> pa.Table:

@@ -60,20 +60,26 @@ def main() -> None:
         from metrics_ray.state.checkpoint import CheckpointStore
 
         # metadata-only triage BEFORE any data page is read: per
-        # partition, can the parquet footer statistics alone prove the
-        # range constraints hold? At the 100-TB design point this is the
+        # partition, do the parquet footer statistics alone PROVE at
+        # least one violation? At the 100-TB design point this is the
         # first (and cheapest) verdict a job emits — a stats-dirty
-        # partition is already actionable while the scan is still queued.
+        # partition is actionable while the scan is still queued. Note
+        # the asymmetry: min/max stats can prove an INTERVAL violation
+        # (dur range, sr hull, nulls) but can never prove a partition
+        # CLEAN — sr_hz is a discrete enum, so an in-hull min/max still
+        # admits invalid rates (e.g. 20000); the full suite decides
+        # cleanliness.
         t_triage = time.time()
-        prof = q_footer_profile(args.sf_dir).to_pylist()
+        prof = q_footer_profile(args.sf_dir, replicas=args.replicas
+                                ).to_pylist()
         sr_lo, sr_hi = min(VALID_SR_HZ), max(VALID_SR_HZ)
         triage = [{
             **row,
-            "stats_prove_ranges": bool(
-                MIN_DUR_MS <= row["dur_min"]
-                and row["dur_max"] <= MAX_DUR_MS
-                and sr_lo <= row["sr_min"] and row["sr_max"] <= sr_hi
-                and row["transcript_nulls"] == 0),
+            "stats_flag_dirty": bool(
+                row["dur_min"] < MIN_DUR_MS
+                or row["dur_max"] > MAX_DUR_MS
+                or row["sr_min"] < sr_lo or row["sr_max"] > sr_hi
+                or row["transcript_nulls"] > 0),
         } for row in prof]
         triage_s = time.time() - t_triage
 

@@ -102,6 +102,12 @@ def ray_session_tag() -> str:
         try:
             return f"node-{ray.get_runtime_context().get_node_id()}"
         except Exception:
+            # both session-identity APIs broke: bump EVERY call so the
+            # degraded tag can never alias two sessions (the flip-based
+            # epoch alone misses a shutdown+re-init with no intervening
+            # call while down). Memo caches just miss — benign; serving
+            # a dead session's ObjectRefs would not be.
+            _SESSION_EPOCH += 1
             return f"epoch-{_SESSION_EPOCH}"
 
 

@@ -153,22 +153,16 @@ def transcript_editdist_violations(clips_ds, index_ds,
     from ..stages.join import bucketed_inner_join
     from .keyed import KEYED_VIOLATION_SCHEMA
 
-    def hashed(src_col: str, out_col: str, with_partition: bool):
+    def hashed(src_col: str, out_col: str):
         def f(b: pa.Table) -> pa.Table:
             dig = pc.cast(pa.array(hash_column(b.column(src_col)),
                                    pa.uint64()), pa.string())
-            cols = {"clip_id": b.column("clip_id"), out_col: dig}
-            if with_partition:
-                cols["partition"] = (
-                    b.column("partition").cast(pa.int32())
-                    if "partition" in b.column_names
-                    else pa.nulls(b.num_rows, pa.int32()))
-            return pa.table(cols)
+            return pa.table({"clip_id": b.column("clip_id"), out_col: dig})
         return f
 
-    left_h = clips_ds.map_batches(hashed("transcript", "th", False),
+    left_h = clips_ds.map_batches(hashed("transcript", "th"),
                                   batch_format="pyarrow")
-    right_h = index_ds.map_batches(hashed("ref_transcript", "rth", False),
+    right_h = index_ds.map_batches(hashed("ref_transcript", "rth"),
                                    batch_format="pyarrow")
 
     def mismatched(df: pd.DataFrame) -> pd.DataFrame:

@@ -134,7 +134,7 @@ def _k_unique(c: dict, env: dict):
     from .checks.keyed import exact_duplicate_keys
 
     col = c.get("column", "clip_id")
-    return lambda f: exact_duplicate_keys(f([col, "partition"]))
+    return lambda f: exact_duplicate_keys(f([col, "partition"]), column=col)
 
 
 def _k_content_dedup(c: dict, env: dict):

@@ -210,8 +210,12 @@ def validate_checkpointed(sf_dir: str, checkpoint_dir: str,
     (checks: batch checks, keyed: global audits — SURVEY §2.9): the YAML
     decides the whole suite, including the referential strategy (list
     the ``referential`` batch check for broadcast, or the
-    ``referential_dist`` keyed audit past the broadcast budget);
-    with_decode / with_editdist are ignored in config mode.
+    ``referential_dist`` keyed audit past the broadcast budget — a
+    broadcast ``referential`` entry on an index past the budget REFUSES
+    loudly rather than silently passing everything); with_decode /
+    with_editdist are ignored in config mode. The keyed audit list and
+    its parameters join the checkpoint fingerprint, so resuming after a
+    keyed-config edit refuses exactly like a batch-check edit.
 
     Referential strategy follows the same broadcast-budget switch as
     validate_sf (the keyed distributed path is itself checkpointed
@@ -223,26 +227,47 @@ def validate_checkpointed(sf_dir: str, checkpoint_dir: str,
     (checks.referential.transcript_editdist_violations) as a keyed,
     checkpointed audit — the ray-job surface of the standalone
     val_transcript_editdist query."""
-    from ..checks.referential import (referential_violations_dist,
+    import json as _json
+
+    from ..checks.referential import (EDITDIST_DEFAULT_CAP,
+                                      ReferentialCheck,
+                                      referential_violations_dist,
                                       transcript_editdist_violations)
     from ..state.checkpoint import checkpointed_validate
 
     path = ensure_clips_hive(sf_dir, replicas=replicas)
     budget = (BROADCAST_BUDGET_ROWS if broadcast_budget_rows is None
               else broadcast_budget_rows)
-    dist_referential = documents_count(sf_dir) * replicas > budget
-    ctx = default_ctx(
-        transcript_index=(None if dist_referential
-                          else transcript_index_df(sf_dir, replicas)))
+    index_rows = documents_count(sf_dir) * replicas
+    dist_referential = index_rows > budget
     if config_path is not None:
-        from ..config import checks_from_config, keyed_from_config
+        from ..config import _load_cfg, checks_from_config, keyed_from_config
 
-        checks = checks_from_config(config_path)
+        cfg = _load_cfg(config_path)
+        checks = checks_from_config(cfg)
         keyed = keyed_from_config(
-            config_path,
+            cfg,
             transcript_index_ds=lambda: transcript_index_ds(
                 sf_dir, replicas))
+        needs_index = any(isinstance(c, ReferentialCheck) for c in checks)
+        if needs_index and dist_referential:
+            # the broadcast check would silently pass every row with a
+            # None index — refuse instead (config.py's loud-failure
+            # contract)
+            raise ValueError(
+                f"config lists the broadcast `referential` batch check "
+                f"but the transcript index ({index_rows} rows) exceeds "
+                f"the broadcast budget ({budget}); list the "
+                f"`referential_dist` keyed audit instead")
+        # the index is driver-built + broadcast — only pay for it when a
+        # configured check actually consumes it
+        ctx = default_ctx(transcript_index=(
+            transcript_index_df(sf_dir, replicas) if needs_index else None))
+        keyed_spec = _json.dumps(cfg.get("keyed", []), sort_keys=True)
     else:
+        ctx = default_ctx(
+            transcript_index=(None if dist_referential
+                              else transcript_index_df(sf_dir, replicas)))
         checks = full_checks(with_decode=with_decode,
                              with_referential=not dist_referential)
         keyed = keyed_checks()
@@ -256,12 +281,18 @@ def validate_checkpointed(sf_dir: str, checkpoint_dir: str,
                 lambda f: transcript_editdist_violations(
                     f(["clip_id", "transcript", "partition"]),
                     transcript_index_ds(sf_dir, replicas))
+        keyed_spec = _json.dumps(
+            {"keyed": sorted(keyed),
+             "editdist_cap": EDITDIST_DEFAULT_CAP if with_editdist
+             else None},
+            sort_keys=True)
     return checkpointed_validate(
         path, checks,
         ctx=ctx, checkpoint_dir=checkpoint_dir, keyed=keyed,
         wave_size=wave_size,
         batch_size=batch_size if batch_size else auto_batch_size(path),
         concurrency=concurrency,
+        keyed_spec=keyed_spec,
         fail_after_waves=fail_after_waves)
 
 

@@ -1961,7 +1961,7 @@ FROM bodies WHERE actual_bytes != expected_bytes
 ORDER BY clip_id, actual_bytes"""
 
 
-def q_footer_profile(sf_dir: str) -> pa.Table:
+def q_footer_profile(sf_dir: str, replicas: int = 1) -> pa.Table:
     """Metadata-ONLY column profile: per partition — row count, dur_ms
     and sr_hz min/max, transcript null count — read exclusively from
     parquet FOOTER row-group statistics; no data page is ever opened.
@@ -1986,7 +1986,7 @@ def q_footer_profile(sf_dir: str) -> pa.Table:
 
     from .clips import ensure_clips_hive
 
-    hive = ensure_clips_hive(sf_dir)
+    hive = ensure_clips_hive(sf_dir, replicas=replicas)
     items = []
     for pdir in sorted(glob.glob(os.path.join(hive, "partition=*"))):
         part = int(os.path.basename(pdir).split("=", 1)[1])
@@ -2005,6 +2005,15 @@ def q_footer_profile(sf_dir: str) -> pa.Table:
                 dur = g.column(idx["dur_ms"]).statistics
                 sr = g.column(idx["sr_hz"]).statistics
                 tr = g.column(idx["transcript"]).statistics
+                if dur is None or sr is None or tr is None:
+                    # a writer that disabled column statistics must fail
+                    # LOUDLY — silently skipping the row group would
+                    # report a profile that excludes real rows
+                    raise ValueError(
+                        f"{path} row group {rg} carries no column "
+                        "statistics — footer profiling needs "
+                        "write_statistics=True (or use the full-scan "
+                        "column profile, val_column_profile)")
                 parts.append(int(part))
                 rows.append(g.num_rows)
                 dmin.append(int(dur.min)); dmax.append(int(dur.max))

@@ -553,15 +553,24 @@ def write_webdataset_sf(sf_dir: str, out_dir: str,
             return ("tasks" if _partition_bytes(os.path.join(hive, pname))
                     <= TASKS_MODE_MAX_PART_BYTES else "exchange")
 
+        from concurrent.futures import ThreadPoolExecutor
+
         for i in range(0, len(pending), wave_size):
             wave = pending[i:i + wave_size]
             by_mode: dict[str, list[str]] = {}
             for p in wave:
                 by_mode.setdefault(pick(p), []).append(p)
-            for m, ps in by_mode.items():
-                writer = _write_wave_tasks if m == "tasks" else _write_wave
-                results = writer(
-                    {p: os.path.join(hive, p) for p in ps},
-                    {p: os.path.join(out_dir, p) for p in ps}, shard_ms)
-                manifest["partitions"].update(results)
+            # a mixed wave runs its tasks-mode and exchange-mode groups
+            # CONCURRENTLY (driver threads; the work itself is Ray tasks/
+            # jobs) — sequential groups would idle the cluster for up to
+            # the smaller group's duration
+            with ThreadPoolExecutor(max_workers=len(by_mode)) as pool:
+                futs = [
+                    pool.submit(
+                        _write_wave_tasks if m == "tasks" else _write_wave,
+                        {p: os.path.join(hive, p) for p in ps},
+                        {p: os.path.join(out_dir, p) for p in ps}, shard_ms)
+                    for m, ps in by_mode.items()]
+                for f in futs:
+                    manifest["partitions"].update(f.result())
     return manifest

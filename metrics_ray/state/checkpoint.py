@@ -149,10 +149,19 @@ def _check_param_digest(chk: BatchCheck) -> str:
     return json.dumps(prim, sort_keys=True, default=str)
 
 
-def _suite_fingerprint(checks: list[BatchCheck], parquet_dir: str) -> str:
+def _suite_fingerprint(checks: list[BatchCheck], parquet_dir: str,
+                       keyed_spec: str | None = None) -> str:
+    """Suite identity for the resume guard. ``keyed_spec`` (a canonical
+    JSON string of the keyed-audit names + parameters) joins the digest
+    when provided: keyed results are checkpointed wholesale by id, so a
+    parameter edit (e.g. editdist cap) between runs MUST refuse rather
+    than serve the stale keyed parquet — the same contract the
+    batch-check param digest enforces."""
     ids = ",".join(sorted(
         f"{c.check_id}:{_check_param_digest(c)}" for c in checks))
-    return hashlib.sha256(f"{ids}|{parquet_dir}".encode()).hexdigest()[:16]
+    tail = "" if keyed_spec is None else f"|{keyed_spec}"
+    return hashlib.sha256(
+        f"{ids}|{parquet_dir}{tail}".encode()).hexdigest()[:16]
 
 
 def lineage_signature(files: list[str]) -> list[list]:
@@ -186,6 +195,7 @@ def checkpointed_validate(
     wave_size: int = 4,
     batch_size: int = 1024,
     concurrency=None,
+    keyed_spec: str | None = None,
     fail_after_waves: int | None = None,
 ) -> SuiteReport | None:
     """Run (or resume) the suite over a hive-partitioned clips cache.
@@ -210,7 +220,7 @@ def checkpointed_validate(
 
     store = CheckpointStore(checkpoint_dir)
     manifest = store.read_manifest()
-    fp = _suite_fingerprint(checks, parquet_dir)
+    fp = _suite_fingerprint(checks, parquet_dir, keyed_spec)
     if manifest["fingerprint"] not in (None, fp):
         raise ValueError(
             f"checkpoint {checkpoint_dir} belongs to a different run "

@@ -317,3 +317,69 @@ def test_keyed_config_rejects_unknown_audit(tmp_path):
     with pytest.raises(ValueError, match="requires transcript_index_ds"):
         keyed_from_config({"keyed": [{"type": "transcript_editdist",
                                       "id": "x"}]})
+
+
+def test_keyed_param_edit_refuses_resume(sf_unit, tmp_path):
+    """Editing a keyed audit's parameters (e.g. the editdist cap)
+    between runs must refuse the checkpoint like a batch-check edit —
+    keyed results are checkpointed wholesale by id, so a silent resume
+    would serve the old-cap violations (round-4 review finding)."""
+    import yaml
+
+    from metrics_ray.pipelines.clips import validate_checkpointed
+
+    base = {"checks": [{"type": "nonnull", "id": "t",
+                        "column": "transcript"}],
+            "keyed": [{"type": "transcript_editdist",
+                       "id": "transcript_editdist", "cap": 8}]}
+    cfg = tmp_path / "suite.yaml"
+    cfg.write_text(yaml.safe_dump(base))
+    d = str(tmp_path / "ckpt")
+    validate_checkpointed(sf_unit, d, wave_size=4, concurrency=2,
+                          config_path=str(cfg))
+    base["keyed"][0]["cap"] = 4
+    cfg.write_text(yaml.safe_dump(base))
+    with pytest.raises(ValueError, match="different run"):
+        validate_checkpointed(sf_unit, d, wave_size=4, concurrency=2,
+                              config_path=str(cfg))
+
+
+def test_config_broadcast_referential_refuses_past_budget(sf_unit, tmp_path):
+    """A YAML `referential` (broadcast) entry on an index past the
+    broadcast budget must refuse loudly — a None index would silently
+    pass every row (round-4 review finding)."""
+    import yaml
+
+    from metrics_ray.pipelines.clips import validate_checkpointed
+
+    cfg = tmp_path / "suite.yaml"
+    cfg.write_text(yaml.safe_dump(
+        {"checks": [{"type": "referential"}], "keyed": []}))
+    with pytest.raises(ValueError, match="broadcast budget"):
+        validate_checkpointed(sf_unit, str(tmp_path / "ckpt"),
+                              config_path=str(cfg),
+                              broadcast_budget_rows=0)
+
+
+def test_keyed_config_unique_key_honors_column(sf_unit, tmp_path):
+    """The unique_key keyed audit must audit the CONFIGURED column —
+    before round 4's fix it always audited clip_id and crashed when the
+    factory projected a different column (review finding)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from metrics_ray.config import keyed_from_config
+
+    keyed = keyed_from_config({"keyed": [
+        {"type": "unique_key", "id": "codec_unique", "column": "codec"}]})
+
+    def factory(columns=None):
+        from metrics_ray.pipelines.clips import ensure_clips_parquet
+
+        return rd.read_parquet(ensure_clips_parquet(sf_unit),
+                               columns=columns)
+
+    out = keyed["codec_unique"](factory)
+    t = out.to_pandas()
+    # codecs repeat heavily, so the audit must flag duplicate-key rows
+    assert len(t) > 0 and (t["code"] == "DuplicateKey").all()

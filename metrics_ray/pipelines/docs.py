@@ -1732,6 +1732,160 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 ORDER BY doc_id"""
 
 
+# ------------------------------------------------------------- BM25
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_doc_bm25_top_term(sf_dir: str) -> pa.Table:
+    """Per-document most-distinctive term by Okapi BM25 weight — the IR
+    community's standard upgrade of tf·idf (saturating tf, document-
+    length normalization against the corpus mean): score =
+    idf · tf(k1+1) / (tf + k1(1 − b + b·len/avglen)) with
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Scale shape = the tf-idf plan exactly: distributed df derivation
+    under the bounded vocabulary broadcast (_bounded_vocab; OOV floor =
+    df-1 idf), one extra constant-size partial pass for (total tokens,
+    docs-with-tokens) → avglen, then a fully vectorized row-local
+    scoring pass (dictionary encode + np.unique; no python-per-token).
+    Docs with zero tokens emit no row (they have no terms), matching
+    the SQL's join semantics."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .clips import documents_count
+
+    n_docs = documents_count(sf_dir)
+
+    def df_partials(b: pa.Table) -> pa.Table:
+        vals, doc_of, _ = _flat_tokens(b.column("text"))
+        if len(vals) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "dfn": pa.array([], pa.int64())})
+        enc = vals.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        uniq_pairs = np.unique(doc_of.astype(np.int64) * k + codes)
+        dfn = np.bincount(uniq_pairs % k, minlength=k).astype(np.int64)
+        return pa.table({"token": enc.dictionary, "dfn": pa.array(dfn)})
+
+    def len_partials(b: pa.Table) -> pa.Table:
+        _vals, doc_of, n_rows = _flat_tokens(b.column("text"))
+        lens = np.bincount(doc_of, minlength=n_rows)
+        return pa.table({
+            "part": pa.array([0], pa.int64()),
+            "total_tokens": pa.array([int(lens.sum())], pa.int64()),
+            "docs_with_tokens": pa.array([int((lens > 0).sum())],
+                                         pa.int64()),
+        })
+
+    stats = _collect(
+        documents_ds(sf_dir, ["text"])
+        .map_batches(len_partials, batch_format="pyarrow")
+        .groupby("part", num_partitions=1)
+        .aggregate(Sum("total_tokens", alias_name="total_tokens"),
+                   Sum("docs_with_tokens", alias_name="docs_with_tokens")),
+        ["part"])
+    total_tokens = int(stats.column("total_tokens")[0].as_py())
+    docs_nonzero = int(stats.column("docs_with_tokens")[0].as_py())
+    avglen = total_tokens / docs_nonzero if docs_nonzero else 1.0
+
+    tokens, dfn, _, _ = _bounded_vocab(
+        documents_ds(sf_dir, ["text"])
+        .map_batches(df_partials, batch_format="pyarrow")
+        .groupby("token", num_partitions=shuffle_blocks())
+        .aggregate(Sum("dfn", alias_name="dfn")), "dfn")
+    dff = dfn.astype(np.float64)
+    idf_vals = np.log((n_docs - dff + 0.5) / (dff + 0.5) + 1.0)
+    oov_idf = float(np.log((n_docs - 1 + 0.5) / 1.5 + 1.0))  # df = 1
+    ref = ray.put((tokens, idf_vals, oov_idf, avglen))
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab, idf, oov, avg = ray.get(ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        vals, doc_of, n_rows = _flat_tokens(b.column("text"))
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "top_term": pa.array([], pa.string()),
+                          "score": pa.array([], pa.float64())})
+        if len(vals) == 0:
+            return empty
+        enc = vals.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        pos = pc.fill_null(pc.index_in(enc.dictionary, value_set=vocab),
+                           -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        uidf = np.where(pos >= 0, idf[np.maximum(pos, 0)], oov)
+        doc_len = np.bincount(doc_of, minlength=n_rows).astype(np.float64)
+        uk, tf = np.unique(doc_of.astype(np.int64) * k + codes,
+                           return_counts=True)
+        d_i = uk // k
+        c_i = uk % k
+        tff = tf.astype(np.float64)
+        # operation ORDER mirrors the SQL expression term-for-term so the
+        # doubles agree bitwise before the 6-decimal round
+        denom = tff + BM25_K1 * (1.0 - BM25_B
+                                 + BM25_B * doc_len[d_i] / avg)
+        sc = uidf[c_i] * (tff * (BM25_K1 + 1.0)) / denom
+        df = pd.DataFrame({
+            "doc_id": ids[d_i],
+            "top_term": enc.dictionary.to_numpy(zero_copy_only=False)[c_i],
+            "score": sc,
+        })
+        df = (df.sort_values(["doc_id", "score", "top_term"],
+                             ascending=[True, False, True], kind="stable")
+              .drop_duplicates("doc_id", keep="first"))
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "top_term": pa.array(df["top_term"].tolist(), pa.string()),
+            "score": pa.array(
+                round_half_away(df["score"].to_numpy(dtype=np.float64), 6),
+                pa.float64()),
+        })
+
+    return _collect(
+        documents_ds(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow"),
+        ["doc_id"])
+
+
+SQL_DOC_BM25_TOP_TERM = f"""WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dl AS (
+    SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id
+),
+df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS dfn FROM toks GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+avgl AS (SELECT SUM(len) * 1.0 / COUNT(*) AS avglen FROM dl),
+scored AS (
+    -- k1/b as e0 literals: DuckDB parses bare 1.2 as exact DECIMAL,
+    -- numpy uses the nearest double — e0 forces the same double
+    SELECT tf.doc_id, tf.term,
+           ln((n.n - df.dfn + 0.5) / (df.dfn + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1}e0 + 1.0))
+           / (tf.tf + {BM25_K1}e0 * (1.0 - {BM25_B}e0
+                                     + {BM25_B}e0 * dl.len / avgl.avglen))
+           AS score
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN n CROSS JOIN avgl
+)
+SELECT doc_id, term AS top_term, ROUND(score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) = 1
+ORDER BY doc_id"""
+
+
 # --------------------------------------------------------------- chunking
 
 CHUNK_W = 50      # tokens per chunk
@@ -2574,6 +2728,7 @@ DOC_QUERIES = {
     "doc_zipf": (q_doc_zipf, SQL_DOC_ZIPF),
     "doc_top_tokens_approx": (q_doc_top_tokens_approx, SQL_DOC_TOP_TOKENS),
     "doc_tfidf_top_term": (q_doc_tfidf_top_term, SQL_DOC_TFIDF_TOP_TERM),
+    "doc_bm25_top_term": (q_doc_bm25_top_term, SQL_DOC_BM25_TOP_TERM),
     "doc_mix": (q_doc_mix, SQL_DOC_MIX),
     "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
     "doc_normalize": (q_doc_normalize, SQL_DOC_NORMALIZE),

@@ -4059,7 +4059,7 @@ _DRIVER_UNVERIFIED_FIRST = [
     "doc_chunking",
     # NEW in round 4 — never driver-checked
     "val_footer_profile", "val_audio_dup_clusters", "emb_pq",
-    "emb_knn_pq",
+    "emb_knn_pq", "doc_bm25_top_term",
     # tier 2 — rows-only driver rows exist; oracles added since → re-verify
     "val_curation", "val_audio_neardup", "doc_neardup_simhash", "doc_lang_id",
     # back-fill: oldest driver evidence first (r1-only, then r2)

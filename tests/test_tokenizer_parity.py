@@ -74,6 +74,7 @@ TOKENIZING_QUERIES = [
     "doc_quality",
     "doc_token_counts",
     "doc_tfidf_top_term",
+    "doc_bm25_top_term",
     "doc_chunking",
     "doc_top_tokens",
     "doc_bigrams",

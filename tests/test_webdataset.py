@@ -323,3 +323,35 @@ def test_auto_mode_routes_oversized_partitions_to_exchange(monkeypatch):
                      h.hexdigest())
         shutil.rmtree(root, ignore_errors=True)
     assert outs["auto_small_cap"] == outs["auto_big_cap"]
+
+
+def test_export_job_entrypoint_runs_and_resumes(tmp_path):
+    """The ray-job-submit export entrypoint writes the full tar layout,
+    prints one JSON summary, and a re-submit skips every committed
+    partition (the sink's _SUCCESS resume contract)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "wds")
+    cmd = [sys.executable, "/root/repo/jobs/export_webdataset_job.py",
+           "--sf-dir", "/root/testdata/sf0.001", "--out-dir", out]
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    env.pop("RAY_ADDRESS", None)
+
+    r1 = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                        timeout=540)
+    d1 = json.loads([l for l in r1.stdout.splitlines()
+                     if l.startswith("{")][-1])
+    assert d1["n_partitions"] == 8 and d1["n_shards"] > 0
+    assert d1["n_members"] > 0 and d1["tar_bytes"] > 0
+    assert d1["resumed_skips"] == 0
+
+    r2 = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                        timeout=540)
+    d2 = json.loads([l for l in r2.stdout.splitlines()
+                     if l.startswith("{")][-1])
+    assert d2["resumed_skips"] == 8
+    assert d2["n_shards"] == d1["n_shards"]
+    assert d2["n_members"] == d1["n_members"]

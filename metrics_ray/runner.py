@@ -298,12 +298,17 @@ _EXECUTOR_CACHE: dict[str, SuiteExecutor] = {}
 def _suite_task(batch: pa.Table, *, cache_key: str,
                 checks: list[BatchCheck], ctx: CheckContext,
                 breaker: tuple | None = None) -> pa.Table:
-    ex = _EXECUTOR_CACHE.get(cache_key)
+    ex = _EXECUTOR_CACHE.pop(cache_key, None)
     if ex is None:
-        ex = _EXECUTOR_CACHE[cache_key] = SuiteExecutor(checks, ctx, breaker)
-        if len(_EXECUTOR_CACHE) > 8:  # bound per-process memory
-            for k in list(_EXECUTOR_CACHE)[:-4]:
-                del _EXECUTOR_CACHE[k]
+        ex = SuiteExecutor(checks, ctx, breaker)
+    # re-insert on every call (LRU, not FIFO): with >8 concurrent
+    # pipelines a hit must refresh recency, or an ACTIVE pipeline's
+    # executor gets evicted and rebuilt (setup() + breaker state) every
+    # batch while idle entries survive
+    _EXECUTOR_CACHE[cache_key] = ex
+    if len(_EXECUTOR_CACHE) > 8:  # bound per-process memory
+        for k in list(_EXECUTOR_CACHE)[:-4]:
+            del _EXECUTOR_CACHE[k]
     return ex(batch)
 
 
@@ -463,10 +468,14 @@ def run_batch_checks(ds, checks: list[BatchCheck],
     # partials carry the partition of the batch that produced them — when the
     # input layout is partition-pure (hive dirs), this attributes every
     # sketch blob to its partition for checkpointing; merges stay global.
+    # Iterate the THREE needed columns straight from Arrow: a second full
+    # to_pandas here would box every sketch payload blob for no reason
+    # (pdf above is already the projected counter conversion).
     partials: dict[str, list[tuple[int, bytes]]] = {}
-    pay = part_rows.to_pandas()
-    for cid, part_val, blob in zip(pay["check_id"], pay["partition"],
-                                   pay["payload"]):
+    for cid, part_val, blob in zip(
+            part_rows.column("check_id").to_pylist(),
+            part_rows.column("partition").to_pylist(),
+            part_rows.column("payload").to_pylist()):
         if blob is not None:
             partials.setdefault(cid, []).append((int(part_val), blob))
     if viol is None:
@@ -718,8 +727,14 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
                 t = t.add_column(0, "check_id", pa.array(
                     [kid or "keyed"] * t.num_rows, pa.string())).cast(
                         VIOLATION_SCHEMA)
-                _pq.write_table(t, os.path.join(
-                    violations_sink, f"keyed_{kid or 'k'}_{i:06d}.parquet"))
+                # SAME hive layout as the batch pass's write_parquet
+                # (partition stripped into the path) — a flat root file
+                # with a physical partition column would make the sink
+                # unreadable as one dataset
+                _pq.write_to_dataset(
+                    t, violations_sink, partition_cols=["partition"],
+                    basename_template=(
+                        f"keyed_{kid or 'k'}_{i:06d}_{{i}}.parquet"))
                 vp = t.column("partition").to_numpy(zero_copy_only=False)
                 uniq, cnt = np.unique(vp, return_counts=True)
                 for p, c in zip(uniq.tolist(), cnt.tolist()):
@@ -771,8 +786,12 @@ def run_suite(ds_factory: Callable[[list[str] | None], Any],
                     if not sub.num_rows:
                         continue
                     sub = sub.cast(VIOLATION_SCHEMA)
-                    _pq.write_table(sub, os.path.join(
-                        violations_sink, f"keyed_{kid}_{i:06d}.parquet"))
+                    # hive layout, matching the batch pass (see
+                    # collect_keyed)
+                    _pq.write_to_dataset(
+                        sub, violations_sink, partition_cols=["partition"],
+                        basename_template=(
+                            f"keyed_{kid}_{i:06d}_{{i}}.parquet"))
                     n_v, bad = counts[kid]
                     vp = sub.column("partition").to_numpy(
                         zero_copy_only=False)

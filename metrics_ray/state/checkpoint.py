@@ -129,6 +129,13 @@ class CheckpointStore:
         return pq.read_table(
             os.path.join(self.root, "keyed", f"{check_id}.parquet"))
 
+    def drop_keyed(self, check_id: str) -> None:
+        try:
+            os.remove(os.path.join(self.root, "keyed",
+                                   f"{check_id}.parquet"))
+        except FileNotFoundError:
+            pass
+
 
 def _check_param_digest(chk: BatchCheck) -> str:
     """Stable digest of a check's primitive parameters — so a resume
@@ -141,11 +148,19 @@ def _check_param_digest(chk: BatchCheck) -> str:
     for k, v in sorted(vars(chk).items()):
         if isinstance(v, (str, int, float, bool, type(None))):
             prim[k] = v
-        elif isinstance(v, (tuple, list, set, frozenset)):
+        elif isinstance(v, (tuple, list)):
+            # ordered sequences keep their ORDER: (lo, hi) swapped, or
+            # identity columns reordered, are different configs — a
+            # sorted() canonicalization would digest them identically
+            # and the resume guard would serve stale results
+            prim[k] = list(map(str, v))
+        elif isinstance(v, (set, frozenset)):
             try:
                 prim[k] = sorted(map(str, v))
             except TypeError:
                 pass
+        elif isinstance(v, dict):
+            prim[k] = sorted((str(kk), str(vv)) for kk, vv in v.items())
     return json.dumps(prim, sort_keys=True, default=str)
 
 
@@ -208,6 +223,13 @@ def checkpointed_validate(
     import ray.data as rd
     from ray.data.datasource.partitioning import Partitioning
 
+    from ..checks.base import CheckContext
+
+    # assemble_metrics runs driver-side setup() only when ctx is not None
+    # (its documented contract) — normalize here exactly as run_suite
+    # does, so a default-ctx checkpointed run finalizes set-up checks
+    ctx = ctx or CheckContext()
+
     hive = Partitioning("hive", base_dir=parquet_dir,
                         field_types={"partition": int})
 
@@ -255,6 +277,16 @@ def checkpointed_validate(
         manifest["completed"] = [p for p in manifest["completed"]
                                  if p not in set(stale)]
     todo = [p for p in sorted(parts) if p not in done]
+    if todo and manifest["keyed_done"]:
+        # keyed audits consume the WHOLE dataset: any partition being
+        # (re-)validated — stale lineage or newly added — invalidates
+        # the wholesale keyed results, which would otherwise be served
+        # from parquet that predates the change (a duplicate introduced
+        # by a replaced file would be reported as passing)
+        for kid in manifest["keyed_done"]:
+            store.drop_keyed(kid)
+        manifest["keyed_done"] = []
+        store.write_manifest(manifest)
 
     waves = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
     for wi, wave in enumerate(waves):
@@ -266,6 +298,18 @@ def checkpointed_validate(
         viol, counters, partials = run_batch_checks(
             ds, checks, ctx, batch_size=batch_size, concurrency=concurrency)
         wall = time.time() - t0
+        neg = sorted(cid for cid, blobs in partials.items()
+                     if any(part_val < 0 for part_val, _ in blobs))
+        if neg:
+            # blobs tagged partition -1 (counterless batches) have no
+            # wave partition to checkpoint under; silently dropping them
+            # would make the resumed merge diverge from the single-shot
+            # run — refuse loudly instead
+            raise ValueError(
+                f"checks {neg} emitted sketch partials without partition "
+                "attribution (partition -1); the checkpointed path needs "
+                "per-partition counters on every batch — run these via "
+                "run_suite or add counters to the check")
         vdf = viol.to_pandas()
         for p in wave:
             sub = counters[counters.partition == p].reset_index(drop=True)

@@ -383,3 +383,50 @@ def test_keyed_config_unique_key_honors_column(sf_unit, tmp_path):
     t = out.to_pandas()
     # codecs repeat heavily, so the audit must flag duplicate-key rows
     assert len(t) > 0 and (t["code"] == "DuplicateKey").all()
+
+
+def test_stale_data_invalidates_keyed_results(sf_unit, tmp_path_factory):
+    """Keyed audits consume the WHOLE dataset, so a stale/changed
+    partition must invalidate the checkpointed keyed parquet too — a
+    duplicate clip_id introduced by a replaced file would otherwise be
+    served as passing from the pre-edit keyed result (round-4 core
+    review finding)."""
+    import pyarrow as pa
+
+    from metrics_ray.checks.keyed import exact_duplicate_keys
+    from metrics_ray.pipelines.clips import ensure_clips_hive
+    from metrics_ray.state.checkpoint import checkpointed_validate
+    from metrics_ray.suite import metadata_checks
+
+    src = ensure_clips_hive(sf_unit)
+    data = str(tmp_path_factory.mktemp("keyed_stale_hive"))
+    for d in os.listdir(src):
+        if d.startswith("partition="):
+            shutil.copytree(os.path.join(src, d), os.path.join(data, d))
+    ck = str(tmp_path_factory.mktemp("ckpt_keyed_stale"))
+    keyed = {"clipid_unique_exact": lambda f: exact_duplicate_keys(
+        f(["clip_id", "partition"]))}
+
+    first = checkpointed_validate(data, metadata_checks(),
+                                  checkpoint_dir=ck, wave_size=8,
+                                  concurrency=2, keyed=dict(keyed))
+    dup0 = first.violations.to_pandas()
+    dup0 = set(dup0[dup0.check_id == "clipid_unique_exact"].clip_id)
+
+    # replace one partition file with a copy that adds a NEW duplicate
+    # of an existing clip_id
+    p0 = os.path.join(data, "partition=0")
+    f0 = sorted(f for f in os.listdir(p0) if f.endswith(".parquet"))[0]
+    t = pq.read_table(os.path.join(p0, f0))
+    extra = t.slice(0, 1)  # duplicate the first row's clip_id
+    new_id = extra.column("clip_id").to_pylist()[0]
+    assert new_id not in dup0  # the seeded dups don't already cover it
+    pq.write_table(pa.concat_tables([t, extra]), os.path.join(p0, f0))
+
+    second = checkpointed_validate(data, metadata_checks(),
+                                   checkpoint_dir=ck, wave_size=8,
+                                   concurrency=2, keyed=dict(keyed))
+    dup1 = second.violations.to_pandas()
+    dup1 = set(dup1[dup1.check_id == "clipid_unique_exact"].clip_id)
+    assert new_id in dup1  # keyed audit re-ran over the changed data
+    assert dup0 < dup1

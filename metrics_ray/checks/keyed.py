@@ -192,8 +192,10 @@ def grouped_apply_refs(sources, key, fn, n_buckets: int | None = None,
     # out_schema=None would let an all-empty bucket keep its PRE-exchange
     # (input) schema while non-empty buckets carry fn's output schema —
     # from_arrow_refs over mixed-schema refs breaks downstream. Every
-    # caller passes a schema; make the contract explicit.
-    assert out_schema is not None, "grouped_apply_refs requires out_schema"
+    # caller passes a schema; a real exception (not assert — python -O
+    # strips asserts) makes the contract survive optimized runs.
+    if out_schema is None:
+        raise ValueError("grouped_apply_refs requires out_schema")
     # guard must count split tasks the way the launch loop below creates
     # them: per SOURCE (sum of per-source ceils), not one global ceil —
     # the latter undercounts multi-source fan-out by up to
@@ -347,15 +349,17 @@ def duplicate_key_groups(ds, column: str = "clip_id"):
                          out_schema=PROBLEM_MODEL_SCHEMA)
 
 
-def exact_duplicate_keys(ds, column: str = "clip_id",
-                         check_id: str = "clipid_unique_exact"):
+def exact_duplicate_keys(ds, column: str = "clip_id"):
     """Exact key-uniqueness via hash shuffle (ValidIFPUsage.java:42-148:
     key (P,O) must map to exactly one subject; violations accumulate every
     colliding member).
 
     Dataflow: project(key, partition) → per-batch pre-agg → bucketed
     co-group → vectorized per-bucket reduce. Shuffle payload = distinct
-    keys per batch only."""
+    keys per batch only. NULL keys are excluded by design (pandas
+    groupby dropna in the pre-agg): a null key is a NonNullCheck /
+    SchemaCheck violation, not a well-defined uniqueness collision —
+    SQL's UNIQUE constraints treat NULLs the same way."""
     pre = ds.select_columns([column, "partition"]).map_batches(
         lambda b: _preagg_key_counts(b, column), batch_format="pyarrow")
     return grouped_apply_fast(
@@ -512,8 +516,7 @@ def _content_bucket_rows(df: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def content_duplicates(ds, cols: tuple[str, ...] = ("bytes", "transcript"),
-                       check_id: str = "content_dedup"):
+def content_duplicates(ds, cols: tuple[str, ...] = ("bytes", "transcript")):
     """Exact content dedup: hash(content) → bucketed co-group → first wins.
     Shuffles 16-byte hex keys, never the payload."""
     hashed = ds.select_columns([*cols, "clip_id", "partition"]).map_batches(
@@ -678,6 +681,12 @@ def composite_fused_duplicates(
     dispatched by check_id inside the bucket. Keys from different checks
     can never collide because check_id is part of the group key.
 
+    Constraint: the uniqueness branch hardcodes expected='unique
+    clip_id' — the composite plan is only wired for the suite's default
+    KeyUniquenessEmitter (key = clip_id); a custom-column emitter must
+    use the per-check fused path (exact_duplicate_keys_from_keys),
+    whose expected text carries its column.
+
     Input: the suite's fused key stream (kind='k' tagged rows: check_id,
     actual=key, partition, clip_id). Output: violations Dataset with a
     leading check_id column (COMPOSITE_KEYED_SCHEMA); the caller splits
@@ -768,6 +777,10 @@ def composite_fused_duplicates_refs(
     import ray
 
     B = int(n_buckets or shuffle_blocks())
+    if not block_refs:
+        # zero input blocks → zero split tasks → every reduce task would
+        # crash on pa.concat_tables(()); an empty ref list IS the result
+        return []
     G = max(1, math.ceil(len(block_refs) / group_width))
     groups = [list(block_refs[i::G]) for i in range(G)]
     groups = [g for g in groups if g]
@@ -809,8 +822,16 @@ def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
 
             # cast-to-string normalizes key types across the two sides
             # (int64 custkey vs string id) so identical logical keys hash
-            # identically; hashing stays Arrow-native (no to_pylist)
-            keys = pc.cast(b.column(col), pa.string())
+            # identically; hashing stays Arrow-native (no to_pylist).
+            # Python-str fallback for types Arrow cannot cast (same
+            # normalization as stages/join._key_str, which this module
+            # cannot import without a cycle)
+            try:
+                keys = pc.cast(b.column(col), pa.string())
+            except pa.ArrowNotImplementedError:
+                keys = pa.array(
+                    [None if v is None else str(v)
+                     for v in b.column(col).to_pylist()], pa.string())
             h = hash_column(keys)
             n = len(keys)
             return pa.table({
@@ -842,5 +863,8 @@ def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
             "detail": "bucketed",
         }), schema=KEYED_VIOLATION_SCHEMA, preserve_index=False)
 
-    return (tagged.groupby("bucket", num_partitions=shuffle_blocks())
+    # bucket values are capped at n_buckets — extra sort partitions could
+    # never receive a key and would only add empty-partition overhead
+    return (tagged.groupby("bucket",
+                           num_partitions=min(n_buckets, shuffle_blocks()))
             .map_groups(reduce_bucket, batch_format="pandas"))

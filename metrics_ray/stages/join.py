@@ -110,6 +110,28 @@ def broadcast_enrich(ds, sides: list[tuple], defaults: dict | None = None):
     return ds.map_batches(enrich, batch_format="pyarrow")
 
 
+_INT_EXACT_MAX = 1 << 53  # float64 integer-exactness bound
+
+
+def _guard_int_precision(col, name: str):
+    """The tagged union pads each side's carry columns with the OTHER
+    side's nulls, so the per-bucket pandas frame holds integer columns
+    as float64 — exact only to 2^53. A 64-bit id beyond that would round
+    SILENTLY (wrong join output, no error); refuse loudly and tell the
+    caller to carry the column as a string instead."""
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(col)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is not None and (abs(lo) > _INT_EXACT_MAX
+                           or abs(hi) > _INT_EXACT_MAX):
+        raise ValueError(
+            f"join carry column {name!r} holds integers beyond 2^53 "
+            f"(min={lo}, max={hi}); the null-padded per-bucket pandas "
+            "frame would round them silently — cast the column to "
+            "string before the join to carry full 64-bit values")
+
+
 def bucketed_inner_join(left_ds, right_ds, left_key: str, right_key: str,
                         left_cols: list[str], right_cols: list[str],
                         post=None, out_schema: pa.Schema | None = None,
@@ -150,8 +172,13 @@ def bucketed_inner_join(left_ds, right_ds, left_key: str, right_key: str,
                 "__side": pa.array([side] * n, pa.string()),
             }
             for name, typ in lfields + rfields:
-                cols[name] = (b.column(name).combine_chunks()
-                              if (name, typ) in present else pa.nulls(n, typ))
+                if (name, typ) in present:
+                    col = b.column(name).combine_chunks()
+                    if pa.types.is_integer(typ) and n:
+                        _guard_int_precision(col, name)
+                    cols[name] = col
+                else:
+                    cols[name] = pa.nulls(n, typ)
             return pa.table(cols)
         return f
 
@@ -213,8 +240,13 @@ def bucketed_asof_join(left_ds, right_ds, left_key: str, right_key: str,
                 "__ts": b.column(ts_col).combine_chunks().cast(ts_type),
             }
             for name, typ in lfields + rfields:
-                cols[name] = (b.column(name).combine_chunks()
-                              if name in present_names else pa.nulls(n, typ))
+                if name in present_names:
+                    col = b.column(name).combine_chunks()
+                    if pa.types.is_integer(typ) and n:
+                        _guard_int_precision(col, name)
+                    cols[name] = col
+                else:
+                    cols[name] = pa.nulls(n, typ)
             return pa.table(cols)
         return f
 
@@ -289,7 +321,10 @@ def bucketed_range_count(left_ds, right_ds, left_ts: str, right_ts: str,
             ts_i64: pa.array(ts, pa.int64()),
         }
         for c in left_cols:
-            cols[c] = b.column(c).combine_chunks()
+            col = b.column(c).combine_chunks()
+            if pa.types.is_integer(lsch[c]) and b.num_rows:
+                _guard_int_precision(col, c)
+            cols[c] = col
         return pa.table(cols)
 
     lsch = dict(zip(left_ds.schema().names, left_ds.schema().types))
@@ -364,10 +399,16 @@ def bloom_anti_join(left_ds, right_ds, left_key: str, right_key: str,
     Trade-off (explicit): the left side is read twice (once per split) —
     two streaming scans in exchange for an all-to-all shuffle of the
     full stream; at 10^12 rows the scan is the cheap side. Callers
-    wanting one scan can materialize the tagged stream instead."""
+    wanting one scan can materialize the tagged stream instead. The
+    RIGHT side's key projection is materialized once (object store,
+    spillable) and feeds BOTH the bloom build and the verify union —
+    the index side's keys are the small projection by design, and a
+    second storage scan of them bought nothing."""
     import ray
 
     from ..sketches import BloomFilter, merge_blobs
+
+    right_keys = right_ds.select_columns([right_key]).materialize()
 
     def bloom_partial(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -379,7 +420,7 @@ def bloom_anti_join(left_ds, right_ds, left_key: str, right_key: str,
         return pa.table({"blob": pa.array([bf.dumps()], pa.binary())})
 
     blobs = [t.column("blob").to_pylist()
-             for t in ray.get(arrow_refs(right_ds.select_columns([right_key])
+             for t in ray.get(arrow_refs(right_keys
                               .map_batches(bloom_partial,
                                            batch_format="pyarrow")
                               ))]
@@ -418,15 +459,19 @@ def bloom_anti_join(left_ds, right_ds, left_key: str, right_key: str,
                 "__side": pa.array([side] * b.num_rows, pa.string()),
             }
             for name, typ in out_fields:
-                cols[name] = (b.column(name).combine_chunks()
-                              if name in b.column_names
-                              else pa.nulls(b.num_rows, typ))
+                if name in b.column_names:
+                    col = b.column(name).combine_chunks()
+                    if pa.types.is_integer(typ) and b.num_rows:
+                        _guard_int_precision(col, name)
+                    cols[name] = col
+                else:
+                    cols[name] = pa.nulls(b.num_rows, typ)
             return pa.table(cols)
         return f
 
     maybe_tagged = (left_ds.map_batches(split(True), batch_format="pyarrow")
                     .map_batches(tag("l", left_key), batch_format="pyarrow")
-                    .union(right_ds.select_columns([right_key])
+                    .union(right_keys
                            .map_batches(tag("r", right_key),
                                         batch_format="pyarrow")))
 

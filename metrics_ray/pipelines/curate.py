@@ -206,9 +206,15 @@ def dedup_drop_ds(factory):
     ties. The content hash covers only (bytes, transcript), so members of
     one group can differ in sr_hz/dur_ms/codec — a blindly-lexicographic
     keeper could be the one copy phase 2's metadata gate rejects, losing
-    content that had a perfectly curate-able duplicate. (Decode-level
-    gates — VAD/clipping — run on the payload, which is identical within
-    a group, so they cannot split a group the same way.) Shuffle payload
+    content that had a perfectly curate-able duplicate. Decode-level
+    gates (VAD/clipping) run on the payload, which is identical within a
+    group — but their FRAME GEOMETRY derives from the declared sr_hz,
+    which the content hash excludes: two meta-VALID members declaring
+    different rates can still split on speech_ratio, and the keeper
+    choice cannot see that (known residual gap; closing it would mean
+    either hashing sr_hz into the content key — changing dedup
+    semantics and the val_content_dedup oracle — or a decode-aware
+    keeper pass; both deliberate non-goals for now). Shuffle payload
     is the projected (key, partition, clip_id, meta_ok) stream only."""
     import pandas as pd
 
@@ -286,12 +292,6 @@ def _stats_and_kept_keys(refs) -> tuple[dict[str, int], list[pa.Table]]:
     return counts, kept_keys
 
 
-def _partition_rows(part_dir: str) -> int:
-    """Input row count from parquet footers — no Ray job, no scan."""
-    return sum(pq.read_metadata(os.path.join(part_dir, f)).num_rows
-               for f in os.listdir(part_dir) if f.endswith(".parquet"))
-
-
 def _curate_partition(part_dir: str, out_part_dir: str, drop_ids: set,
                       stage: CurationStage, pack_cap_ms: int) -> dict:
     """Curate one partition's files; returns its counts. The decode fan-out
@@ -301,7 +301,6 @@ def _curate_partition(part_dir: str, out_part_dir: str, drop_ids: set,
     import ray.data as rd
 
     ds = rd.read_parquet(part_dir, columns=list(CurationStage.columns))
-    n_input = _partition_rows(part_dir)
     staged = ds.map_batches(stage, batch_format="pyarrow", batch_size=128)
     # partition-scoped materialization (bounded by shard size by design);
     # the from_arrow_refs re-wrap pins downstream transforms to the
@@ -311,6 +310,11 @@ def _curate_partition(part_dir: str, out_part_dir: str, drop_ids: set,
     staged_refs = staged.materialize().to_arrow_refs()
     mat = rd.from_arrow_refs(staged_refs)
     counts, kept_keys = _stats_and_kept_keys(staged_refs)
+    # the stage emits exactly one reason row per input row, so the stats
+    # wave already carries the input count — a separate per-file footer
+    # read (the old _partition_rows) was redundant driver I/O and a
+    # second accounting that could disagree with the stage's own
+    n_input = sum(counts.values())
 
     # pack assignment over kept keys (clip_id unique within a partition)
     if kept_keys:

@@ -60,7 +60,11 @@ def shard_assign(keys: pd.DataFrame, shard_ms: int = SHARD_MS
     clip_id order, shard = exclusive-prefix-duration // shard_ms (the
     pack_clips cut). Non-positive durations are excluded (they are the
     range check's violations, not trainable samples)."""
-    keys = keys[keys["dur_ms"] > 0].sort_values("clip_id", kind="stable")
+    # duplicate check BEFORE the duration filter: a duplicate pair where
+    # one copy has non-positive duration would otherwise evade this guard
+    # while the writers' clip_id-keyed row filters still pass BOTH copies
+    # (colliding tar member names, inflated n_members — committed
+    # silently in exchange mode)
     dup = keys["clip_id"].duplicated()
     if dup.any():
         # within-partition clip_id uniqueness is the layout invariant this
@@ -71,6 +75,7 @@ def shard_assign(keys: pd.DataFrame, shard_ms: int = SHARD_MS
             "duplicate clip_id within a partition "
             f"(e.g. {keys.loc[dup, 'clip_id'].iloc[0]!r}); run the "
             "key-uniqueness check / dedup before sharding")
+    keys = keys[keys["dur_ms"] > 0].sort_values("clip_id", kind="stable")
     dur = keys["dur_ms"].to_numpy(dtype="int64")
     prefix = np.cumsum(dur) - dur
     return pd.DataFrame({
@@ -431,19 +436,21 @@ def verify_webdataset(root: str):
                               pdir, f"shard-{int(s['shard_idx']):05d}.tar"),
                           "sha256": s["sha256"],
                           "n_members": int(s["n_members"])})
+        # exact-FILENAME comparison: parsing digits would let a stray
+        # shard-1.tar alias listed shard-00001.tar and evade the audit
+        listed_names = {f"shard-{sid:05d}.tar" for sid in listed}
         for f_ in os.listdir(pdir):
-            if not f_.endswith(".tar"):
+            if not f_.endswith(".tar") or f_ in listed_names:
                 continue
-            stem = f_[len("shard-"):-len(".tar")] \
-                if f_.startswith("shard-") else ""
             # ANY tar the manifest doesn't list is a violation — including
             # misnamed ones (backup.tar, shard-old.tar), which must be
             # reported, not crash the audit on int()
+            stem = f_[len("shard-"):-len(".tar")] \
+                if f_.startswith("shard-") else ""
             sid = int(stem) if stem.isdigit() else -1
-            if sid not in listed:
-                items.append({"partition": part, "shard_idx": sid,
-                              "path": os.path.join(pdir, f_),
-                              "sha256": None, "n_members": -1})
+            items.append({"partition": part, "shard_idx": sid,
+                          "path": os.path.join(pdir, f_),
+                          "sha256": None, "n_members": -1})
 
     def audit(b: pa.Table) -> pa.Table:
         rows = {"partition": [], "shard_idx": [], "ok": [], "reason": []}
@@ -518,10 +525,34 @@ def write_webdataset_sf(sf_dir: str, out_dir: str,
     from .. import harden_fsspec_race
     from ..pipelines.clips import ensure_clips_hive
 
+    if mode not in ("auto", "tasks", "exchange"):
+        raise ValueError(f"unknown mode {mode!r} "
+                         "(expected 'auto', 'tasks' or 'exchange')")
     harden_fsspec_race()
     hive = ensure_clips_hive(sf_dir, replicas=replicas)
     parts = sorted(d for d in os.listdir(hive) if d.startswith("partition="))
     os.makedirs(out_dir, exist_ok=True)
+
+    # resume config fingerprint (the curate.py _CONFIG contract): a
+    # re-run with a different shard budget or source replication would
+    # otherwise silently keep partitions committed under the OLD
+    # parameters and mix layouts in one corpus
+    cfg = {"shard_ms": int(shard_ms), "replicas": int(replicas),
+           "sf_dir": os.path.normpath(sf_dir)}
+    cfg_path = os.path.join(out_dir, "_CONFIG.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            prior = json.load(f)
+        if prior != cfg:
+            raise ValueError(
+                f"{out_dir} was written with config {prior}; resuming "
+                f"with {cfg} would mix shard layouts — use a fresh "
+                "out_dir or delete the old one")
+    else:
+        tmp_cfg = cfg_path + ".tmp"
+        with open(tmp_cfg, "w") as f:
+            json.dump(cfg, f, sort_keys=True)
+        os.replace(tmp_cfg, cfg_path)
 
     manifest: dict = {"partitions": {}, "resumed_skips": 0}
     pending: list[str] = []

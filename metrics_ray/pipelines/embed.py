@@ -38,7 +38,7 @@ EMB_DIM = 64  # the embeddings table's declared vector width
 _LSH_BITS = 8     # bits per table
 _LSH_TABLES = 8   # candidate = same bucket in ANY table
 _HYPER = np.random.RandomState(7).standard_normal(
-    (_LSH_TABLES * _LSH_BITS, 64))
+    (_LSH_TABLES * _LSH_BITS, EMB_DIM))
 
 
 def embeddings_ds(sf_dir: str, columns=None):
@@ -142,12 +142,16 @@ def q_emb_norm_check(sf_dir: str) -> pa.Table:
                     .map_batches(check, batch_format="pyarrow"), ["vec_id"])
 
 
+# COALESCE: DuckDB's list_sum([]) is NULL while the engine's sumsq for a
+# zero-length embedding is an exact 0.0 (is_zero=True) — without it a
+# dim-violation row would hash-mismatch
 SQL_EMB_NORM_CHECK = """SELECT vec_id,
        len(embedding) AS dim,
        len(list_filter(embedding, x -> isnan(x))) AS n_nan,
-       list_sum(list_transform(embedding,
+       COALESCE(list_sum(list_transform(embedding,
                 x -> CASE WHEN isnan(x) THEN 0.0
-                          ELSE CAST(x AS DOUBLE) * CAST(x AS DOUBLE) END)) = 0.0
+                          ELSE CAST(x AS DOUBLE) * CAST(x AS DOUBLE) END)),
+                0.0) = 0.0
            AS is_zero
 FROM embeddings ORDER BY vec_id"""
 
@@ -470,6 +474,11 @@ def sample_matrix(ds, rate_inv: int = 4, seed: int = 0x1F3D) -> np.ndarray:
     tables = [t for t in
               ray.get(arrow_refs(ds.map_batches(samp, batch_format="pyarrow")
                       )) if t.num_rows]
+    if not tables:
+        raise ValueError(
+            f"embedding training sample is EMPTY (1/{rate_inv} hash-sample "
+            "matched no rows) — the corpus is too small for this sampling "
+            "rate; lower rate_inv or use the full corpus")
     t = pa.concat_tables(tables)
     # canonical vec_id order: block arrival order varies with the worker
     # count/layout, and downstream k-means (seeded init from row
@@ -602,8 +611,13 @@ def q_emb_knn_ivf(sf_dir: str) -> pa.Table:
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
     # centroids train on a distributed 1/4 hash-sample of the corpus (the
-    # driver never materializes the full matrix)
-    C = _ivf_centroids(sample_matrix(vcorpus_ds(sf_dir), rate_inv=4))
+    # driver never materializes the full matrix). Train on the SAME table
+    # the scan reads (embeddings), not the near-dup-augmented vcorpus —
+    # the ~9% synthetic perturbed copies would skew cells toward seeded
+    # clones, and the derivation pass bought nothing (the PQ paths'
+    # convention)
+    C = _ivf_centroids(sample_matrix(
+        embeddings_ds(sf_dir, ["vec_id", "embedding"]), rate_inv=4))
     # per-query probe set: nearest IVF_NPROBE cells
     probe = np.argsort(-(Qn @ C.T), axis=1)[:, :IVF_NPROBE]
     ref = ray.put((qids, Qn, C, probe))
@@ -685,7 +699,7 @@ PROJ_K = 16
 _PROJ_SEED = 13
 
 
-def _proj_matrix(d: int = 64, k: int = PROJ_K) -> np.ndarray:
+def _proj_matrix(d: int = EMB_DIM, k: int = PROJ_K) -> np.ndarray:
     signs = np.random.RandomState(_PROJ_SEED).choice(
         [-1.0, 1.0], size=(d, k))
     return signs / np.sqrt(k)
@@ -754,6 +768,10 @@ def q_emb_quantize(sf_dir: str) -> pa.Table:
 
     def minmax(b: pa.Table) -> pa.Table:
         m = _emb_matrix(b)
+        if not len(m):  # empty fragment: no partial (min of 0 rows raises)
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.list_(pa.float64())),
+                             "hi": pa.array([], pa.list_(pa.float64()))})
         return pa.table({
             "part": pa.array([0], pa.int64()),
             "lo": pa.array([m.min(axis=0)], pa.list_(pa.float64())),
@@ -763,6 +781,10 @@ def q_emb_quantize(sf_dir: str) -> pa.Table:
     parts = _collect(
         embeddings_ds(sf_dir, ["embedding"])
         .map_batches(minmax, batch_format="pyarrow"), ["part"])
+    if parts is None or parts.num_rows == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "mse": pa.array([], pa.float64()),
+                         "max_abs_err": pa.array([], pa.float64())})
     lo = np.min(np.array(parts.column("lo").to_pylist()), axis=0)
     hi = np.max(np.array(parts.column("hi").to_pylist()), axis=0)
     scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
@@ -843,6 +865,25 @@ def _pq_codebooks(M: np.ndarray, m: int = PQ_SUBSPACES,
     return np.stack(books)
 
 
+def _pq_codebooks_for(sf_dir: str) -> np.ndarray:
+    """Session-memoized PQ codebooks per sf_dir: q_emb_pq and
+    q_emb_knn_pq train the SAME deterministic books — one sampling scan
+    + one k-means per (sf_dir, session), not one per query (the
+    q_emb_neardup memo precedent)."""
+    from .. import ray_session_tag
+
+    return _pq_codebooks_cached(sf_dir, ray_session_tag()).copy()
+
+
+from functools import lru_cache as _lru  # noqa: E402
+
+
+@_lru(maxsize=4)
+def _pq_codebooks_cached(sf_dir: str, _session: str) -> np.ndarray:
+    return _pq_codebooks(sample_matrix(
+        embeddings_ds(sf_dir, ["vec_id", "embedding"]), rate_inv=4))
+
+
 def _pq_encode(Mn: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n, d) → (n, m) uint8 codes: per-subspace nearest centroid."""
     m, _k, sub = books.shape
@@ -872,8 +913,7 @@ def q_emb_pq(sf_dir: str) -> pa.Table:
     certifies cross-cpu determinism."""
     import ray
 
-    books = _pq_codebooks(sample_matrix(
-        embeddings_ds(sf_dir, ["vec_id", "embedding"]), rate_inv=4))
+    books = _pq_codebooks_for(sf_dir)
     ref = ray.put(books)
 
     def encode(b: pa.Table) -> pa.Table:
@@ -941,8 +981,7 @@ def q_emb_knn_pq(sf_dir: str) -> pa.Table:
         np.int64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
-    books = _pq_codebooks(sample_matrix(
-        embeddings_ds(sf_dir, ["vec_id", "embedding"]), rate_inv=4))
+    books = _pq_codebooks_for(sf_dir)
     m, k, sub = books.shape
     # ADC tables: T[q, s, c] = <query subvector s, codebook s centroid c>
     T = np.einsum("qsd,skd->qsk",
@@ -989,12 +1028,11 @@ def q_emb_knn_pq(sf_dir: str) -> pa.Table:
         .map_batches(topk, batch_format="pyarrow"),
         ["query_id", "neighbor_id"])
     if parts is None:
-        return pa.table({"query_id": pa.array([], pa.int64()),
-                         "neighbor_id": pa.array([], pa.int64()),
-                         "cos": pa.array([], pa.float64())})
+        return _TOPK_SCHEMA.empty_table()
     df = parts.to_pandas()
     # global ADC shortlist per query (adc desc, neighbor asc), then exact
-    # re-rank of the shortlist (cos desc, neighbor asc)
+    # re-rank of the shortlist (cos desc, neighbor asc) — same output
+    # schema as the rest of the knn family (rank included)
     df = (df.sort_values(["query_id", "adc", "neighbor_id"],
                          ascending=[True, False, True], kind="stable")
           .groupby("query_id", sort=True).head(PQ_SHORTLIST * KNN_K))
@@ -1002,8 +1040,10 @@ def q_emb_knn_pq(sf_dir: str) -> pa.Table:
                          ascending=[True, False, True], kind="stable")
           .groupby("query_id", sort=True).head(KNN_K)
           .reset_index(drop=True))
+    rank = df.groupby("query_id", sort=False).cumcount() + 1
     return pa.table({
         "query_id": pa.array(df["query_id"].to_numpy(), pa.int64()),
+        "rank": pa.array(rank.to_numpy(np.int64)),
         "neighbor_id": pa.array(df["neighbor_id"].to_numpy(), pa.int64()),
         "cos": pa.array(df["cos"].to_numpy(), pa.float64()),
     })
@@ -1021,8 +1061,6 @@ def q_emb_drift(sf_dir: str) -> pa.Table:
     MEAN vectors (positive scaling invariance), so no division happens
     before the merge — bitwise-stable under any batch layout."""
     from ray.data.aggregate import Sum
-
-    from ..functions.rounding import round_half_away
 
     def partial(b: pa.Table) -> pa.Table:
         vec_id = b.column("vec_id").to_numpy(zero_copy_only=False).astype(
@@ -1162,16 +1200,12 @@ def q_emb_kcenter(sf_dir: str) -> pa.Table:
         parts = [t.to_pandas() for t in ray.get(arrow_refs(
             cols_ds().map_batches(far_partial, batch_format="pyarrow")))
             if t.num_rows and "dist" in t.schema.names]
-        import pandas as pd
-
         best = (pd.concat(parts, ignore_index=True)
                 .sort_values(["dist", "vec_id"], ascending=[False, True])
                 .iloc[0])
         centers.append((int(best["vec_id"]),
                         np.array(best["vec"], dtype=np.float64)))
         dists.append(float(best["dist"]))
-
-    from ..functions.rounding import round_half_away
 
     return pa.table({
         "rank": pa.array(list(range(len(centers))), pa.int64()),
@@ -1188,8 +1222,6 @@ def q_emb_centroids(sf_dir: str) -> pa.Table:
     regardless of batch size — one tiny groupby-sum, division only
     after the merge (same shape as q_emb_drift)."""
     from ray.data.aggregate import Sum
-
-    from ..functions.rounding import round_half_away
 
     def partial(b: pa.Table) -> pa.Table:
         lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1254,8 +1286,6 @@ def q_emb_outliers(sf_dir: str) -> pa.Table:
     rounded to 6 decimals on BOTH sides before thresholding."""
     import ray
 
-    from ..functions.rounding import round_half_away
-
     cent = q_emb_centroids(sf_dir).to_pandas()
     cmap = {int(lv): sub.sort_values("dim")["centroid"].to_numpy(np.float64)
             for lv, sub in cent.groupby("label")}
@@ -1286,8 +1316,6 @@ def q_emb_outliers(sf_dir: str) -> pa.Table:
     partials = [t for t in ray.get(arrow_refs(
         embeddings_ds(sf_dir, ["embedding", "label"])
         .map_batches(moments, batch_format="pyarrow"))) if t.num_rows]
-    import pandas as pd
-
     agg = (pa.concat_tables(partials).to_pandas()
            .sort_values(["label", "n", "mean"], kind="stable"))
     stats = {}

@@ -188,6 +188,16 @@ def keyed_from_config(cfg: dict | str,
     index require the ``transcript_index_ds`` callable."""
     cfg = _load_cfg(cfg)
     out: dict = {}
+    if transcript_index_ds is not None:
+        # memoize: a config listing BOTH referential_dist and
+        # transcript_editdist would otherwise derive the transcript
+        # index dataset once per audit instead of once per run
+        _orig, _memo = transcript_index_ds, []
+
+        def transcript_index_ds():
+            if not _memo:
+                _memo.append(_orig())
+            return _memo[0]
     env = {"transcript_index_ds": transcript_index_ds}
     for i, entry in enumerate(cfg.get("keyed", [])):
         t = entry.get("type")

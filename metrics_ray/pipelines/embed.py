@@ -355,9 +355,15 @@ WHERE rank <= {HARDNEG_K} ORDER BY query_id, rank"""
 from functools import lru_cache
 
 
-@lru_cache(maxsize=4)  # pure function of sf_dir; pa.Table is immutable.
-# Per-process memo shared with q_emb_dup_clusters (same pair graph).
 def q_emb_neardup(sf_dir: str) -> pa.Table:
+    """Per-process memo shared with q_emb_dup_clusters (same pair
+    graph); keyed on the embeddings.parquet fingerprint so in-process
+    regeneration invalidates (same class as _pq_codebooks_cached)."""
+    return _emb_neardup_impl(sf_dir, _emb_fingerprint(sf_dir))
+
+
+@lru_cache(maxsize=4)  # pa.Table result is immutable.
+def _emb_neardup_impl(sf_dir: str, _fp: tuple) -> pa.Table:
     """Exact cosine near-duplicate pairs over the vcorpus (cos >= tau,
     vec_a < vec_b): per-batch matmul against the broadcast normalized
     corpus matrix. DELIBERATELY the small-scale exact baseline — it is
@@ -865,21 +871,36 @@ def _pq_codebooks(M: np.ndarray, m: int = PQ_SUBSPACES,
     return np.stack(books)
 
 
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    """Cheap (mtime_ns, size) fingerprint of embeddings.parquet — memo
+    keys include it so regenerating the table IN-PROCESS within one Ray
+    session invalidates cached codebooks instead of serving stale ones
+    (mirrors queries.py:_sf_fingerprint)."""
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
+
+
 def _pq_codebooks_for(sf_dir: str) -> np.ndarray:
     """Session-memoized PQ codebooks per sf_dir: q_emb_pq and
     q_emb_knn_pq train the SAME deterministic books — one sampling scan
-    + one k-means per (sf_dir, session), not one per query (the
-    q_emb_neardup memo precedent)."""
+    + one k-means per (sf_dir, source fingerprint, session), not one per
+    query (the q_emb_neardup memo precedent)."""
     from .. import ray_session_tag
 
-    return _pq_codebooks_cached(sf_dir, ray_session_tag()).copy()
+    return _pq_codebooks_cached(sf_dir, _emb_fingerprint(sf_dir),
+                                ray_session_tag()).copy()
 
 
 from functools import lru_cache as _lru  # noqa: E402
 
 
 @_lru(maxsize=4)
-def _pq_codebooks_cached(sf_dir: str, _session: str) -> np.ndarray:
+def _pq_codebooks_cached(sf_dir: str, _fp: tuple,
+                         _session: str) -> np.ndarray:
     return _pq_codebooks(sample_matrix(
         embeddings_ds(sf_dir, ["vec_id", "embedding"]), rate_inv=4))
 

@@ -1984,6 +1984,7 @@ def q_footer_profile(sf_dir: str, replicas: int = 1) -> pa.Table:
     import ray.data as rd
     from ray.data.aggregate import Max, Min, Sum
 
+    from ..checks.keyed import shuffle_blocks
     from .clips import ensure_clips_hive
 
     hive = ensure_clips_hive(sf_dir, replicas=replicas)
@@ -2005,15 +2006,18 @@ def q_footer_profile(sf_dir: str, replicas: int = 1) -> pa.Table:
                 dur = g.column(idx["dur_ms"]).statistics
                 sr = g.column(idx["sr_hz"]).statistics
                 tr = g.column(idx["transcript"]).statistics
-                if dur is None or sr is None or tr is None:
-                    # a writer that disabled column statistics must fail
-                    # LOUDLY — silently skipping the row group would
-                    # report a profile that excludes real rows
+                if (dur is None or sr is None or tr is None
+                        or not dur.has_min_max or not sr.has_min_max):
+                    # a writer that disabled column statistics (or one
+                    # that records only null_count, no min/max) must
+                    # fail LOUDLY — silently skipping the row group
+                    # would report a profile that excludes real rows
                     raise ValueError(
-                        f"{path} row group {rg} carries no column "
-                        "statistics — footer profiling needs "
-                        "write_statistics=True (or use the full-scan "
-                        "column profile, val_column_profile)")
+                        f"{path} row group {rg} carries no usable column "
+                        "statistics (missing or min/max-less) — footer "
+                        "profiling needs write_statistics=True (or use "
+                        "the full-scan column profile, "
+                        "val_column_profile)")
                 parts.append(int(part))
                 rows.append(g.num_rows)
                 dmin.append(int(dur.min)); dmax.append(int(dur.max))
@@ -2032,7 +2036,7 @@ def q_footer_profile(sf_dir: str, replicas: int = 1) -> pa.Table:
     out = _collect_simple(
         rd.from_items(items)
         .map_batches(footer, batch_format="pyarrow")
-        .groupby("partition", num_partitions=4)
+        .groupby("partition", num_partitions=shuffle_blocks())
         .aggregate(Sum("n_rows", alias_name="n_rows"),
                    Min("dur_min", alias_name="dur_min"),
                    Max("dur_max", alias_name="dur_max"),

@@ -164,6 +164,15 @@ def _check_param_digest(chk: BatchCheck) -> str:
     return json.dumps(prim, sort_keys=True, default=str)
 
 
+# Checkpoint-format version. Bump whenever the fingerprint RECIPE
+# changes (param-digest canonicalization, keyed_spec tail, …): old
+# checkpoints then refuse resume with an explicit format-migration
+# message instead of a generic mismatch (they would be refused anyway —
+# the recipe change shifts every digest — but the version token lets the
+# error say WHY).
+CKPT_FORMAT_VERSION = 2
+
+
 def _suite_fingerprint(checks: list[BatchCheck], parquet_dir: str,
                        keyed_spec: str | None = None) -> str:
     """Suite identity for the resume guard. ``keyed_spec`` (a canonical
@@ -176,7 +185,8 @@ def _suite_fingerprint(checks: list[BatchCheck], parquet_dir: str,
         f"{c.check_id}:{_check_param_digest(c)}" for c in checks))
     tail = "" if keyed_spec is None else f"|{keyed_spec}"
     return hashlib.sha256(
-        f"{ids}|{parquet_dir}{tail}".encode()).hexdigest()[:16]
+        f"v{CKPT_FORMAT_VERSION}|{ids}|{parquet_dir}{tail}"
+        .encode()).hexdigest()[:16]
 
 
 def lineage_signature(files: list[str]) -> list[list]:
@@ -244,10 +254,22 @@ def checkpointed_validate(
     manifest = store.read_manifest()
     fp = _suite_fingerprint(checks, parquet_dir, keyed_spec)
     if manifest["fingerprint"] not in (None, fp):
+        old_ver = manifest.get("format_version")
+        if old_ver != CKPT_FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} was written by checkpoint "
+                f"format v{old_ver or 1}; this library writes "
+                f"v{CKPT_FORMAT_VERSION} — upgrading the library "
+                "invalidates old checkpoints; delete the checkpoint "
+                "directory (or point at a fresh one) to re-validate "
+                "from scratch")
         raise ValueError(
             f"checkpoint {checkpoint_dir} belongs to a different run "
-            f"({manifest['fingerprint']} != {fp})")
+            f"({manifest['fingerprint']} != {fp}) — the check list, "
+            "check parameters, keyed-audit spec, or input path changed "
+            "since the checkpoint was written")
     manifest["fingerprint"] = fp
+    manifest["format_version"] = CKPT_FORMAT_VERSION
 
     parts = partition_dirs(parquet_dir)
     if not parts:

@@ -430,3 +430,63 @@ def test_stale_data_invalidates_keyed_results(sf_unit, tmp_path_factory):
     dup1 = set(dup1[dup1.check_id == "clipid_unique_exact"].clip_id)
     assert new_id in dup1  # keyed audit re-ran over the changed data
     assert dup0 < dup1
+
+
+def test_fingerprint_format_migration_message(sf_unit, tmp_path_factory):
+    """A checkpoint written under an older fingerprint FORMAT must refuse
+    resume with a message naming the version migration, not the generic
+    different-run error."""
+    import json
+
+    from metrics_ray.checks.stateless import NonNullCheck
+    from metrics_ray.pipelines.clips import ensure_clips_hive
+    from metrics_ray.state.checkpoint import (CKPT_FORMAT_VERSION,
+                                              checkpointed_validate)
+
+    d = str(tmp_path_factory.mktemp("ckpt_ver"))
+    path = ensure_clips_hive(sf_unit)
+    checkpointed_validate(path, [NonNullCheck("t", "transcript")],
+                          checkpoint_dir=d, concurrency=2)
+    mpath = os.path.join(d, "MANIFEST.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    assert m["format_version"] == CKPT_FORMAT_VERSION
+    # simulate a pre-upgrade checkpoint: stale digest, old format token
+    m["fingerprint"] = "deadbeefdeadbeef"
+    m["format_version"] = CKPT_FORMAT_VERSION - 1
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="format v"):
+        checkpointed_validate(path, [NonNullCheck("t", "transcript")],
+                              checkpoint_dir=d, concurrency=2)
+
+
+def test_keyed_config_memoizes_index_builder(sf_unit):
+    """A config listing BOTH index-consuming audits must derive the
+    transcript index dataset ONCE per run, not once per audit (the
+    builder callable is wrapped with a memoizing closure)."""
+    import ray.data as rd
+
+    from metrics_ray.config import keyed_from_config
+    from metrics_ray.pipelines.clips import (ensure_clips_parquet,
+                                             transcript_index_ds)
+
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return transcript_index_ds(sf_unit, 1)
+
+    keyed = keyed_from_config(
+        {"keyed": [{"type": "referential_dist", "id": "ref"},
+                   {"type": "transcript_editdist", "id": "ed", "cap": 4}]},
+        transcript_index_ds=builder)
+
+    def factory(columns=None):
+        return rd.read_parquet(ensure_clips_parquet(sf_unit),
+                               columns=columns)
+
+    a = keyed["ref"](factory)
+    b = keyed["ed"](factory)
+    assert a.count() >= 0 and b.count() >= 0
+    assert len(calls) == 1, f"index built {len(calls)} times, want 1"

@@ -292,3 +292,40 @@ def test_pq_adc_knn_recall(sf_unit):
     merged = adc.merge(exact, on=["query_id", "neighbor_id"],
                        suffixes=("_adc", "_exact"))
     assert (merged.cos_adc == merged.cos_exact).all()
+
+
+def test_pq_codebook_cache_invalidates_on_regeneration(tmp_path):
+    """Regenerating embeddings.parquet IN-PROCESS (same Ray session,
+    same sf_dir path) must retrain the PQ codebooks — the memo is keyed
+    on a (mtime_ns, size) source fingerprint, not sf_dir alone (round-5
+    advisory)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metrics_ray.pipelines.embed import _pq_codebooks_for
+
+    d = str(tmp_path)
+
+    def write(seed):
+        rng = np.random.default_rng(seed)
+        n, dim = 64, 64
+        M = rng.normal(size=(n, dim)).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in M],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+        })
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+
+    write(1)
+    books1 = _pq_codebooks_for(d)
+    books1_again = _pq_codebooks_for(d)
+    assert np.array_equal(books1, books1_again)  # memo hit, same source
+    write(2)  # regenerate in-process: mtime/size fingerprint changes
+    books2 = _pq_codebooks_for(d)
+    assert not np.array_equal(books1, books2), \
+        "stale codebooks served after source regeneration"

@@ -334,3 +334,35 @@ def test_footer_profile_aggregates_row_groups_and_files(tmp_path, monkeypatch):
         {"partition": 1, "n_rows": 4, "dur_min": 30, "dur_max": 60,
          "sr_min": 8000, "sr_max": 44100, "transcript_nulls": 2},
     ]
+
+def test_footer_profile_refuses_min_max_less_stats(tmp_path, monkeypatch):
+    """Row-group stats that carry only null_count (all-null column →
+    has_min_max False) must raise the loud write_statistics guidance
+    error, not TypeError from int(None)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    import metrics_ray.pipelines.queries as Q
+
+    hive = tmp_path / "hive"
+    pdir = hive / "partition=0"
+    os.makedirs(pdir, exist_ok=True)
+    t = pa.table({
+        "clip_id": pa.array(["a0", "a1"], pa.string()),
+        "dur_ms": pa.array([None, None], pa.int32()),  # all-null: no min/max
+        "sr_hz": pa.array([8000, 16000], pa.int32()),
+        "transcript": pa.array(["x", "y"], pa.string()),
+    })
+    pq.write_table(t, pdir / "f0.parquet")
+    # confirm the fixture really produces min/max-less stats
+    st = pq.ParquetFile(pdir / "f0.parquet").metadata.row_group(0) \
+        .column(1).statistics
+    assert st is not None and not st.has_min_max
+
+    monkeypatch.setattr(
+        "metrics_ray.pipelines.clips.ensure_clips_hive",
+        lambda sf_dir, **kw: str(hive))
+    with pytest.raises(Exception, match="statistics"):
+        Q.q_footer_profile("unused")

@@ -112,7 +112,7 @@ def test_emb_neardup_broadcast_size_guard(sf_unit, monkeypatch):
     from metrics_ray.pipelines import embed
 
     monkeypatch.setattr(embed, "CORPUS_BROADCAST_MAX_ROWS", 10)
-    embed.q_emb_neardup.cache_clear()
+    embed._emb_neardup_impl.cache_clear()
     with pytest.raises(ValueError, match="broadcast ceiling"):
         embed.q_emb_neardup(sf_unit)
-    embed.q_emb_neardup.cache_clear()
+    embed._emb_neardup_impl.cache_clear()

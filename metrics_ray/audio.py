@@ -68,35 +68,138 @@ def n_samples_for(sr_hz: int, dur_ms: int) -> int:
     return int(round(sr_hz * dur_ms / 1000.0))
 
 
-# ---------------------------------------------------------------- fake codecs
-# 4-byte magic prefixes let the decoder detect the ACTUAL codec of a payload
-# independently of the declared `codec` column (MisreportedContentType's
-# determineActualContentType analog).
+# ---------------------------------------------------------------- codecs
+# Pluggable codec registry: 4-byte magic prefixes let the decoder detect
+# the ACTUAL codec of a payload independently of the declared `codec`
+# column (MisreportedContentType's determineActualContentType analog).
+# The four built-ins are DETERMINISTIC FAKES (no audio libraries in the
+# container); a real deployment drops in ffmpeg/soundfile by calling
+# ``register_codec`` with its own body codecs — DecodeCheck,
+# PayloadSizeCheck, the transform stages and the curation pipeline all
+# dispatch through this table and need zero edits.
 
-MAGIC = {
-    "pcm_s16le": b"PCM1",
-    "flac": b"FLC1",
-    "mp3": b"MP31",
-    "opus": b"OPS1",
-}
-_MAGIC_REV = {v: k for k, v in MAGIC.items()}
+from dataclasses import dataclass as _dataclass
+from typing import Callable as _Callable
+
+
+@_dataclass(frozen=True)
+class Codec:
+    """One registered codec.
+
+    ``decode_body`` must return float32 PCM in [-1, 1] and raise
+    ValueError on corrupt input; ``bytes_per_sample`` is set only for
+    FIXED-RATE codecs (enables the pre-decode size-plausibility triage —
+    compressed codecs have no closed-form size and stay decode-checked).
+    """
+
+    name: str
+    magic: bytes
+    encode_body: _Callable[[np.ndarray], bytes]
+    decode_body: _Callable[[bytes], np.ndarray]
+    bytes_per_sample: int | None = None
+
+
+_CODECS: dict[str, Codec] = {}
+_BY_MAGIC: dict[bytes, Codec] = {}
+
+
+def register_codec(codec: Codec) -> None:
+    """Add (or replace) a codec. Magic must be exactly 4 bytes and not
+    collide with a DIFFERENT codec's magic — a silent collision would
+    misattribute every payload of the loser."""
+    if len(codec.magic) != 4:
+        raise ValueError(f"codec {codec.name!r}: magic must be 4 bytes")
+    claimed = _BY_MAGIC.get(codec.magic)
+    if claimed is not None and claimed.name != codec.name:
+        raise ValueError(
+            f"codec {codec.name!r}: magic {codec.magic!r} already "
+            f"registered by {claimed.name!r}")
+    old = _CODECS.get(codec.name)
+    if old is not None and old.magic != codec.magic:
+        _BY_MAGIC.pop(old.magic, None)
+    _CODECS[codec.name] = codec
+    _BY_MAGIC[codec.magic] = codec
+
+
+def unregister_codec(name: str) -> None:
+    c = _CODECS.pop(name, None)
+    if c is not None:
+        _BY_MAGIC.pop(c.magic, None)
+
+
+def fixed_rate_magics() -> list[bytes]:
+    """Magics of codecs with a closed-form body size (the size-triage
+    eligibility set), in registration order."""
+    return [c.magic for c in _CODECS.values()
+            if c.bytes_per_sample is not None]
+
+
+def bytes_per_sample(magic: bytes) -> int | None:
+    c = _BY_MAGIC.get(bytes(magic))
+    return None if c is None else c.bytes_per_sample
+
+
+def _q_encode(pcm: np.ndarray, full: float) -> bytes:
+    q = np.clip(np.rint(pcm * full), -full - 1, full).astype("<i2")
+    return q.tobytes()
+
+
+def _q_decode(body: bytes, full: float) -> np.ndarray:
+    if len(body) % 2:
+        raise ValueError("odd payload length")
+    return np.frombuffer(body, dtype="<i2").astype(np.float32) / full
+
+
+def _z_decode(body: bytes, full: float, name: str) -> np.ndarray:
+    try:
+        body = zlib.decompress(body)
+    except zlib.error as e:  # truncated / garbled
+        raise ValueError(f"corrupt {name} stream: {e}") from e
+    return _q_decode(body, full)
+
+
+for _c in (
+    Codec("pcm_s16le", b"PCM1",
+          lambda p: _q_encode(p, 32767.0),
+          lambda b: _q_decode(b, 32767.0), bytes_per_sample=2),
+    # lossless: zlib over int16 samples
+    Codec("flac", b"FLC1",
+          lambda p: zlib.compress(_q_encode(p, 32767.0), 6),
+          lambda b: _z_decode(b, 32767.0, "flac")),
+    # lossy: 12-bit quantization (~66 dB SNR), fixed 2 B/sample
+    Codec("mp3", b"MP31",
+          lambda p: _q_encode(p, 2047.0),
+          lambda b: _q_decode(b, 2047.0), bytes_per_sample=2),
+    # lossy: 10-bit quantization + zlib (~54 dB SNR)
+    Codec("opus", b"OPS1",
+          lambda p: zlib.compress(_q_encode(p, 511.0), 6),
+          lambda b: _z_decode(b, 511.0, "opus")),
+):
+    register_codec(_c)
+
+
+class _MagicView(dict):
+    """Live name → magic view over the registry (kept as ``MAGIC`` for
+    the existing callers/fixtures that read it as a dict)."""
+
+    def __missing__(self, name):  # registry is the source of truth
+        return _CODECS[name].magic
+
+
+def _magic_map() -> dict[str, bytes]:
+    return {n: c.magic for n, c in _CODECS.items()}
+
+
+MAGIC = _MagicView(_magic_map())
 
 
 def encode(pcm: np.ndarray, codec: str) -> bytes:
-    """Encode float32 PCM [-1,1] into a deterministic fake-codec payload."""
-    if codec == "pcm_s16le":
-        q = np.clip(np.rint(pcm * 32767.0), -32768, 32767).astype("<i2")
-        return MAGIC[codec] + q.tobytes()
-    if codec == "flac":  # lossless: zlib over int16 samples
-        q = np.clip(np.rint(pcm * 32767.0), -32768, 32767).astype("<i2")
-        return MAGIC[codec] + zlib.compress(q.tobytes(), 6)
-    if codec == "mp3":  # lossy: 12-bit quantization (~66 dB SNR)
-        q = np.clip(np.rint(pcm * 2047.0), -2048, 2047).astype("<i2")
-        return MAGIC[codec] + q.tobytes()
-    if codec == "opus":  # lossy: 10-bit quantization + zlib (~54 dB SNR)
-        q = np.clip(np.rint(pcm * 511.0), -512, 511).astype("<i2")
-        return MAGIC[codec] + zlib.compress(q.tobytes(), 6)
-    raise ValueError(f"unknown codec: {codec!r}")
+    """Encode float32 PCM [-1,1] into a magic-tagged payload via the
+    registered codec."""
+    c = _CODECS.get(codec)
+    if c is None:
+        raise ValueError(f"unknown codec: {codec!r}")
+    return c.magic + c.encode_body(pcm)
 
 
 def detect_codec(payload: bytes) -> str | None:
@@ -105,26 +208,20 @@ def detect_codec(payload: bytes) -> str | None:
     the 4-byte magic copy makes the dict lookup hashable either way."""
     if payload is None or len(payload) < 4:
         return None
-    return _MAGIC_REV.get(bytes(payload[:4]))
+    c = _BY_MAGIC.get(bytes(payload[:4]))
+    return None if c is None else c.name
 
 
 def decode(payload: bytes) -> tuple[str, np.ndarray]:
     """Decode a payload → (actual_codec, float32 PCM). Raises ValueError on
-    undecodable input (the parse-failure path of ModelParser.hasRDFContent)."""
-    actual = detect_codec(payload)
-    if actual is None:
+    undecodable input (the parse-failure path of ModelParser.hasRDFContent).
+    Dispatches on detected magic through the codec registry."""
+    if payload is None or len(payload) < 4:
         raise ValueError("unrecognized payload magic")
-    body = payload[4:]
-    if actual in ("flac", "opus"):
-        try:
-            body = zlib.decompress(body)
-        except zlib.error as e:  # truncated / garbled
-            raise ValueError(f"corrupt {actual} stream: {e}") from e
-    if len(body) % 2:
-        raise ValueError("odd payload length")
-    q = np.frombuffer(body, dtype="<i2").astype(np.float32)
-    scale = {"pcm_s16le": 32767.0, "flac": 32767.0, "mp3": 2047.0, "opus": 511.0}[actual]
-    return actual, q / scale
+    c = _BY_MAGIC.get(bytes(payload[:4]))
+    if c is None:
+        raise ValueError("unrecognized payload magic")
+    return c.name, c.decode_body(payload[4:])
 
 
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:

@@ -71,10 +71,16 @@ class DecodeCheck(BatchCheck):
         return batch.take(pa.array(keep))
 
     def evaluate(self, batch: pa.Table) -> BatchOutcome:
+        from .keyed import _binary_views
+
         batch = self._sample_batch(batch)
         part = batch.column("partition").to_numpy(zero_copy_only=False)
         clip_ids = batch.column("clip_id").to_pylist()
-        payloads = batch.column("bytes").to_pylist()
+        # zero-copy memoryview slices straight off the Arrow buffers —
+        # the decode pass dominates suite CPU, so skipping to_pylist's
+        # per-payload bytes copy is measurable; decode()/zlib/frombuffer
+        # all accept memoryviews
+        payloads = _binary_views(batch.column("bytes"))
         sr = batch.column("sr_hz").to_numpy(zero_copy_only=False)
         dur = batch.column("dur_ms").to_numpy(zero_copy_only=False)
         codecs = batch.column("codec").to_pylist()
@@ -135,12 +141,15 @@ class PayloadSizeCheck(BatchCheck):
     runs BEFORE the decode stage pays per-sample cost (the cheap half of
     MisreportedContentType.java's declared-vs-actual family; the
     standalone query q_payload_size shares these semantics and carries
-    the SQL oracle): payloads whose magic declares an UNCOMPRESSED codec
-    (fixed 2 bytes/sample) must satisfy
-    ``body == 2 * round(sr_hz * dur_ms / 1000)``. Reads only the Arrow
-    offset buffer plus a 4-byte magic slice; compressed codecs have no
-    closed-form size (the decode check's job); non-positive sr/dur
-    belong to the range checks. Fully vectorized, row-local."""
+    the SQL oracle): payloads whose magic declares a FIXED-RATE codec
+    (``Codec.bytes_per_sample`` set in the audio codec registry) must
+    satisfy ``body == bps * round(sr_hz * dur_ms / 1000)``. Reads only
+    the Arrow offset buffer plus a 4-byte magic slice; compressed codecs
+    have no closed-form size (the decode check's job); non-positive
+    sr/dur belong to the range checks. Fully vectorized, row-local.
+    Eligibility and the per-codec rate come from the registry, so a
+    codec registered via ``audio.register_codec`` is triaged with no
+    edits here."""
 
     check_id = "payload_size"
     columns = ("clip_id", "bytes", "sr_hz", "dur_ms", "partition")
@@ -149,8 +158,10 @@ class PayloadSizeCheck(BatchCheck):
         self.check_id = check_id
 
     def setup(self, ctx: CheckContext) -> None:
+        self._fixed = [(m, audio.bytes_per_sample(m))
+                       for m in audio.fixed_rate_magics()]
         self._uncompressed = pa.array(
-            [audio.MAGIC["pcm_s16le"], audio.MAGIC["mp3"]], pa.binary())
+            [m for m, _ in self._fixed], pa.binary())
 
     def evaluate(self, batch: pa.Table) -> BatchOutcome:
         import pyarrow.compute as pc
@@ -159,10 +170,10 @@ class PayloadSizeCheck(BatchCheck):
 
         by = batch.column("bytes")
         ln = pc.fill_null(pc.binary_length(by).cast(pa.int64()), 0)
+        prefix = pc.binary_slice(by, 0, 4)
         eligible = pc.and_(
             pc.and_(pc.greater_equal(ln, 4),
-                    pc.is_in(pc.binary_slice(by, 0, 4),
-                             value_set=self._uncompressed)),
+                    pc.is_in(prefix, value_set=self._uncompressed)),
             pc.and_(pc.greater(batch.column("sr_hz"), 0),
                     pc.greater(batch.column("dur_ms"), 0)))
         elig = pc.fill_null(eligible, False).to_numpy(
@@ -171,9 +182,16 @@ class PayloadSizeCheck(BatchCheck):
             zero_copy_only=False).astype(np.int64)
         dur = batch.column("dur_ms").to_numpy(
             zero_copy_only=False).astype(np.int64)
+        # per-row bytes/sample from the registry (one vectorized equality
+        # per registered fixed-rate codec — the registry is tiny)
+        bps = np.zeros(len(batch), dtype=np.int64)
+        for m, b in self._fixed:
+            hit = pc.fill_null(pc.equal(prefix, m), False).to_numpy(
+                zero_copy_only=False).astype(bool)
+            bps[hit] = b
         # np.rint == python round (banker's): the q_payload_size /
         # DurationMismatch rounding contract
-        exp_body = 2 * np.rint(sr * dur / 1000.0).astype(np.int64)
+        exp_body = bps * np.rint(sr * dur / 1000.0).astype(np.int64)
         act_body = ln.to_numpy(zero_copy_only=False) - 4
         mask = elig & (act_body != exp_body)
         part = batch.column("partition").to_numpy(zero_copy_only=False)
@@ -181,11 +199,13 @@ class PayloadSizeCheck(BatchCheck):
         viol = None
         if mask.any():
             idx = np.nonzero(mask)[0]
+            rates = sorted({int(b) for b in bps[idx]})
+            rate_txt = "/".join(str(r) for r in rates) or "2"
             viol = violations_table(
                 part[idx],
                 batch.column("clip_id").take(pa.array(idx)).to_pylist(),
                 Codes.SIZE_MISMATCH,
                 [f"{int(a)} B body" for a in act_body[idx]],
-                "2 B/sample x round(sr_hz*dur_ms/1000)",
+                f"{rate_txt} B/sample x round(sr_hz*dur_ms/1000)",
                 "uncompressed payload size vs declared metadata")
         return BatchOutcome(violations=viol, counters=counters)

@@ -463,15 +463,22 @@ def sample_matrix(ds, rate_inv: int = 4, seed: int = 0x1F3D) -> np.ndarray:
     """Distributed deterministic sample of an embedding Dataset → small
     normalized (k, d) matrix on the driver.
 
-    Each batch task keeps rows with hash64(vec_id)*c+seed ≡ 0 (mod
-    rate_inv) — a seeded 1/rate_inv Bernoulli-by-hash sample computed
-    WHERE THE DATA IS; only the sampled vectors come back to the driver.
-    Deterministic across runs/block layouts (no RNG), mergeable across
-    workers, and the sampling fraction is the knob that bounds driver
-    memory at any corpus size (choose rate_inv ≈ N / target_sample)."""
+    Each batch task keeps rows with md5_lower64(f"{vec_id}:{seed}") ≡ 0
+    (mod rate_inv) — a seeded 1/rate_inv Bernoulli-by-hash sample
+    computed WHERE THE DATA IS; only the sampled vectors come back to
+    the driver. Deterministic across runs/block layouts (no RNG),
+    mergeable across workers, and the sampling fraction is the knob that
+    bounds driver memory at any corpus size (choose rate_inv ≈
+    N / target_sample). The hash is the DuckDB-mirrorable
+    md5_number_lower (sketches.md5_lower64) — a few µs per TRAINING
+    candidate, paid once per training scan — so the sample membership,
+    and therefore the whole codebook-training chain built on it
+    (SQL_EMB_PQ / SQL_EMB_KNN_PQ), is replayable in the oracle."""
     def samp(b: pa.Table) -> pa.Table:
+        from ..sketches import md5_lower64
+
         ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        pri = hash64(ids * np.int64(2654435761) + np.int64(seed))
+        pri = md5_lower64([f"{int(i)}:{seed}" for i in ids])
         keep = np.nonzero(pri % np.uint64(rate_inv) == 0)[0]
         return b.take(pa.array(keep))
 
@@ -509,8 +516,13 @@ def q_emb_neardup_lsh(sf_dir: str) -> pa.Table:
     (bucket, vec_id, 64×f64 ≈ 0.5 kB) per table row and verification is a
     per-bucket matmul over co-located rows — no driver materialization and
     no whole-corpus broadcast anywhere (round-1's verify read every vector
-    from a ray.put of the full corpus matrix). Ray-only: recall < 1 by
-    construction (asserted >= 0.9 on the seeded pairs in tests)."""
+    from a ray.put of the full corpus matrix). Recall < 1 vs the exact
+    baseline by construction (asserted >= 0.9 on the seeded pairs in
+    tests), but the ALGORITHM is deterministic: the hyperplanes are a
+    fixed seed-derived constant, so SQL_EMB_NEARDUP_LSH embeds them as
+    exact literals and replays sign→bucket→in-bucket-verify row for row
+    (exact while every bucket stays under the 2000-member sampling cap —
+    at gate scale buckets hold ~tens of rows)."""
     def tag(b: pa.Table) -> pa.Table:
         M = _emb_matrix(b)
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
@@ -566,7 +578,65 @@ def q_emb_neardup_lsh(sf_dir: str) -> pa.Table:
     return res
 
 
+def _hyper_values_sql() -> str:
+    """The 64 seed-fixed hyperplanes as (plane, dim, weight) literals.
+    repr() emits the shortest round-trip decimal, which DuckDB's
+    correctly-rounding parser restores to the identical float64 — the
+    oracle sees bit-identical planes."""
+    return ", ".join(
+        f"({p}, {d}, {_HYPER[p, d]!r})"
+        for p in range(_HYPER.shape[0]) for d in range(_HYPER.shape[1]))
+
+
+# Exact replay of the LSH chain: normalize → 64 plane dots → 8-bit bucket
+# per table → same-bucket candidates in ANY table (DISTINCT dedupes the
+# multi-table hits, mirroring the second grouped_apply) → exact cosine
+# verify at the same rounding/threshold.
+SQL_EMB_NEARDUP_LSH = f"""WITH {VCORPUS_SQL},
+ex AS (
+    SELECT vec_id, generate_subscripts(emb, 1) - 1 AS d,
+           CAST(unnest(emb) AS DOUBLE) AS v
+    FROM vcorpus
+),
+nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nn FROM ex GROUP BY vec_id),
+exn AS (SELECT e.vec_id, e.d, e.v / n.nn AS v
+        FROM ex e JOIN nrm n USING (vec_id)),
+hp(p, d, w) AS (VALUES {_hyper_values_sql()}),
+dots AS (SELECT e.vec_id, h.p, SUM(e.v * h.w) AS dot
+         FROM exn e JOIN hp h USING (d) GROUP BY e.vec_id, h.p),
+buckets AS (
+    SELECT vec_id, p // {_LSH_BITS} AS tbl,
+           SUM(CASE WHEN dot > 0 THEN (1 << (p % {_LSH_BITS})) ELSE 0 END)
+           + ((p // {_LSH_BITS}) << {_LSH_BITS}) AS bucket
+    FROM dots GROUP BY vec_id, p // {_LSH_BITS}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+cosv AS (
+    SELECT c.vec_a, c.vec_b, round(SUM(ea.v * eb.v), 6) AS cos
+    FROM cand c
+    JOIN exn ea ON ea.vec_id = c.vec_a
+    JOIN exn eb ON eb.vec_id = c.vec_b AND ea.d = eb.d
+    GROUP BY c.vec_a, c.vec_b
+)
+SELECT vec_a, vec_b, cos FROM cosv WHERE cos >= {NEAR_TAU}
+ORDER BY vec_a, vec_b"""
+
+
 # ------------------------------------------------------------------ IVF ANN
+
+def _seed_indices(n: int, k: int) -> np.ndarray:
+    """k evenly spaced row indices over [0, n-1] in EXACT integer
+    arithmetic: ((n-1)·j) // (k-1). The float np.linspace(...).astype
+    convention this replaces can land 1 ulp below an exact integer and
+    truncate differently from an oracle's integer formula — integer
+    division makes the k-means seeding bit-identical in both engines."""
+    j = np.arange(k, dtype=np.int64)
+    return ((n - 1) * j) // (k - 1)
+
 
 IVF_CELLS = 16
 # The synthetic embeddings are ~uniform on the sphere — IVF's worst case
@@ -586,7 +656,7 @@ def _ivf_centroids(Mn: np.ndarray, k: int = IVF_CELLS,
     rate, independent of corpus size; assignment and probing run
     distributedly against the broadcast centroids."""
     n = len(Mn)
-    C = Mn[np.linspace(0, n - 1, k).astype(np.int64)].copy()
+    C = Mn[_seed_indices(n, k)].copy()
     for _ in range(iters):
         assign = np.argmax(Mn @ C.T, axis=1)
         for c in range(k):
@@ -604,8 +674,10 @@ def q_emb_knn_ivf(sf_dir: str) -> pa.Table:
     probe their IVF_NPROBE nearest cells only — each batch task scores its
     rows against the queries whose probe set contains the row's cell
     (broadcast centroids + query matrix; per-batch work is one masked
-    matmul). Ray-only; recall vs exact brute force asserted ≥ 0.9 in
-    tests/test_embed.py."""
+    matmul). Recall vs exact brute force asserted ≥ 0.9 in
+    tests/test_embed.py; the approximate ALGORITHM itself is
+    deterministic and fully replayed by SQL_EMB_KNN_IVF (train → cell
+    assign → probe → scan)."""
     import ray
     import pyarrow.parquet as pq
 
@@ -654,6 +726,125 @@ def q_emb_knn_ivf(sf_dir: str) -> pa.Table:
         embeddings_ds(sf_dir, ["vec_id", "embedding"])
         .map_batches(topk, batch_format="pyarrow"),
         ["query_id", "neighbor_id"]))
+
+
+def _sql_emb_knn_ivf() -> str:
+    """Full IVF replay: the spherical-k-means trainer (argmax-dot
+    assignment, mean-then-renormalize update with the engine's
+    keep-old-centroid guards), corpus cell assignment, per-query
+    top-NPROBE probe sets, probed-cell scan, exact-cosine top-K. Same
+    md5 sample / integer seeding / MATERIALIZED conventions as the PQ
+    mirrors (see the comment above _pq_kmeans_ctes)."""
+    parts = [f"""se AS (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY vec_id) - 1 AS pt
+    FROM embeddings
+    WHERE md5_number_lower(CAST(vec_id AS VARCHAR) || ':{0x1F3D}') % 4 = 0
+),
+sn AS (SELECT COUNT(*) AS n FROM se),
+sx AS MATERIALIZED (
+    SELECT s.pt, generate_subscripts(e.embedding, 1) - 1 AS d,
+           CAST(unnest(e.embedding) AS DOUBLE) AS v
+    FROM se s JOIN embeddings e USING (vec_id)
+),
+snorm AS (SELECT pt, sqrt(SUM(v * v)) AS nn FROM sx GROUP BY pt),
+sl AS MATERIALIZED (
+    SELECT x.pt, x.d, x.v / m.nn AS v
+    FROM sx x JOIN snorm m USING (pt)
+),
+iv0 AS MATERIALIZED (
+    SELECT j.c, sl.d, sl.v
+    FROM generate_series(0, {IVF_CELLS - 1}) AS j(c), sn, sl
+    WHERE sl.pt = ((sn.n - 1) * j.c) // {IVF_CELLS - 1}
+)"""]
+    for it in range(_KMEANS_ITERS):
+        parts.append(f"""iasg{it} AS MATERIALIZED (
+    SELECT pt, c FROM (
+        SELECT dt.pt, dt.c,
+               row_number() OVER (PARTITION BY dt.pt
+                                  ORDER BY dt.dot DESC, dt.c) AS rn
+        FROM (
+            SELECT p.pt, k.c, SUM(p.v * k.v) AS dot
+            FROM sl p JOIN iv{it} k ON p.d = k.d
+            GROUP BY p.pt, k.c
+        ) dt
+    ) WHERE rn = 1
+),
+im{it} AS MATERIALIZED (
+    SELECT a.c, p.d, AVG(p.v) AS mv
+    FROM iasg{it} a JOIN sl p ON p.pt = a.pt
+    GROUP BY a.c, p.d
+),
+inm{it} AS (SELECT c, sqrt(SUM(mv * mv)) AS nm FROM im{it} GROUP BY c),
+iv{it + 1} AS MATERIALIZED (
+    SELECT k.c, k.d,
+           CASE WHEN m.mv IS NOT NULL AND n.nm > 0
+                THEN m.mv / n.nm ELSE k.v END AS v
+    FROM iv{it} k
+    LEFT JOIN im{it} m ON m.c = k.c AND m.d = k.d
+    LEFT JOIN inm{it} n ON n.c = k.c
+)""")
+    book = f"iv{_KMEANS_ITERS}"
+    parts.append(f"""cx AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+cnorm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nn FROM cx GROUP BY vec_id),
+cn AS MATERIALIZED (
+    SELECT x.vec_id, x.d, x.v / m.nn AS v
+    FROM cx x JOIN cnorm m USING (vec_id)
+),
+ccell AS MATERIALIZED (
+    SELECT vec_id, c FROM (
+        SELECT dt.vec_id, dt.c,
+               row_number() OVER (PARTITION BY dt.vec_id
+                                  ORDER BY dt.dot DESC, dt.c) AS rn
+        FROM (
+            SELECT p.vec_id, k.c, SUM(p.v * k.v) AS dot
+            FROM cn p JOIN {book} k ON p.d = k.d
+            GROUP BY p.vec_id, k.c
+        ) dt
+    ) WHERE rn = 1
+),
+qn AS MATERIALIZED (
+    SELECT vec_id AS q, d, v FROM cn WHERE vec_id < {N_QUERIES}
+),
+probe AS MATERIALIZED (
+    SELECT q, c FROM (
+        SELECT dt.q, dt.c,
+               row_number() OVER (PARTITION BY dt.q
+                                  ORDER BY dt.dot DESC, dt.c) AS rn
+        FROM (
+            SELECT n.q, k.c, SUM(n.v * k.v) AS dot
+            FROM qn n JOIN {book} k ON n.d = k.d
+            GROUP BY n.q, k.c
+        ) dt
+    ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+    SELECT p.q, cc.vec_id AS neighbor_id
+    FROM probe p JOIN ccell cc ON cc.c = p.c
+    WHERE cc.vec_id != p.q
+),
+cosr AS (
+    SELECT s.q, s.neighbor_id, round(SUM(a.v * b.v), 6) AS cos
+    FROM cand s
+    JOIN qn a ON a.q = s.q
+    JOIN cn b ON b.vec_id = s.neighbor_id AND b.d = a.d
+    GROUP BY s.q, s.neighbor_id
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT q AS query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cos FROM (
+    SELECT q, neighbor_id, cos,
+           row_number() OVER (PARTITION BY q
+                              ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM cosr
+) WHERE rn <= {KNN_K} ORDER BY query_id, rank"""
+
+
+SQL_EMB_KNN_IVF = _sql_emb_knn_ivf()
 
 
 # ------------------------------------------- semantic dup clusters
@@ -859,7 +1050,7 @@ def _pq_codebooks(M: np.ndarray, m: int = PQ_SUBSPACES,
     books = []
     for s in range(m):
         X = M[:, s * sub:(s + 1) * sub]
-        C = X[np.linspace(0, len(X) - 1, k).astype(np.int64)].copy()
+        C = X[_seed_indices(len(X), k)].copy()
         for _ in range(iters):
             d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
             assign = np.argmin(d2, axis=1)
@@ -928,10 +1119,14 @@ def q_emb_pq(sf_dir: str) -> pa.Table:
     distributed hash-sample (driver cost fixed by the sampling rate,
     independent of corpus size), broadcast once via ray.put; encoding +
     reconstruction is one row-local pass (per-batch matmuls per
-    subspace). Rows-only (k-means is not SQL-expressible); the golden
-    test recomputes the full chain in numpy, asserts PQ's mean error
-    beats the scalar quantizer's worst case, and the invariance sweep
-    certifies cross-cpu determinism."""
+    subspace). Codes ship as ONE packed int64 (8 × 4-bit codes — the
+    literal storage layout the 4 B/vector claim describes). Oracle:
+    the whole train→encode→reconstruct chain is replayed in SQL
+    (SQL_EMB_PQ — md5-mirrorable sample, integer-exact seeding,
+    chained-CTE Lloyd iterations); the golden test additionally
+    recomputes it in numpy, asserts PQ's mean error beats the scalar
+    quantizer's worst case, and the invariance sweep certifies
+    cross-cpu determinism."""
     import ray
 
     books = _pq_codebooks_for(sf_dir)
@@ -946,12 +1141,13 @@ def q_emb_pq(sf_dir: str) -> pa.Table:
         deq = np.concatenate(
             [bk[s][codes[:, s]] for s in range(m)], axis=1)
         err = Mn - deq
+        packed = (codes.astype(np.int64)
+                  << (4 * np.arange(m, dtype=np.int64))[None, :]).sum(axis=1)
         return pa.table({
             "vec_id": b.column("vec_id"),
-            "codes": pa.array([c.tolist() for c in codes],
-                              pa.list_(pa.int64())),
+            "codes_packed": pa.array(packed, pa.int64()),
             "mse": pa.array(
-                round_half_away(np.mean(err * err, axis=1), 12)),
+                round_half_away(np.mean(err * err, axis=1), 9)),
             "max_abs_err": pa.array(
                 round_half_away(np.abs(err).max(axis=1), 9)),
         })
@@ -959,6 +1155,125 @@ def q_emb_pq(sf_dir: str) -> pa.Table:
     return _collect(
         embeddings_ds(sf_dir, ["vec_id", "embedding"])
         .map_batches(encode, batch_format="pyarrow"), ["vec_id"])
+
+
+# ---- SQL mirrors of the full PQ chain --------------------------------
+# The oracle replays train → encode → reconstruct end-to-end:
+#   sample    md5_number_lower(vec_id || ':seed') % 4 = 0 — the identical
+#             membership sample_matrix computes (md5_lower64 ==
+#             md5_number_lower is pinned by tests/test_properties.py)
+#   seeding   ((n-1)·j) // (k-1) over the vec_id-sorted sample — the
+#             integer-exact _seed_indices formula
+#   Lloyd     _KMEANS_ITERS chained MATERIALIZED CTEs; the same
+#             |c|² − 2⟨x,c⟩ argmin (ties → lower centroid id, matching
+#             np.argmin) and AVG update with COALESCE for empty cells
+#   encode    same argmin over the full corpus; codes packed to ONE
+#             int64 exactly as the engine packs them
+# Float sums differ from BLAS only in association order (~1e-16);
+# discrete divergence would need a k-means/encode argmin tie within
+# ~1e-14, and the 9-dp output rounding keeps boundary collisions at the
+# same negligible level the emb_quantize oracle has run green on.
+# MATERIALIZED is load-bearing twice over: inlined CTEs re-open the
+# parquet per reference (fd exhaustion) and re-run the k-means chain
+# per consumer.
+
+def _pq_kmeans_ctes() -> tuple[str, str]:
+    """Shared CTE chunk (sample → normalize → seed → Lloyd iterations →
+    corpus encode); returns (cte_sql, final_codebook_name)."""
+    sub = EMB_DIM // PQ_SUBSPACES
+    parts = [f"""se AS (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY vec_id) - 1 AS pt
+    FROM embeddings
+    WHERE md5_number_lower(CAST(vec_id AS VARCHAR) || ':{0x1F3D}') % 4 = 0
+),
+sn AS (SELECT COUNT(*) AS n FROM se),
+sx AS MATERIALIZED (
+    SELECT s.pt, generate_subscripts(e.embedding, 1) - 1 AS d,
+           CAST(unnest(e.embedding) AS DOUBLE) AS v
+    FROM se s JOIN embeddings e USING (vec_id)
+),
+snorm AS (SELECT pt, sqrt(SUM(v * v)) AS nn FROM sx GROUP BY pt),
+sl AS MATERIALIZED (
+    SELECT x.pt, x.d // {sub} AS s, x.d % {sub} AS dm, x.v / m.nn AS v
+    FROM sx x JOIN snorm m USING (pt)
+),
+km0 AS MATERIALIZED (
+    SELECT sl.s, j.c, sl.dm, sl.v
+    FROM generate_series(0, {PQ_CODEBOOK_K - 1}) AS j(c), sn, sl
+    WHERE sl.pt = ((sn.n - 1) * j.c) // {PQ_CODEBOOK_K - 1}
+)"""]
+    for it in range(_KMEANS_ITERS):
+        parts.append(f"""asg{it} AS MATERIALIZED (
+    SELECT s, pt, c FROM (
+        SELECT d2.s, d2.pt, d2.c,
+               row_number() OVER (PARTITION BY d2.s, d2.pt
+                                  ORDER BY d2.d2, d2.c) AS rn
+        FROM (
+            SELECT k.s, p.pt, k.c,
+                   SUM(k.v * k.v) - 2 * SUM(p.v * k.v) AS d2
+            FROM sl p JOIN km{it} k ON p.s = k.s AND p.dm = k.dm
+            GROUP BY k.s, p.pt, k.c
+        ) d2
+    ) WHERE rn = 1
+),
+km{it + 1} AS MATERIALIZED (
+    SELECT k.s, k.c, k.dm, COALESCE(m.mv, k.v) AS v
+    FROM km{it} k LEFT JOIN (
+        SELECT a.s, a.c, p.dm, AVG(p.v) AS mv
+        FROM asg{it} a JOIN sl p ON p.s = a.s AND p.pt = a.pt
+        GROUP BY a.s, a.c, p.dm
+    ) m ON m.s = k.s AND m.c = k.c AND m.dm = k.dm
+)""")
+    book = f"km{_KMEANS_ITERS}"
+    parts.append(f"""cx AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+cnorm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nn FROM cx GROUP BY vec_id),
+cl AS MATERIALIZED (
+    SELECT x.vec_id, x.d // {sub} AS s, x.d % {sub} AS dm, x.v / m.nn AS v
+    FROM cx x JOIN cnorm m USING (vec_id)
+),
+casg AS MATERIALIZED (
+    SELECT s, vec_id, c FROM (
+        SELECT d2.s, d2.vec_id, d2.c,
+               row_number() OVER (PARTITION BY d2.s, d2.vec_id
+                                  ORDER BY d2.d2, d2.c) AS rn
+        FROM (
+            SELECT k.s, p.vec_id, k.c,
+                   SUM(k.v * k.v) - 2 * SUM(p.v * k.v) AS d2
+            FROM cl p JOIN {book} k ON p.s = k.s AND p.dm = k.dm
+            GROUP BY k.s, p.vec_id, k.c
+        ) d2
+    ) WHERE rn = 1
+)""")
+    return ",\n".join(parts), book
+
+
+def _sql_emb_pq() -> str:
+    ctes, book = _pq_kmeans_ctes()
+    return f"""WITH {ctes},
+err AS (
+    SELECT p.vec_id, p.v - k.v AS e
+    FROM cl p
+    JOIN casg a ON a.vec_id = p.vec_id AND a.s = p.s
+    JOIN {book} k ON k.s = p.s AND k.c = a.c AND k.dm = p.dm
+),
+packed AS (
+    SELECT vec_id,
+           CAST(SUM(c * (1::BIGINT << (4 * s))) AS BIGINT) AS codes_packed
+    FROM casg GROUP BY vec_id
+)
+SELECT e.vec_id, p.codes_packed,
+       round(AVG(e.e * e.e), 9) AS mse,
+       round(MAX(ABS(e.e)), 9) AS max_abs_err
+FROM err e JOIN packed p USING (vec_id)
+GROUP BY e.vec_id, p.codes_packed ORDER BY e.vec_id"""
+
+
+SQL_EMB_PQ = _sql_emb_pq()
 
 
 # Global ADC shortlist width = PQ_SHORTLIST × KNN_K. Like IVF_NPROBE, sized
@@ -1070,6 +1385,66 @@ def q_emb_knn_pq(sf_dir: str) -> pa.Table:
     })
 
 
+def _sql_emb_knn_pq() -> str:
+    """ADC mirror: per-query lookup tables from the SQL-trained books,
+    the 8 per-subspace terms pivoted to columns and added LEFT TO RIGHT
+    (the exact accumulation order of the engine's `adc += tab_s` loop,
+    so identical-code neighbors tie EXACTLY and the neighbor_id
+    tie-break is deterministic on both sides), global top-S shortlist,
+    exact-cosine re-rank."""
+    sub = EMB_DIM // PQ_SUBSPACES
+    ctes, book = _pq_kmeans_ctes()
+    addchain = "(((((((m0 + m1) + m2) + m3) + m4) + m5) + m6) + m7)"
+    pivot = ", ".join(
+        f"MAX(CASE WHEN a.s = {s} THEN t.tv END) AS m{s}"
+        for s in range(PQ_SUBSPACES))
+    return f"""WITH {ctes},
+cn AS MATERIALIZED (
+    SELECT x.vec_id, x.d, x.v / m.nn AS v
+    FROM cx x JOIN cnorm m USING (vec_id)
+),
+qn AS MATERIALIZED (
+    SELECT vec_id AS q, d, v FROM cn WHERE vec_id < {N_QUERIES}
+),
+tq AS MATERIALIZED (
+    SELECT n.q, k.s, k.c, SUM(n.v * k.v) AS tv
+    FROM qn n JOIN {book} k
+      ON n.d // {sub} = k.s AND n.d % {sub} = k.dm
+    GROUP BY n.q, k.s, k.c
+),
+adcp AS MATERIALIZED (
+    SELECT t.q, a.vec_id AS neighbor_id, {pivot}
+    FROM casg a JOIN tq t ON t.s = a.s AND t.c = a.c
+    WHERE a.vec_id != t.q
+    GROUP BY t.q, a.vec_id
+),
+short AS MATERIALIZED (
+    SELECT q, neighbor_id FROM (
+        SELECT q, neighbor_id,
+               row_number() OVER (PARTITION BY q
+                                  ORDER BY {addchain} DESC,
+                                           neighbor_id ASC) AS rn
+        FROM adcp
+    ) WHERE rn <= {PQ_SHORTLIST * KNN_K}
+),
+cosr AS (
+    SELECT s.q, s.neighbor_id, round(SUM(a.v * b.v), 6) AS cos
+    FROM short s
+    JOIN qn a ON a.q = s.q
+    JOIN cn b ON b.vec_id = s.neighbor_id AND b.d = a.d
+    GROUP BY s.q, s.neighbor_id
+)
+SELECT q AS query_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cos FROM (
+    SELECT q, neighbor_id, cos,
+           row_number() OVER (PARTITION BY q
+                              ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM cosr
+) WHERE rn <= {KNN_K} ORDER BY query_id, rank"""
+
+
+SQL_EMB_KNN_PQ = _sql_emb_knn_pq()
+
+
 def q_emb_drift(sf_dir: str) -> pa.Table:
     """Embedding-space centroid drift: cosine between the mean vectors of
     the two dataset halves (vec_id parity) — the vector sibling of the
@@ -1151,9 +1526,11 @@ def q_emb_kcenter(sf_dir: str) -> pa.Table:
     (vec_id, dist) argmax PARTIAL; the driver reduces O(batches) partials
     to the next center. Nothing but K×d floats and per-batch argmax rows
     ever move. (At 10^12 rows real deployments seed from a pre-sampled
-    candidate pool to cut rounds — same plan per round.) Rows-only:
-    iterative argmax has no tractable SQL mirror; the golden test
-    recomputes the full traversal in numpy."""
+    candidate pool to cut rounds — same plan per round.) Oracle: the
+    greedy traversal IS SQL-expressible as a recursive CTE carrying the
+    chosen-center list (SQL_EMB_KCENTER) — same seed, same Euclidean
+    argmax, same dist-DESC/vec_id-ASC tie-break; the golden test
+    additionally recomputes the full traversal in numpy."""
     import ray
     import ray.data as rd
 
@@ -1233,6 +1610,44 @@ def q_emb_kcenter(sf_dir: str) -> pa.Table:
         "vec_id": pa.array([c[0] for c in centers], pa.int64()),
         "dist": pa.array(round_half_away(np.array(dists), 6), pa.float64()),
     })
+
+
+# Exact SQL mirror of the greedy farthest-point traversal: the recursive
+# CTE carries the chosen-center id list; each step joins the long-format
+# embedding view against the centers in that list, takes per-candidate
+# min squared Euclidean distance, and picks max dist with min-vec_id
+# tie-break — the same reduction q_emb_kcenter's per-batch partials
+# implement. The anchor's CAST(0.0 AS DOUBLE) is load-bearing: a bare
+# 0.0 types the dist column DECIMAL(2,1) and every distance would be
+# rounded to one digit before the ROUND(…, 6) in the projection.
+SQL_EMB_KCENTER = f"""WITH RECURSIVE
+ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+sel(rank, vec_id, dist, chosen) AS (
+    SELECT 0, min(vec_id), CAST(0.0 AS DOUBLE), [min(vec_id)]
+    FROM embeddings
+    UNION ALL
+    SELECT s.rank + 1, w.vec_id, w.dist, list_append(s.chosen, w.vec_id)
+    FROM sel s, LATERAL (
+        SELECT p.a_vec AS vec_id, sqrt(MIN(p.d2)) AS dist
+        FROM (
+            SELECT a.vec_id AS a_vec, c.vec_id AS c_vec,
+                   SUM((a.v - c.v) * (a.v - c.v)) AS d2
+            FROM ex a JOIN ex c ON a.d = c.d
+            WHERE list_contains(s.chosen, c.vec_id)
+            GROUP BY a.vec_id, c.vec_id
+        ) p
+        GROUP BY p.a_vec
+        ORDER BY dist DESC, p.a_vec ASC
+        LIMIT 1
+    ) w
+    WHERE s.rank < {KCENTER_K - 1}
+)
+SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(dist, 6) AS dist
+FROM sel ORDER BY rank"""
 
 
 def q_emb_centroids(sf_dir: str) -> pa.Table:
@@ -1408,17 +1823,17 @@ ORDER BY vec_id"""
 EMB_QUERIES = {
     "emb_outliers": (q_emb_outliers, SQL_EMB_OUTLIERS),
     "emb_centroids": (q_emb_centroids, SQL_EMB_CENTROIDS),
-    "emb_kcenter": (q_emb_kcenter, None),
+    "emb_kcenter": (q_emb_kcenter, SQL_EMB_KCENTER),
     "emb_norm_check": (q_emb_norm_check, SQL_EMB_NORM_CHECK),
     "emb_drift": (q_emb_drift, SQL_EMB_DRIFT),
     "emb_knn": (q_emb_knn, SQL_EMB_KNN),
     "emb_hardneg": (q_emb_hardneg, SQL_EMB_HARDNEG),
     "emb_neardup": (q_emb_neardup, SQL_EMB_NEARDUP),
-    "emb_neardup_lsh": (q_emb_neardup_lsh, None),
-    "emb_knn_ivf": (q_emb_knn_ivf, None),
+    "emb_neardup_lsh": (q_emb_neardup_lsh, SQL_EMB_NEARDUP_LSH),
+    "emb_knn_ivf": (q_emb_knn_ivf, SQL_EMB_KNN_IVF),
     "emb_dup_clusters": (q_emb_dup_clusters, SQL_EMB_DUP_CLUSTERS),
     "emb_project": (q_emb_project, SQL_EMB_PROJECT),
     "emb_quantize": (q_emb_quantize, SQL_EMB_QUANTIZE),
-    "emb_pq": (q_emb_pq, None),
-    "emb_knn_pq": (q_emb_knn_pq, None),
+    "emb_pq": (q_emb_pq, SQL_EMB_PQ),
+    "emb_knn_pq": (q_emb_knn_pq, SQL_EMB_KNN_PQ),
 }

@@ -75,3 +75,74 @@ def test_noise_breaks_snr():
 def test_clip_seed_stable():
     assert audio.clip_seed("clip-00000001") == audio.clip_seed("clip-00000001")
     assert audio.clip_seed("clip-00000001") != audio.clip_seed("clip-00000002")
+
+
+def test_codec_registry_third_codec_seam(ray_session):
+    """Registering a NEW codec (the ffmpeg/soundfile drop-in seam) makes
+    encode/decode/detect, DecodeCheck's full corruption taxonomy AND
+    PayloadSizeCheck's registry-driven size triage work with zero edits
+    outside audio.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    from metrics_ray import audio
+    from metrics_ray.checks.base import CheckContext
+    from metrics_ray.checks.decode import DecodeCheck, PayloadSizeCheck
+
+    # 8-bit signed fixed-rate codec, 1 B/sample (deliberately NOT 2 to
+    # prove PayloadSizeCheck reads the rate from the registry)
+    def enc(pcm):
+        return np.clip(np.rint(pcm * 127.0), -128, 127).astype(
+            "<i1").tobytes()
+
+    def dec(body):
+        if len(body) == 0:
+            raise ValueError("empty pcm8 body")
+        return np.frombuffer(body, dtype="<i1").astype(np.float32) / 127.0
+
+    audio.register_codec(audio.Codec(
+        "pcm8", b"PCM8", enc, dec, bytes_per_sample=1))
+    try:
+        sr, dur = 8000, 250
+        n = audio.n_samples_for(sr, dur)
+        cid = "clip-7777"
+        pcm = audio.synth_pcm(audio.clip_seed(cid), n)
+        payload = audio.encode(pcm, "pcm8")
+        assert audio.detect_codec(payload) == "pcm8"
+        name, back = audio.decode(payload)
+        assert name == "pcm8" and audio.snr_db(pcm, back) >= 30.0
+
+        batch = pa.table({
+            "clip_id": pa.array([cid, "clip-7778", "clip-7779"]),
+            "bytes": pa.array(
+                [payload,
+                 payload[:4] + payload[4:-3],   # truncated: size mismatch
+                 b"PCM8"],                      # empty body: decode error
+                pa.binary()),
+            "sr_hz": pa.array([sr] * 3, pa.int32()),
+            "dur_ms": pa.array([dur] * 3, pa.int32()),
+            "codec": pa.array(["pcm8"] * 3),
+            "partition": pa.array([0, 0, 0], pa.int32()),
+        })
+
+        dc = DecodeCheck()
+        dc.setup(CheckContext())
+        out = dc.evaluate(batch)
+        codes: dict = {}
+        for c, k in zip(out.violations.column("clip_id").to_pylist(),
+                        out.violations.column("code").to_pylist()):
+            codes.setdefault(c, set()).add(k)
+        assert codes.get("clip-7779") == {"DecodeError"}
+        assert "DurationMismatch" in codes.get("clip-7778", set())
+        assert cid not in codes  # clean row passes the full taxonomy
+
+        ps = PayloadSizeCheck()
+        ps.setup(CheckContext())
+        out2 = ps.evaluate(batch)
+        v2 = out2.violations
+        ids2 = v2.column("clip_id").to_pylist()
+        # 1 B/sample triage: truncated and empty bodies flagged, clean not
+        assert set(ids2) == {"clip-7778", "clip-7779"}
+        assert "1 B/sample" in v2.column("expected").to_pylist()[0]
+    finally:
+        audio.unregister_codec("pcm8")

@@ -9,7 +9,12 @@ job submit on a fixed-size multi-node Ray cluster").
 In a Ray Job the cluster is already initialized (RAY_ADDRESS is set by the
 job server), so ray.init is guarded; standalone invocation starts a local
 session. The run is RESUMABLE: re-submitting with the same --checkpoint-dir
-skips completed partitions (metrics_ray.state.checkpoint). Prints one JSON
+skips completed partitions (metrics_ray.state.checkpoint). This is also the
+DAILY-INGEST surface: partitions appended to the corpus since the last run
+are the only ones scanned on re-submit — ``resumed_from`` in the JSON
+summary lists the skipped (already-committed) partitions, and the global
+sketches re-merge across all waves (tests/test_checkpoint.py
+test_incremental_append_validates_only_new_partitions). Prints one JSON
 summary line: per-partition pass/fail + latency stats, violation counts,
 wall time.
 """

@@ -169,13 +169,44 @@ def ensure_clips_hive(sf_dir: str, replicas: int = 1,
 # 48 kHz clip is ~2.9 MB; 1024 of them is a 3 GB batch). Budget BYTES,
 # derive rows.
 TARGET_BATCH_BYTES = 64 << 20
+# One batch may occupy at most 1/OBJECT_STORE_BATCH_DIV of the cluster's
+# object store. Ray Data grants each operator a FRACTION of the store as
+# its memory budget and gathers a full batch_size of queued blocks before
+# submitting a task — if one bundle exceeds that budget, the executor
+# degenerates into a backpressured trickle (observed at sf0.1 under an
+# object_store_memory cap: the suite stage sat at 0 submitted tasks while
+# the reader leaked ~1 block/5 s; wall went 5 s → >10 min). Dividing by
+# 16 leaves room for ~5 in-flight tasks' inputs+outputs plus queues.
+OBJECT_STORE_BATCH_DIV = 16
+
+
+def _store_capped_target() -> int:
+    """TARGET_BATCH_BYTES clamped to object_store/OBJECT_STORE_BATCH_DIV
+    when a Ray session is up — the memory-aware half of batch sizing
+    (the 10^12-row contract: batch bytes scale DOWN with the store, the
+    streaming executor keeps pipelining instead of stalling)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            store = int(ray.cluster_resources().get(
+                "object_store_memory", 0))
+            if store > 0:
+                return max(1 << 20,
+                           min(TARGET_BATCH_BYTES,
+                               store // OBJECT_STORE_BATCH_DIV))
+    except Exception:
+        pass
+    return TARGET_BATCH_BYTES
 
 
 def auto_batch_size(parquet_dir: str, lo: int = 16, hi: int = 2048) -> int:
     """Payload-aware batch size for the suite pass: rows per executor call
-    such that one call sees ~TARGET_BATCH_BYTES of on-disk input. Derived
-    from the cache's parquet footers (bytes and rows), clamped to
-    [lo, hi]; falls back to 256 if the directory can't be inspected."""
+    such that one call sees ~TARGET_BATCH_BYTES of on-disk input (capped
+    so a batch fits the per-operator object-store budget — see
+    OBJECT_STORE_BATCH_DIV). Derived from the cache's parquet footers
+    (bytes and rows), clamped to [lo, hi]; falls back to 256 if the
+    directory can't be inspected."""
     import pyarrow.parquet as pq
 
     try:
@@ -189,7 +220,8 @@ def auto_batch_size(parquet_dir: str, lo: int = 16, hi: int = 2048) -> int:
                 total_r += pq.ParquetFile(p).metadata.num_rows
         if not total_b or not total_r:
             return 256
-        return int(min(hi, max(lo, TARGET_BATCH_BYTES / (total_b / total_r))))
+        target = _store_capped_target()
+        return int(min(hi, max(lo, target / (total_b / total_r))))
     except Exception:  # unreadable dir / corrupt footer (ArrowInvalid):
         return 256      # sizing is an optimization, never a failure mode
 

@@ -2361,36 +2361,39 @@ def q_doc_dup_spans(sf_dir: str) -> pa.Table:
     _G = np.uint64(0x9E3779B97F4A7C15)
 
     def gram_partials(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        # tokenize with the SAME re2 kernel the SQL mirror uses
-        # (regexp_extract_all '\S+'): str.split() honors Unicode
-        # whitespace (e.g. \xa0) and would window differently
-        toks = pc.split_pattern_regex(
-            pc.fill_null(b.column("text"), ""), r"\s+").to_pylist()
-        out_g: list[np.ndarray] = []
-        out_d: list[int] = []
-        out_c: list[np.ndarray] = []
-        for did, w in zip(b.column("doc_id").to_pylist(), toks):
-            w = [t for t in w if t]
-            if len(w) < W:
-                continue
-            th = hash64(np.array(w, dtype=object))
-            n = len(w) - W + 1
-            gh = np.zeros(n, dtype=np.uint64)
-            for j in range(W):  # ordered combine, W vectorized fmas
-                gh = gh * _G + th[j:j + n]
-            uniq, cnt = np.unique(gh, return_counts=True)
-            out_g.append(uniq.view(np.int64))
-            out_d.extend([int(did)] * len(uniq))
-            out_c.append(cnt.astype(np.int64))
-        if not out_g:
-            return pa.table({"gram": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "cnt": pa.array([], pa.int64())})
-        return pa.table({"gram": pa.array(np.concatenate(out_g)),
-                         "doc_id": pa.array(out_d, pa.int64()),
-                         "cnt": pa.array(np.concatenate(out_c))})
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        # the _flat_tokens offsets pattern (same re2 kernel as the SQL
+        # mirror): ONE tokenize call + ONE corpus-wide hash64 call, then
+        # the rolling gram hash runs over the flat token array with
+        # cross-document windows masked out — no per-document Python
+        # loop, no per-document hash dispatch
+        vals, doc_of, _ = _flat_tokens(b.column("text"))
+        N = len(vals)
+        if N < W:
+            return empty
+        th = hash64(vals.to_numpy(zero_copy_only=False))
+        n = N - W + 1
+        gh = np.zeros(n, dtype=np.uint64)
+        for j in range(W):  # ordered combine, W vectorized fmas
+            gh = gh * _G + th[j:j + n]
+        inside = doc_of[:n] == doc_of[W - 1:]  # window within one doc
+        if not inside.any():
+            return empty
+        gdoc, gh = doc_of[:n][inside], gh[inside]
+        # per-(doc, gram) distinct counts: one lexsort + run-length
+        order = np.lexsort((gh, gdoc))
+        gd, gg = gdoc[order], gh[order]
+        first = np.ones(len(gd), dtype=bool)
+        first[1:] = (gd[1:] != gd[:-1]) | (gg[1:] != gg[:-1])
+        starts = np.nonzero(first)[0]
+        cnt = np.diff(np.append(starts, len(gd)))
+        doc_ids = b.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"gram": pa.array(gg[starts].view(np.int64)),
+                         "doc_id": pa.array(doc_ids[gd[starts]], pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
 
     def mark_and_fold(g: pd.DataFrame) -> pd.DataFrame:
         nd = g.groupby("gram")["doc_id"].transform("nunique")

@@ -490,3 +490,108 @@ def test_keyed_config_memoizes_index_builder(sf_unit):
     b = keyed["ed"](factory)
     assert a.count() >= 0 and b.count() >= 0
     assert len(calls) == 1, f"index built {len(calls)} times, want 1"
+
+
+def test_incremental_append_validates_only_new_partitions(
+        sf_unit, tmp_path_factory):
+    """The daily-ingest shape: append NEW partitions to an
+    already-committed corpus, re-run, and only the new partitions are
+    scanned — completed partitions' checkpoint records are untouched,
+    the global sketches re-merge across both waves, and the manifest
+    carries the lineage of all partitions."""
+    from metrics_ray.pipelines.clips import ensure_clips_hive
+    from metrics_ray.state.checkpoint import checkpointed_validate
+    from metrics_ray.suite import metadata_checks, sketch_checks
+
+    src = ensure_clips_hive(sf_unit)
+    parts = sorted(d for d in os.listdir(src) if d.startswith("partition="))
+    assert len(parts) == 8
+    data = str(tmp_path_factory.mktemp("append_hive"))
+    for d in parts[:6]:
+        shutil.copytree(os.path.join(src, d), os.path.join(data, d))
+
+    def checks():
+        return metadata_checks() + sketch_checks()
+
+    ck = str(tmp_path_factory.mktemp("ckpt_append"))
+    first = checkpointed_validate(data, checks(), checkpoint_dir=ck,
+                                  wave_size=4, concurrency=2)
+    assert len(first.manifest["partitions"]) == 6
+    rec_mtime = {p: os.path.getmtime(
+        os.path.join(ck, "partitions", f"p{p}.json")) for p in range(6)}
+
+    # day 2: two new partitions land
+    for d in parts[6:]:
+        shutil.copytree(os.path.join(src, d), os.path.join(data, d))
+    second = checkpointed_validate(data, checks(), checkpoint_dir=ck,
+                                   wave_size=4, concurrency=2)
+
+    # only the appended partitions were scanned
+    assert sorted(second.manifest["resumed_from"]) == list(range(6))
+    for p in range(6):  # completed records not rewritten
+        assert os.path.getmtime(
+            os.path.join(ck, "partitions", f"p{p}.json")) == rec_mtime[p]
+    assert len(second.manifest["partitions"]) == 8
+
+    # global sketches re-merged across both waves == one-shot over all 8
+    ck2 = str(tmp_path_factory.mktemp("ckpt_append_oneshot"))
+    oneshot = checkpointed_validate(data, checks(), checkpoint_dir=ck2,
+                                    wave_size=8, concurrency=2)
+    ma = _sorted_df(second.metrics, ["check_id", "partition"])
+    mb = _sorted_df(oneshot.metrics, ["check_id", "partition"])
+    assert (ma.check_id.values == mb.check_id.values).all()
+    exact = ~ma.is_estimate.values
+    assert (ma.metric_value.values[exact]
+            == pytest.approx(mb.metric_value.values[exact], abs=1e-12))
+    assert (ma.metric_value.values[~exact]
+            == pytest.approx(mb.metric_value.values[~exact], rel=0.05))
+    va = _sorted_df(second.verdicts, ["partition"])
+    vb = _sorted_df(oneshot.verdicts, ["partition"])
+    assert (va.passed.values == vb.passed.values).all()
+
+
+def test_capped_object_store_streams_without_stall(tmp_path):
+    """The 10^12-row memory contract: the flagship suite must COMPLETE
+    under an object store capped at ~2x one partition's payload (~80 MB
+    vs the ~271 MB sf0.1 corpus) because batch sizing is store-aware
+    (clips.OBJECT_STORE_BATCH_DIV). Before the round-5 fix the suite
+    stage sat at zero submitted tasks behind backpressure (>10 min for a
+    5 s corpus); this guards the wall at a generous 150 s and checks the
+    capped run scans every row with identical violation totals."""
+    import json
+    import subprocess
+    import sys
+
+    script = tmp_path / "capped_run.py"
+    script.write_text("""
+import json, os, sys, time
+sys.path.insert(0, %r)
+import ray
+ray.init(address='local', num_cpus=8,
+         object_store_memory=80 * 1024 * 1024,
+         include_dashboard=False, logging_level='ERROR')
+from metrics_ray.pipelines.clips import validate_sf
+t0 = time.time()
+r = validate_sf('/root/testdata/sf0.1', concurrency=4)
+print(json.dumps({'wall_s': time.time() - t0,
+                  'rows': int(r.manifest['rows_scanned']),
+                  'n_violations': int(r.manifest['n_violations']),
+                  'partitions': int(len(r.verdicts))}))
+ray.shutdown()
+""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, str(script)], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    d = json.loads(line)
+    assert d["rows"] == 5036 and d["partitions"] == 8
+    assert d["wall_s"] < 150, f"capped run crawled: {d['wall_s']:.0f}s"
+    # violation totals identical to the in-session (uncapped) run
+    from metrics_ray.pipelines.clips import validate_sf
+
+    full = validate_sf("/root/testdata/sf0.1", concurrency=4)
+    assert d["n_violations"] == int(full.manifest["n_violations"])

@@ -845,10 +845,18 @@ def bucketed_anti_join(left_ds, right_ds, key: str = "clip_id",
 
     left_cols = [key] + (["partition"]
                          if "partition" in left_ds.schema().names else [])
+    # batch_size is a BLOCK COALESCER here, not a memory knob: a parquet
+    # read sized for the payload table can hand this 2-column projection
+    # hundreds of tiny blocks, and the sort exchange's driver-side
+    # scheduling then dwarfs its compute (observed at sf0.1: 416 input
+    # blocks → 11 s sort wall for ~1.5 s of remote time; coalesced → <2 s).
+    # Key rows are ~30 B, so 64k-row batches are ~2 MB blocks.
+    _coalesce = 65536
     tagged = left_ds.select_columns(left_cols).map_batches(
-        tag("l", key), batch_format="pyarrow").union(
+        tag("l", key), batch_format="pyarrow", batch_size=_coalesce).union(
         right_ds.select_columns([right_key]).map_batches(
-            tag("r", right_key), batch_format="pyarrow"))
+            tag("r", right_key), batch_format="pyarrow",
+            batch_size=_coalesce))
 
     def reduce_bucket(g: pd.DataFrame) -> pa.Table:
         right_keys = set(g.loc[g["side"] == "r", "key"])

@@ -2886,6 +2886,64 @@ def q_audio_silence(sf_dir: str) -> pa.Table:
     }).sort_by("clip_id")
 
 
+def q_silence_geometry(sf_dir: str) -> pa.Table:
+    """The oracle-mirrorable half of the VAD profile stage, isolated
+    (the img_decode_geometry pattern): per input row, decodability and
+    the FRAME COUNT the profiler windows the decoded PCM into —
+    n // round(sr_meta·FRAME_MS/1000), an exact integer function of the
+    fixture (decoded length n from BASE attrs, frame width from the
+    METADATA sr, corruptions included). DuckDB recomputes the whole
+    decode→frame-window chain row for row, certifying the windowing
+    arithmetic while the frame-RMS speech/clipping statistics stay in
+    the rows-only val_audio_silence."""
+    from ..stages.audio_ops import SilenceProfiler
+
+    path = ensure_clips_parquet(sf_dir)
+    ds = clips_factory(path)(["clip_id", "bytes", "sr_hz"])
+    prof = ds.map_batches(SilenceProfiler(), batch_format="pyarrow",
+                          batch_size=128)
+    import ray
+
+    tables = [t.select(["clip_id", "decode_ok", "n_frames"])
+              for t in ray.get(arrow_refs(prof)) if t.num_rows]
+    return pa.concat_tables(tables).sort_by(
+        [("clip_id", "ascending"), ("decode_ok", "ascending"),
+         ("n_frames", "ascending")])
+
+
+# frame = n_samples_for(sr_meta, 20 ms) — same banker's-tie emulation as
+# the chunk oracle (tie iff sr·20 % 1000 == 500); undecodable rows
+# (truncated payload, sr<=0) carry n_frames = 0 with decode_ok FALSE.
+SQL_SILENCE_GEOMETRY = f"""WITH {_FIXTURE_PHYS_SQL},
+g0 AS (
+    SELECT clip_id,
+           CASE WHEN doc_id % 97 = 13 THEN 7999
+                WHEN doc_id % 97 = 50 THEN 0
+                ELSE CASE h % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+           END AS sr,
+           (CASE h % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                 WHEN 3 THEN 44100 ELSE 48000 END)
+           * (200 + (h % 1800)) AS v,
+           (doc_id % 127 = 17) AS truncated
+    FROM phys
+),
+g AS (
+    SELECT clip_id, (truncated OR sr <= 0) AS bad,
+           CASE WHEN v % 1000 = 500
+                THEN (v // 1000) + ((v // 1000) % 2)
+                ELSE (v + 500) // 1000 END AS n,
+           CASE WHEN (sr * 20) % 1000 = 500
+                THEN ((sr * 20) // 1000) + (((sr * 20) // 1000) % 2)
+                ELSE ((sr * 20) + 500) // 1000 END AS frame
+    FROM g0
+)
+SELECT clip_id, NOT bad AS decode_ok,
+       CAST(CASE WHEN bad OR frame <= 0 THEN 0
+                 ELSE n // frame END AS BIGINT) AS n_frames
+FROM g ORDER BY clip_id, decode_ok, n_frames"""
+
+
 def q_audio_gain(sf_dir: str) -> pa.Table:
     """Loudness normalization audit (stages/audio_ops.py GainNormalizer):
     per decodable clip, input RMS, output RMS and applied gain after
@@ -4005,6 +4063,7 @@ VALIDATION_QUERIES = {
     "val_audio_features": (q_audio_features, None),
     "val_audio_chunks": (q_audio_chunks, SQL_AUDIO_CHUNKS),
     "val_audio_silence": (q_audio_silence, None),
+    "val_silence_geometry": (q_silence_geometry, SQL_SILENCE_GEOMETRY),
     "val_audio_gain": (q_audio_gain, None),
     "val_audio_neardup": (q_audio_neardup, SQL_AUDIO_NEARDUP),
     "val_audio_dup_clusters": (q_audio_dup_clusters, SQL_AUDIO_DUP_CLUSTERS),

@@ -180,17 +180,16 @@ for _c in (
 
 class _MagicView(dict):
     """Live name → magic view over the registry (kept as ``MAGIC`` for
-    the existing callers/fixtures that read it as a dict)."""
+    the existing callers/fixtures that read it as a dict). Lookups ALWAYS
+    consult the registry — the dict storage exists only so repr/iteration
+    show the built-ins; a dict-storage hit must not shadow a codec that
+    was re-registered with a different magic."""
 
-    def __missing__(self, name):  # registry is the source of truth
+    def __getitem__(self, name):
         return _CODECS[name].magic
 
 
-def _magic_map() -> dict[str, bytes]:
-    return {n: c.magic for n, c in _CODECS.items()}
-
-
-MAGIC = _MagicView(_magic_map())
+MAGIC = _MagicView({n: c.magic for n, c in _CODECS.items()})
 
 
 def encode(pcm: np.ndarray, codec: str) -> bytes:

@@ -45,6 +45,22 @@ import pyarrow.parquet as pq  # noqa: E402
 HOT_ID = "clip-90099999"  # inside the 9-prefix dup namespace, unused value
 
 
+def _dir_fingerprint(path: str) -> str:
+    """Cheap (mtime_ns, size) digest over a file or a directory's parquet
+    files — keys the skew-fixture caches so regenerated SOURCE data
+    rebuilds them instead of silently comparing two data generations."""
+    import hashlib
+
+    files = ([path] if os.path.isfile(path) else sorted(
+        os.path.join(r, f) for r, _d, fs in os.walk(path) for f in fs
+        if f.endswith(".parquet")))
+    h = hashlib.sha256()
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{f}:{st.st_mtime_ns}:{st.st_size};".encode())
+    return h.hexdigest()[:10]
+
+
 def build_skewed_clips(sf_dir: str, out_dir: str, hot_every: int = 10) -> str:
     """Every hot_every-th row of the derived clips table collapses onto
     HOT_ID with one shared (bytes, transcript) payload. Deterministic,
@@ -52,7 +68,7 @@ def build_skewed_clips(sf_dir: str, out_dir: str, hot_every: int = 10) -> str:
     from metrics_ray.pipelines.clips import ensure_clips_parquet
 
     src = ensure_clips_parquet(sf_dir)
-    tag = os.path.basename(os.path.normpath(src))
+    tag = f"{os.path.basename(os.path.normpath(src))}_{_dir_fingerprint(src)}"
     out = os.path.join(out_dir, f"skew_{tag}_h{hot_every}.parquet")
     if os.path.exists(out):
         return out
@@ -87,7 +103,11 @@ def build_skewed_docs(sf_dir: str, out_dir: str, hot_every: int = 10) -> str:
     """sf-dir clone containing only documents.parquet, with every
     hot_every-th document's text replaced by document 0's text — one
     mega minhash band family."""
-    out_sf = os.path.join(out_dir, f"skewdocs_{os.path.basename(os.path.normpath(sf_dir))}_h{hot_every}")
+    doc_src = os.path.join(sf_dir, "documents.parquet")
+    out_sf = os.path.join(
+        out_dir,
+        f"skewdocs_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{_dir_fingerprint(doc_src)}_h{hot_every}")
     out = os.path.join(out_sf, "documents.parquet")
     if os.path.exists(out):
         return out_sf

@@ -87,9 +87,18 @@ class Codec:
     """One registered codec.
 
     ``decode_body`` must return float32 PCM in [-1, 1] and raise
-    ValueError on corrupt input; ``bytes_per_sample`` is set only for
+    ValueError on corrupt input. It receives an arbitrary BUFFER — bytes
+    on the public decode() path, zero-copy ``memoryview`` slices inside
+    the hot check stages — so it must accept both (zlib, np.frombuffer
+    and every C buffer API do; call ``bytes(body)`` first if a wrapped
+    library truly requires bytes). ``bytes_per_sample`` is set only for
     FIXED-RATE codecs (enables the pre-decode size-plausibility triage —
     compressed codecs have no closed-form size and stay decode-checked).
+
+    The registry is PER-PROCESS: checks snapshot it on the driver at
+    construction time and re-register it in each Ray worker via
+    ``apply_codec_snapshot`` (Codec instances cloudpickle cleanly), so
+    driver-side ``register_codec`` calls reach the distributed stages.
     """
 
     name: str
@@ -125,6 +134,21 @@ def unregister_codec(name: str) -> None:
     c = _CODECS.pop(name, None)
     if c is not None:
         _BY_MAGIC.pop(c.magic, None)
+
+
+def codec_snapshot() -> tuple[Codec, ...]:
+    """The current registry as a picklable tuple — checks capture this on
+    the DRIVER (construction time) and replay it per worker, because the
+    registry is process-local and a driver-side register_codec would
+    otherwise be invisible inside map_batches tasks/actors."""
+    return tuple(_CODECS.values())
+
+
+def apply_codec_snapshot(snapshot: tuple[Codec, ...]) -> None:
+    """Re-register a driver-captured snapshot in THIS process (worker
+    setup path). Built-ins re-register as no-ops."""
+    for c in snapshot:
+        register_codec(c)
 
 
 def fixed_rate_magics() -> list[bytes]:
@@ -180,16 +204,41 @@ for _c in (
 
 class _MagicView(dict):
     """Live name → magic view over the registry (kept as ``MAGIC`` for
-    the existing callers/fixtures that read it as a dict). Lookups ALWAYS
-    consult the registry — the dict storage exists only so repr/iteration
-    show the built-ins; a dict-storage hit must not shadow a codec that
-    was re-registered with a different magic."""
+    the existing callers/fixtures that read it as a dict). EVERY dict
+    idiom — ``[]``, ``get``, ``in``, iteration, ``len``, items/keys/
+    values — delegates to the registry, so a codec registered or removed
+    after import is visible (and never shadowed by a stale snapshot)."""
 
     def __getitem__(self, name):
         return _CODECS[name].magic
 
+    def get(self, name, default=None):
+        c = _CODECS.get(name)
+        return default if c is None else c.magic
 
-MAGIC = _MagicView({n: c.magic for n, c in _CODECS.items()})
+    def __contains__(self, name):
+        return name in _CODECS
+
+    def __iter__(self):
+        return iter(_CODECS)
+
+    def __len__(self):
+        return len(_CODECS)
+
+    def keys(self):
+        return _CODECS.keys()
+
+    def values(self):
+        return [c.magic for c in _CODECS.values()]
+
+    def items(self):
+        return [(n, c.magic) for n, c in _CODECS.items()]
+
+    def __repr__(self):
+        return repr(dict(self.items()))
+
+
+MAGIC = _MagicView()
 
 
 def encode(pcm: np.ndarray, codec: str) -> bytes:

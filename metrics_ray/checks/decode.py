@@ -25,7 +25,7 @@ import pyarrow as pa
 from .. import audio
 from ..schema import SNR_THRESHOLD_DB, VALID_CODECS, Codes
 from ..sketches import md5_lower64
-from .base import BatchCheck, BatchOutcome, CheckContext, violations_table
+from .base import BatchCheck, BatchOutcome, CheckContext
 
 
 class DecodeCheck(BatchCheck):
@@ -52,8 +52,13 @@ class DecodeCheck(BatchCheck):
         self.sample_fraction = sample_fraction
         self.is_estimate = (sample_fraction is not None
                             and sample_fraction < 1.0)
+        # driver-side snapshot: the codec registry is per-process, so a
+        # deployment's register_codec calls (made on the driver before
+        # suite assembly) must travel WITH the check into every worker
+        self._codecs = audio.codec_snapshot()
 
     def setup(self, ctx: CheckContext) -> None:
+        audio.apply_codec_snapshot(self._codecs)  # worker process
         self._valid = set(VALID_CODECS)
 
     def _sample_batch(self, batch: pa.Table) -> pa.Table:
@@ -101,7 +106,11 @@ class DecodeCheck(BatchCheck):
                 continue
             try:
                 actual_codec, pcm = audio.decode(payload)
-            except ValueError as e:
+            except (ValueError, TypeError) as e:
+                # TypeError included: payloads arrive as zero-copy
+                # memoryviews, and a registered decode_body that chokes
+                # on a buffer must surface as this row's DECODE_ERROR,
+                # not crash the whole batch task
                 emit(i, Codes.DECODE_ERROR, f"{len(payload)}B", "decodable payload",
                      str(e))
                 continue
@@ -156,8 +165,11 @@ class PayloadSizeCheck(BatchCheck):
 
     def __init__(self, check_id: str = "payload_size"):
         self.check_id = check_id
+        # driver-side registry snapshot (see DecodeCheck.__init__)
+        self._codecs = audio.codec_snapshot()
 
     def setup(self, ctx: CheckContext) -> None:
+        audio.apply_codec_snapshot(self._codecs)
         self._fixed = [(m, audio.bytes_per_sample(m))
                        for m in audio.fixed_rate_magics()]
         self._uncompressed = pa.array(
@@ -199,13 +211,25 @@ class PayloadSizeCheck(BatchCheck):
         viol = None
         if mask.any():
             idx = np.nonzero(mask)[0]
-            rates = sorted({int(b) for b in bps[idx]})
-            rate_txt = "/".join(str(r) for r in rates) or "2"
-            viol = violations_table(
-                part[idx],
-                batch.column("clip_id").take(pa.array(idx)).to_pylist(),
-                Codes.SIZE_MISMATCH,
-                [f"{int(a)} B body" for a in act_body[idx]],
-                f"{rate_txt} B/sample x round(sr_hz*dur_ms/1000)",
-                "uncompressed payload size vs declared metadata")
+            n = len(idx)
+            # per-ROW expected rate: a batch-aggregated string would make
+            # a row's violation text depend on which other rows shared
+            # its block — breaking the layout-invariance contract
+            viol = pa.table({
+                "partition": pa.array(
+                    np.asarray(part[idx], dtype=np.int32)),
+                "clip_id": pa.array(
+                    batch.column("clip_id").take(pa.array(idx)).to_pylist(),
+                    pa.string()),
+                "code": pa.array([Codes.SIZE_MISMATCH] * n, pa.string()),
+                "actual": pa.array(
+                    [f"{int(a)} B body" for a in act_body[idx]],
+                    pa.string()),
+                "expected": pa.array(
+                    [f"{int(b)} B/sample x round(sr_hz*dur_ms/1000)"
+                     for b in bps[idx]], pa.string()),
+                "detail": pa.array(
+                    ["uncompressed payload size vs declared metadata"] * n,
+                    pa.string()),
+            })
         return BatchOutcome(violations=viol, counters=counters)

@@ -1869,14 +1869,16 @@ def q_payload_size(sf_dir: str) -> pa.Table:
     """Pre-decode payload-size triage — the O(1)-per-row screen a 100 TB
     pipeline runs BEFORE paying decode cost (the cheap half of
     MisreportedContentType.java's declared-vs-actual family): for rows
-    whose payload magic declares an UNCOMPRESSED codec (pcm_s16le / mp3 —
-    fixed 2 bytes/sample), the body length must equal
-    2 * round(sr_hz * dur_ms / 1000). A mismatch means the container is
-    truncated or the declared sr/dur don't describe the payload — caught
-    from Arrow offsets + a 4-byte magic slice, never decoding a sample.
-    Compressed codecs (flac/opus) have no closed-form size and are the
-    decode check's job; rows with non-positive sr/dur belong to the range
-    checks and are skipped here.
+    whose payload magic declares a FIXED-RATE codec (built-ins: pcm_s16le
+    / mp3 at 2 bytes/sample; the set and rates come from the audio codec
+    REGISTRY, so a deployment's registered codecs are triaged with no
+    edits here — the same seam PayloadSizeCheck rides), the body length
+    must equal bps * round(sr_hz * dur_ms / 1000). A mismatch means the
+    container is truncated or the declared sr/dur don't describe the
+    payload — caught from Arrow offsets + a 4-byte magic slice, never
+    decoding a sample. Compressed codecs (flac/opus) have no closed-form
+    size and are the decode check's job; rows with non-positive sr/dur
+    belong to the range checks and are skipped here.
 
     Scale shape: pc.binary_length reads only the Arrow offset buffer;
     pc.binary_slice(0,4) touches 4 bytes/row. Row-local, no shuffle, no
@@ -1888,8 +1890,9 @@ def q_payload_size(sf_dir: str) -> pa.Table:
     path = ensure_clips_parquet(sf_dir)
     ds = clips_factory(path)(["clip_id", "bytes", "sr_hz", "dur_ms"])
 
-    _UNCOMPRESSED = pa.array([audio.MAGIC["pcm_s16le"], audio.MAGIC["mp3"]],
-                             pa.binary())
+    _FIXED = [(m, audio.bytes_per_sample(m))
+              for m in audio.fixed_rate_magics()]
+    _UNCOMPRESSED = pa.array([m for m, _ in _FIXED], pa.binary())
     _EMPTY = pa.table({"clip_id": pa.array([], pa.string()),
                        "actual_bytes": pa.array([], pa.int64()),
                        "expected_bytes": pa.array([], pa.int64())})
@@ -1908,9 +1911,15 @@ def q_payload_size(sf_dir: str) -> pa.Table:
             return _EMPTY
         sr = t.column("sr_hz").to_numpy(zero_copy_only=False).astype(np.int64)
         dur = t.column("dur_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+        prefix = pc.binary_slice(t.column("bytes"), 0, 4)
+        bps = np.zeros(t.num_rows, dtype=np.int64)
+        for m, rate in _FIXED:
+            hit = pc.fill_null(pc.equal(prefix, m), False).to_numpy(
+                zero_copy_only=False).astype(bool)
+            bps[hit] = rate
         # np.rint is round-half-even == python round == the SQL mirror's
         # banker's-tie emulation (same contract as DurationMismatch)
-        exp_body = 2 * np.rint(sr * dur / 1000.0).astype(np.int64)
+        exp_body = bps * np.rint(sr * dur / 1000.0).astype(np.int64)
         act_body = (pc.binary_length(t.column("bytes")).cast(pa.int64())
                     .to_numpy(zero_copy_only=False) - 4)
         bad = act_body != exp_body

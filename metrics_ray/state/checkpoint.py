@@ -143,9 +143,16 @@ def _check_param_digest(chk: BatchCheck) -> str:
     crash and the rerun), not just a changed check list; without it,
     completed partitions computed under the old config silently mix with
     new-partition results. Non-primitive state (indexes, compiled
-    patterns) is setup()-derived and excluded."""
+    patterns) is setup()-derived and excluded, and so is every
+    UNDERSCORE-prefixed attribute: private derived state may embed
+    process-unique reprs (DecodeCheck's codec-registry snapshot holds
+    function objects whose str() carries memory addresses), which would
+    shift the fingerprint every process and refuse every legitimate
+    resume."""
     prim = {}
     for k, v in sorted(vars(chk).items()):
+        if k.startswith("_"):
+            continue
         if isinstance(v, (str, int, float, bool, type(None))):
             prim[k] = v
         elif isinstance(v, (tuple, list)):

@@ -146,3 +146,70 @@ def test_codec_registry_third_codec_seam(ray_session):
         assert "1 B/sample" in v2.column("expected").to_pylist()[0]
     finally:
         audio.unregister_codec("pcm8")
+
+
+def test_codec_registry_reaches_ray_workers(ray_session):
+    """The registry is per-process: a driver-side register_codec must
+    travel WITH the checks into Ray worker processes (snapshot in
+    __init__, apply_codec_snapshot in setup) — otherwise every payload of
+    the registered codec would be a spurious DECODE_ERROR in the
+    distributed path even though the in-process seam test passes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from metrics_ray import audio
+    from metrics_ray.checks.decode import DecodeCheck, PayloadSizeCheck
+    from metrics_ray.runner import run_batch_checks
+
+    def enc(pcm):
+        return np.clip(np.rint(pcm * 127.0), -128, 127).astype(
+            "<i1").tobytes()
+
+    def dec(body):
+        if len(body) == 0:
+            raise ValueError("empty pcm8 body")
+        return np.frombuffer(body, dtype="<i1").astype(np.float32) / 127.0
+
+    audio.register_codec(audio.Codec(
+        "pcm8", b"PCM8", enc, dec, bytes_per_sample=1))
+    try:
+        sr, dur = 8000, 250
+        n = audio.n_samples_for(sr, dur)
+        rows = []
+        for i in range(40):
+            cid = f"clip-{7000 + i:08d}"
+            pcm = audio.synth_pcm(audio.clip_seed(cid), n)
+            rows.append((cid, audio.encode(pcm, "pcm8")))
+        # one truncated row: must be flagged by BOTH checks, worker-side
+        rows.append(("clip-00007777",
+                     audio.encode(audio.synth_pcm(
+                         audio.clip_seed("clip-00007777"), n), "pcm8")[:-3]))
+        t = pa.table({
+            "clip_id": pa.array([r[0] for r in rows]),
+            "bytes": pa.array([r[1] for r in rows], pa.binary()),
+            "sr_hz": pa.array([sr] * len(rows), pa.int32()),
+            "dur_ms": pa.array([dur] * len(rows), pa.int32()),
+            "codec": pa.array(["pcm8"] * len(rows)),
+            "partition": pa.array([i % 2 for i in range(len(rows))],
+                                  pa.int32()),
+        })
+        # IMPORTANT: checks constructed AFTER register_codec (driver
+        # snapshot); actors force genuinely separate worker processes
+        checks = [DecodeCheck(snr_threshold=-1000.0), PayloadSizeCheck()]
+        viol, counters, _ = run_batch_checks(
+            rd.from_arrow(t), checks, batch_size=8, concurrency=2,
+            use_actors=True)
+        v = viol.to_pandas()
+        bad = v[v.clip_id == "clip-00007777"]
+        # the 3-byte-truncated int8 body still DECODES (shorter), so the
+        # worker-side flags are the duration and size mismatches — which
+        # proves decode ran with the registered codec (an unregistered
+        # worker would report DecodeError on EVERY pcm8 row instead)
+        assert set(bad.code) >= {"DurationMismatch", "SizeMismatch"}
+        # all clean pcm8 rows decoded fine in the workers
+        assert set(v.clip_id) == {"clip-00007777"}
+        assert "1 B/sample" in bad[bad.code == "SizeMismatch"
+                                   ].expected.iloc[0]
+    finally:
+        audio.unregister_codec("pcm8")

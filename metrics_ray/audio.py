@@ -145,8 +145,14 @@ def codec_snapshot() -> tuple[Codec, ...]:
 
 
 def apply_codec_snapshot(snapshot: tuple[Codec, ...]) -> None:
-    """Re-register a driver-captured snapshot in THIS process (worker
-    setup path). Built-ins re-register as no-ops."""
+    """Make THIS process's registry exactly equal the driver-captured
+    snapshot (worker setup path). RESET semantics, not merge: reused Ray
+    workers would otherwise accumulate codecs across pipelines/runs —
+    a codec unregistered on the driver would survive in warm workers
+    (worker-history-dependent violations), and a re-registered magic
+    would raise the collision guard in warm workers only."""
+    _CODECS.clear()
+    _BY_MAGIC.clear()
     for c in snapshot:
         register_codec(c)
 
@@ -202,22 +208,19 @@ for _c in (
     register_codec(_c)
 
 
-class _MagicView(dict):
+from collections.abc import Mapping as _Mapping  # noqa: E402
+
+
+class _MagicView(_Mapping):
     """Live name → magic view over the registry (kept as ``MAGIC`` for
-    the existing callers/fixtures that read it as a dict). EVERY dict
-    idiom — ``[]``, ``get``, ``in``, iteration, ``len``, items/keys/
-    values — delegates to the registry, so a codec registered or removed
-    after import is visible (and never shadowed by a stale snapshot)."""
+    the existing callers/fixtures that read it as a dict). Built on
+    collections.abc.Mapping — NOT a dict subclass, whose C fast paths
+    (dict(MAGIC), {**MAGIC}, ==) would read stale concrete storage and
+    bypass the registry — so every mapping idiom reflects codecs
+    registered or removed after import."""
 
     def __getitem__(self, name):
         return _CODECS[name].magic
-
-    def get(self, name, default=None):
-        c = _CODECS.get(name)
-        return default if c is None else c.magic
-
-    def __contains__(self, name):
-        return name in _CODECS
 
     def __iter__(self):
         return iter(_CODECS)
@@ -225,17 +228,8 @@ class _MagicView(dict):
     def __len__(self):
         return len(_CODECS)
 
-    def keys(self):
-        return _CODECS.keys()
-
-    def values(self):
-        return [c.magic for c in _CODECS.values()]
-
-    def items(self):
-        return [(n, c.magic) for n, c in _CODECS.items()]
-
     def __repr__(self):
-        return repr(dict(self.items()))
+        return repr({n: c.magic for n, c in _CODECS.items()})
 
 
 MAGIC = _MagicView()

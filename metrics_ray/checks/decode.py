@@ -56,6 +56,13 @@ class DecodeCheck(BatchCheck):
         # deployment's register_codec calls (made on the driver before
         # suite assembly) must travel WITH the check into every worker
         self._codecs = audio.codec_snapshot()
+        # PUBLIC stable projection of the snapshot: joins the checkpoint
+        # param digest (private attrs are excluded — they may embed
+        # process-unique reprs), so a resume under a DIFFERENT codec
+        # registry refuses instead of silently mixing per-partition
+        # results decoded with different codec sets
+        self.codec_config = [(c.name, c.magic.hex(), c.bytes_per_sample)
+                             for c in self._codecs]
 
     def setup(self, ctx: CheckContext) -> None:
         audio.apply_codec_snapshot(self._codecs)  # worker process
@@ -167,6 +174,8 @@ class PayloadSizeCheck(BatchCheck):
         self.check_id = check_id
         # driver-side registry snapshot (see DecodeCheck.__init__)
         self._codecs = audio.codec_snapshot()
+        self.codec_config = [(c.name, c.magic.hex(), c.bytes_per_sample)
+                             for c in self._codecs]
 
     def setup(self, ctx: CheckContext) -> None:
         audio.apply_codec_snapshot(self._codecs)

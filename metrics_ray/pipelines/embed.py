@@ -696,8 +696,11 @@ def q_emb_knn_ivf(sf_dir: str) -> pa.Table:
     # convention)
     C = _ivf_centroids(sample_matrix(
         embeddings_ds(sf_dir, ["vec_id", "embedding"]), rate_inv=4))
-    # per-query probe set: nearest IVF_NPROBE cells
-    probe = np.argsort(-(Qn @ C.T), axis=1)[:, :IVF_NPROBE]
+    # per-query probe set: nearest IVF_NPROBE cells. kind="stable" is
+    # load-bearing: equal dots (duplicated centroids — e.g. an empty cell
+    # that kept its seed) must resolve lowest-cell-first to match the SQL
+    # oracle's ORDER BY dot DESC, c; default quicksort doesn't promise it
+    probe = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :IVF_NPROBE]
     ref = ray.put((qids, Qn, C, probe))
 
     def topk(b: pa.Table) -> pa.Table:

@@ -2016,11 +2016,13 @@ def q_footer_profile(sf_dir: str, replicas: int = 1) -> pa.Table:
                 sr = g.column(idx["sr_hz"]).statistics
                 tr = g.column(idx["transcript"]).statistics
                 if (dur is None or sr is None or tr is None
-                        or not dur.has_min_max or not sr.has_min_max):
+                        or not dur.has_min_max or not sr.has_min_max
+                        or not tr.has_null_count):
                     # a writer that disabled column statistics (or one
-                    # that records only null_count, no min/max) must
-                    # fail LOUDLY — silently skipping the row group
-                    # would report a profile that excludes real rows
+                    # that records only null_count without min/max, or
+                    # min/max without null_count) must fail LOUDLY —
+                    # silently skipping the row group would report a
+                    # profile that excludes real rows
                     raise ValueError(
                         f"{path} row group {rg} carries no usable column "
                         "statistics (missing or min/max-less) — footer "

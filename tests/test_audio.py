@@ -213,3 +213,53 @@ def test_codec_registry_reaches_ray_workers(ray_session):
                                    ].expected.iloc[0]
     finally:
         audio.unregister_codec("pcm8")
+
+
+def test_codec_snapshot_reset_semantics():
+    """apply_codec_snapshot makes the process registry EQUAL the
+    snapshot (reset, not merge): stale codecs from a previous pipeline
+    must not survive in warm workers, and MAGIC's Mapping view must
+    reflect the live registry under every idiom."""
+    import numpy as np
+
+    from metrics_ray import audio
+
+    baseline = audio.codec_snapshot()
+    audio.register_codec(audio.Codec(
+        "pcm8", b"PCM8", lambda p: b"", lambda b: np.zeros(0, np.float32),
+        bytes_per_sample=1))
+    try:
+        with_extra = audio.codec_snapshot()
+        assert "pcm8" in audio.MAGIC and dict(audio.MAGIC)["pcm8"] == b"PCM8"
+        # a snapshot captured WITHOUT the codec resets the registry
+        audio.apply_codec_snapshot(baseline)
+        assert "pcm8" not in audio.MAGIC
+        assert audio.detect_codec(b"PCM8xxxx") is None
+        # and re-applying the richer snapshot restores it
+        audio.apply_codec_snapshot(with_extra)
+        assert audio.MAGIC.get("pcm8") == b"PCM8"
+        assert len(audio.MAGIC) == len(baseline) + 1
+    finally:
+        audio.apply_codec_snapshot(baseline)
+
+
+def test_codec_registry_joins_checkpoint_fingerprint():
+    """A resume under a DIFFERENT codec registry must refuse: the
+    checks' public codec_config joins the param digest even though the
+    raw snapshot (function objects) is excluded."""
+    import numpy as np
+
+    from metrics_ray import audio
+    from metrics_ray.checks.decode import DecodeCheck
+    from metrics_ray.state.checkpoint import _check_param_digest
+
+    d0 = _check_param_digest(DecodeCheck())
+    assert d0 == _check_param_digest(DecodeCheck())  # process-stable
+    audio.register_codec(audio.Codec(
+        "pcm8", b"PCM8", lambda p: b"", lambda b: np.zeros(0, np.float32),
+        bytes_per_sample=1))
+    try:
+        assert _check_param_digest(DecodeCheck()) != d0
+    finally:
+        audio.unregister_codec("pcm8")
+    assert _check_param_digest(DecodeCheck()) == d0

@@ -331,3 +331,48 @@ def test_pq_codebook_cache_invalidates_on_regeneration(tmp_path):
     books2 = _pq_codebooks_for(d)
     assert not np.array_equal(books1, books2), \
         "stale codebooks served after source regeneration"
+
+
+def test_ann_sql_oracles_hold_on_random_tables(ray_session, tmp_path):
+    """The five ANN SQL replays (k-center / LSH / PQ / ADC / IVF) must
+    match the engine on a RANDOM embeddings table, not just the driver
+    fixture — guards the oracles against testdata regeneration and
+    certifies the parity argument (exact integer seeding, engine-order
+    float accumulation, deterministic tie-breaks) is data-independent."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from metrics_ray.pipelines.embed import EMB_QUERIES
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(424242)
+    n = 300
+    M = rng.normal(size=(n, 64)).astype(np.float32)
+    # near-dup structure so the LSH/neardup paths emit pairs
+    M[280:] = M[:20] + rng.normal(scale=0.01, size=(20, 64)).astype(
+        np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in M],
+                              pa.list_(pa.float32())),
+        "label": pa.array((np.arange(n) % 7).astype(np.int32), pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet')")
+    for name in ("emb_kcenter", "emb_neardup_lsh", "emb_pq",
+                 "emb_knn_pq", "emb_knn_ivf"):
+        fn, sql = EMB_QUERIES[name]
+        got = fn(d)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        want = con.execute(sql).fetchdf()
+        cols = sorted(got.columns)
+        g = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        w = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        assert len(g) == len(w) and (g.values == w.values).all(), name
+        assert len(g) > 0, name

@@ -116,3 +116,36 @@ def test_emb_neardup_broadcast_size_guard(sf_unit, monkeypatch):
     with pytest.raises(ValueError, match="broadcast ceiling"):
         embed.q_emb_neardup(sf_unit)
     embed._emb_neardup_impl.cache_clear()
+
+
+def test_lance_dispatch_contract(sf_unit, tmp_path, monkeypatch):
+    """The .lance branch is one delegation to ray.data.read_lance; this
+    locks the DISPATCH CONTRACT without pylance (which cannot be
+    installed here — BASELINE.md environment fact): a '.lance' path must
+    route to read_lance exactly once with the path and the pruned column
+    list forwarded, for both read_clips and read_any. NOT a substitute
+    for the real-lance parity test above, which activates unchanged the
+    moment pylance exists."""
+    import ray.data as rd
+
+    from metrics_ray.pipelines.clips import ensure_clips_parquet
+    from metrics_ray.sources import clips_source
+
+    pq_dir = ensure_clips_parquet(sf_unit)
+    calls = []
+
+    def fake_read_lance(path, columns=None, **kw):
+        calls.append((path, tuple(columns or ())))
+        return rd.read_parquet(pq_dir, columns=columns)
+
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+    monkeypatch.setattr(clips_source, "lance_available", lambda: True)
+
+    lpath = str(tmp_path / "clips.lance")
+    ds = clips_source.read_clips(lpath, columns=["clip_id", "sr_hz"])
+    assert ds.schema().names == ["clip_id", "sr_hz"]
+    # read_any dispatches .lance through the same branch
+    os.makedirs(lpath, exist_ok=True)
+    ds2 = clips_source.read_any(lpath, columns=["clip_id"])
+    assert ds2.schema().names == ["clip_id"]
+    assert calls == [(lpath, ("clip_id", "sr_hz")), (lpath, ("clip_id",))]

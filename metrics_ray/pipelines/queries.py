@@ -4114,39 +4114,41 @@ VALIDATION_QUERIES = {
 # driver-verified (rounds 1+2 covered the union of CORRECTNESS_r01/r02);
 # already-verified queries follow in their original order. Newly added
 # queries should be inserted into this priority list.
-# Round-4 rotation (VERDICT r3 "Next round" #2): tier 1 = the 16 queries
-# with ZERO driver CORRECTNESS rows across rounds 1-3 (the r3 gate window
-# stopped at position 50, just short of them), then doc_chunking (its
-# oracle's integer-division type bug is fixed this round — needs a green
-# re-verify), then any queries ADDED this round, then tier 2 (rows-only
-# driver rows whose oracles were upgraded since), back-filled with the
-# OLDEST-verified rows (r1-only, then r2) up to the 50-entry gate window.
+# Round-5 rotation: tier 1 = queries whose ORACLES are new or changed
+# this round (the five ANN queries whose previous driver rows were
+# rows-only `no_oracle` — their SQL replays need a green HASH row — plus
+# the brand-new val_silence_geometry and the queries whose engine paths
+# changed: packed-codes emb_pq, md5-sampled IVF, coalesced anti-join
+# family, vectorized dup-spans, registry-driven payload size). Then the
+# round-4 tier-1 set (each already green exactly once — a second round
+# of evidence), back-filled with the oldest-verified rows up to the
+# 50-entry gate window.
 _DRIVER_UNVERIFIED_FIRST = [
-    # tier 1 — never driver-checked in any round (16)
+    # tier 1 — oracle NEW this round (previous rows were no_oracle)
+    "emb_kcenter", "emb_neardup_lsh", "emb_pq", "emb_knn_pq",
+    "emb_knn_ivf",
+    # brand-new query this round
+    "val_silence_geometry",
+    # engine path changed this round — re-verify under the new code
+    "val_missing_refs_dist", "val_transcript_mismatch_dist",
+    "val_transcript_editdist", "rel_cust_no_premium_orders",
+    "doc_dup_spans", "val_payload_size", "val_footer_profile",
+    "val_curation", "doc_curation", "val_decode_violations",
+    "val_decode_violations_sampled", "val_content_dedup",
+    "val_clipid_dups", "val_clipid_dup_groups", "emb_quantize",
+    "emb_project", "emb_neardup", "emb_dup_clusters", "emb_knn",
+    # round-4 tier-1 (one green row each — second-round evidence)
     "rel_priority_revenue", "rel_segment_top_orders", "ev_sliding_distinct",
     "ev_disjoint_types", "ev_disjoint_types_sampled",
     "ev_purchase_attribution", "ev_click_burst", "ev_funnel", "ev_retention",
     "rel_pricing_summary", "val_audio_speed", "val_speaking_rate",
     "val_batch_buckets", "val_quality_sample", "val_audio_noisemix",
-    "emb_kcenter",
-    # re-verify after round-4 oracle fix (r3's only red row)
-    "doc_chunking",
-    # NEW in round 4 — never driver-checked
-    "val_footer_profile", "val_audio_dup_clusters", "emb_pq",
-    "emb_knn_pq", "doc_bm25_top_term",
-    # tier 2 — rows-only driver rows exist; oracles added since → re-verify
-    "val_curation", "val_audio_neardup", "doc_neardup_simhash", "doc_lang_id",
-    # back-fill: oldest driver evidence first (r1-only, then r2)
-    "doc_neardup_minhash", "doc_ngram_jaccard", "emb_knn", "emb_knn_ivf",
-    "emb_neardup", "emb_neardup_lsh", "emb_norm_check", "ev_daily_counts",
-    "ev_sessions", "ev_sliding_counts", "ev_type_stats",
-    "rel_cust_no_premium_orders", "rel_segment_revenue",
-    "doc_curation", "doc_exact_dups", "doc_fingerprints", "doc_quality",
-    "doc_rolling_fp", "doc_split", "doc_token_counts", "ev_user_sample",
-    "img_features", "img_format_mismatch", "val_audio_chunks",
-    "val_audio_features", "val_audio_gain", "val_audio_knn",
-    "val_audio_resample", "val_audio_silence", "val_check_summary",
-    "val_clip_packing",
+    "doc_chunking", "val_audio_dup_clusters", "doc_bm25_top_term",
+    # back-fill: oldest driver evidence first
+    "val_audio_neardup", "doc_neardup_simhash", "doc_lang_id",
+    "doc_neardup_minhash", "doc_ngram_jaccard", "emb_norm_check",
+    "ev_daily_counts", "ev_sessions", "ev_sliding_counts", "ev_type_stats",
+    "rel_segment_revenue", "doc_exact_dups",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},

@@ -144,10 +144,17 @@ corpus AS (
 
 
 def documents_ds(sf_dir: str, columns=None):
+    import pyarrow.parquet as _pq
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=columns)
+    path = os.path.join(sf_dir, "documents.parquet")
+    if _pq.read_metadata(path).num_rows == 0:
+        # loud-failure contract (footer-only check): empty corpora die
+        # downstream in opaque internals otherwise
+        raise ValueError(
+            f"documents table {path!r} is EMPTY — nothing to process; "
+            "check the upstream ingest")
+    return rd.read_parquet(path, columns=columns)
 
 
 def corpus_ds(sf_dir: str):

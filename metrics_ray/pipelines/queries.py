@@ -3638,6 +3638,10 @@ def _images_dataset(sf_dir: str):
     from .clips import documents_count
 
     n = documents_count(sf_dir)
+    if n == 0:
+        raise ValueError(
+            f"documents table under {sf_dir!r} is EMPTY — no images to "
+            "derive; check the upstream ingest")
     blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
     ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"],
@@ -3688,6 +3692,10 @@ def _videos_dataset(sf_dir: str):
     from .clips import documents_count
 
     n = documents_count(sf_dir)
+    if n == 0:
+        raise ValueError(
+            f"documents table under {sf_dir!r} is EMPTY — no videos to "
+            "derive; check the upstream ingest")
     blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
     ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id"],

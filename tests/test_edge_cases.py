@@ -271,3 +271,26 @@ def test_partition_fingerprint_flips_on_single_row_change():
     a = fp([(0, "c", None, 1, 2, "x")])
     b = fp([(0, "c", "", 1, 2, "x")])
     assert a != b
+
+
+def test_empty_source_tables_fail_loudly(tmp_path, ray_session):
+    """An EMPTY documents/embeddings table must raise the explicit
+    check-the-upstream-ingest ValueError from every derived source —
+    before round 5 these died downstream in opaque internals ('Must
+    provide at least one path', concat of no tables, schema KeyError)."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    d = str(tmp_path)
+    for t in ("documents", "embeddings"):
+        src = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, 0)
+        pq.write_table(src, f"{d}/{t}.parquet")
+
+    from metrics_ray.pipelines.queries import VALIDATION_QUERIES
+
+    for name in ("val_silence_geometry", "val_payload_size",
+                 "val_footer_profile", "img_decode_geometry",
+                 "vid_frame_geometry", "emb_kcenter", "emb_neardup_lsh",
+                 "doc_dup_spans"):
+        with pytest.raises(ValueError, match="EMPTY"):
+            VALIDATION_QUERIES[name][0](d)

@@ -2153,6 +2153,54 @@ def q_partition_distinct(sf_dir: str) -> pa.Table:
     })
 
 
+def q_partition_distinct_exact(sf_dir: str) -> pa.Table:
+    """Exact per-partition distinct clip_id — the hash-verified twin of
+    val_partition_distinct (whose HLL estimate stays the 10^12-row path:
+    constant-size mergeable registers vs this query's shuffle of every
+    distinct key). Scale shape: per-batch distinct-pair pre-agg bounds
+    the exchange payload to distinct (partition, clip_id) pairs per
+    batch; one groupby dedupes pairs globally; folding a pair stream to
+    per-partition counts is a constant-size per-batch partial + a tiny
+    second groupby (the 'Aggregation at scale' combiner pattern)."""
+    from ray.data.aggregate import Sum
+
+    from ..checks.keyed import shuffle_blocks
+
+    def pre(b: pa.Table) -> pa.Table:
+        df = b.select(["partition", "clip_id"]).to_pandas().drop_duplicates()
+        return pa.table({
+            "partition": pa.array(df["partition"].to_numpy()
+                                  .astype(np.int32)),
+            "clip_id": pa.array(df["clip_id"].tolist(), pa.string()),
+        })
+
+    pairs = (_meta_ds(sf_dir)
+             .map_batches(pre, batch_format="pyarrow")
+             .groupby(["partition", "clip_id"],
+                      num_partitions=shuffle_blocks())
+             .count())
+
+    def fold(b: pa.Table) -> pa.Table:
+        part = b.column("partition").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(part, return_counts=True)
+        return pa.table({
+            "partition": pa.array(uniq.astype(np.int64)),
+            "n_distinct": pa.array(cnt.astype(np.int64)),
+        })
+
+    out = _collect_simple(
+        pairs.map_batches(fold, batch_format="pyarrow")
+        .groupby("partition", num_partitions=shuffle_blocks())
+        .aggregate(Sum("n_distinct", alias_name="n_distinct")))
+    return out.sort_by("partition")
+
+
+SQL_PARTITION_DISTINCT_EXACT = f"""WITH {synth.CLIPS_SQL}
+SELECT CAST(partition AS BIGINT) AS partition,
+       COUNT(DISTINCT clip_id) AS n_distinct
+FROM clips GROUP BY partition ORDER BY partition"""
+
+
 def q_distinct_codecs(sf_dir: str) -> pa.Table:
     """Distinct observed codec values (``Dataset.unique`` — the
     VocabularyUsageIndication distinct-set path, SURVEY.md §2.4)."""
@@ -4111,6 +4159,8 @@ VALIDATION_QUERIES = {
     "vid_frame_stats": (q_vid_frame_stats, None),
     "vid_frame_geometry": (q_vid_frame_geometry, _sql_vid_frame_geometry()),
     "val_partition_distinct": (q_partition_distinct, None),
+    "val_partition_distinct_exact": (q_partition_distinct_exact,
+                                     SQL_PARTITION_DISTINCT_EXACT),
     **DOC_QUERIES,
     **EMB_QUERIES,
     **REL_QUERIES,
@@ -4135,8 +4185,8 @@ _DRIVER_UNVERIFIED_FIRST = [
     # tier 1 — oracle NEW this round (previous rows were no_oracle)
     "emb_kcenter", "emb_neardup_lsh", "emb_pq", "emb_knn_pq",
     "emb_knn_ivf",
-    # brand-new query this round
-    "val_silence_geometry",
+    # brand-new queries this round
+    "val_silence_geometry", "val_partition_distinct_exact",
     # engine path changed this round — re-verify under the new code
     "val_missing_refs_dist", "val_transcript_mismatch_dist",
     "val_transcript_editdist", "rel_cust_no_premium_orders",

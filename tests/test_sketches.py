@@ -218,3 +218,22 @@ def test_bloom_no_false_negatives_and_fp_rate():
     assert merged.contains(keys).all()
     assert merged.contains(probe[:500]).all()
     assert np.array_equal(loads_any(bf.dumps()).bits, bf.bits)
+
+
+def test_hll_estimate_within_tolerance_of_exact_query(ray_session):
+    """The HLL per-partition distinct estimate must sit within 2% of the
+    EXACT distinct query (val_partition_distinct_exact — itself
+    SQL-oracle-verified), anchoring the sketch's accuracy claim to a
+    hash-checked ground truth rather than an in-test recompute."""
+    import pandas as pd
+
+    from metrics_ray.pipelines.queries import VALIDATION_QUERIES
+
+    SF = "/root/testdata/sf0.001"
+    est = VALIDATION_QUERIES["val_partition_distinct"][0](SF).to_pandas()
+    exact = VALIDATION_QUERIES["val_partition_distinct_exact"][0](
+        SF).to_pandas()
+    m = est.merge(exact, on="partition")
+    assert len(m) == len(exact) > 0
+    rel = (m["est_distinct"] - m["n_distinct"]).abs() / m["n_distinct"]
+    assert (rel <= 0.02).all(), m

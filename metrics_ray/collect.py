@@ -46,3 +46,20 @@ def collect_sorted(ds, sort_keys) -> pa.Table | None:
         return None
     return pa.concat_tables(tables).sort_by(
         [(k, "ascending") for k in sort_keys])
+
+
+def require_nonempty_parquet(path: str, what: str) -> int:
+    """Loud-failure gate for source tables: footer-only row count (no
+    data page read); raises the check-the-upstream-ingest ValueError on
+    an empty table. One definition — every derived source (clips, docs,
+    embeddings, images, videos) routes through it, so the contract
+    (message wording, footer-only cost) changes in exactly one place.
+    Returns the row count for callers that need it."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(path).num_rows
+    if n == 0:
+        raise ValueError(
+            f"{what} table {path!r} is EMPTY — nothing to derive or "
+            "validate; check the upstream ingest")
+    return n

@@ -33,15 +33,13 @@ def clips_dataset(sf_dir: str, replicas: int = 1, with_audio: bool = True,
     import ray
     import ray.data as rd
 
-    n_docs = documents_count(sf_dir)
-    if n_docs == 0:
-        # loud-failure contract: an empty source table would otherwise
-        # surface downstream as opaque internals ("Must provide at least
-        # one path" from a file-less parquet cache, concat of no tables)
-        raise ValueError(
-            f"documents table under {sf_dir!r} is EMPTY — there is "
-            "nothing to derive or validate; check the upstream ingest")
+    from ..collect import require_nonempty_parquet
+
     path = os.path.join(sf_dir, "documents.parquet")
+    # loud-failure contract: an empty source table would otherwise
+    # surface downstream as opaque internals ("Must provide at least
+    # one path" from a file-less parquet cache, concat of no tables)
+    n_docs = require_nonempty_parquet(path, "documents")
     if override_num_blocks is None:
         # documents.parquet is one file → one read block → single-task
         # synthesis; split so PCM synth + encode parallelizes

@@ -144,16 +144,12 @@ corpus AS (
 
 
 def documents_ds(sf_dir: str, columns=None):
-    import pyarrow.parquet as _pq
     import ray.data as rd
 
+    from ..collect import require_nonempty_parquet
+
     path = os.path.join(sf_dir, "documents.parquet")
-    if _pq.read_metadata(path).num_rows == 0:
-        # loud-failure contract (footer-only check): empty corpora die
-        # downstream in opaque internals otherwise
-        raise ValueError(
-            f"documents table {path!r} is EMPTY — nothing to process; "
-            "check the upstream ingest")
+    require_nonempty_parquet(path, "documents")
     return rd.read_parquet(path, columns=columns)
 
 

@@ -42,17 +42,12 @@ _HYPER = np.random.RandomState(7).standard_normal(
 
 
 def embeddings_ds(sf_dir: str, columns=None):
-    import pyarrow.parquet as _pq
     import ray.data as rd
 
+    from ..collect import require_nonempty_parquet
+
     path = os.path.join(sf_dir, "embeddings.parquet")
-    if _pq.read_metadata(path).num_rows == 0:
-        # loud-failure contract (footer-only check, no scan): an empty
-        # vector table otherwise dies downstream in opaque internals
-        # (concat of no tables / schema fetch KeyError)
-        raise ValueError(
-            f"embeddings table {path!r} is EMPTY — nothing to search, "
-            "train or audit; check the upstream embedding job")
+    require_nonempty_parquet(path, "embeddings")
     return rd.read_parquet(path, columns=columns)
 
 

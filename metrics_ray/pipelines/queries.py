@@ -2167,12 +2167,11 @@ def q_partition_distinct_exact(sf_dir: str) -> pa.Table:
     from ..checks.keyed import shuffle_blocks
 
     def pre(b: pa.Table) -> pa.Table:
-        df = b.select(["partition", "clip_id"]).to_pandas().drop_duplicates()
-        return pa.table({
-            "partition": pa.array(df["partition"].to_numpy()
-                                  .astype(np.int32)),
-            "clip_id": pa.array(df["clip_id"].tolist(), pa.string()),
-        })
+        # Arrow-native distinct-pair pre-agg (group_by with no
+        # aggregates == dedup) — no per-row Python objects on the
+        # hot per-batch path
+        return (b.select(["partition", "clip_id"])
+                .group_by(["partition", "clip_id"]).aggregate([]))
 
     pairs = (_meta_ds(sf_dir)
              .map_batches(pre, batch_format="pyarrow")
@@ -2192,6 +2191,9 @@ def q_partition_distinct_exact(sf_dir: str) -> pa.Table:
         pairs.map_batches(fold, batch_format="pyarrow")
         .groupby("partition", num_partitions=shuffle_blocks())
         .aggregate(Sum("n_distinct", alias_name="n_distinct")))
+    if out is None:  # zero pairs (empty-blocks edge): typed empty table
+        return pa.table({"partition": pa.array([], pa.int64()),
+                         "n_distinct": pa.array([], pa.int64())})
     return out.sort_by("partition")
 
 
@@ -3683,13 +3685,11 @@ def _images_dataset(sf_dir: str):
     import ray.data as rd
 
     from ..stages.image import derive_images_batch
-    from .clips import documents_count
 
-    n = documents_count(sf_dir)
-    if n == 0:
-        raise ValueError(
-            f"documents table under {sf_dir!r} is EMPTY — no images to "
-            "derive; check the upstream ingest")
+    from ..collect import require_nonempty_parquet
+
+    n = require_nonempty_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), "documents")
     blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
     ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"],
@@ -3737,13 +3737,11 @@ def _videos_dataset(sf_dir: str):
     import ray.data as rd
 
     from ..stages.video import derive_videos_batch
-    from .clips import documents_count
 
-    n = documents_count(sf_dir)
-    if n == 0:
-        raise ValueError(
-            f"documents table under {sf_dir!r} is EMPTY — no videos to "
-            "derive; check the upstream ingest")
+    from ..collect import require_nonempty_parquet
+
+    n = require_nonempty_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), "documents")
     blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
     ds = rd.read_parquet(_os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id"],
@@ -4202,11 +4200,11 @@ _DRIVER_UNVERIFIED_FIRST = [
     "rel_pricing_summary", "val_audio_speed", "val_speaking_rate",
     "val_batch_buckets", "val_quality_sample", "val_audio_noisemix",
     "doc_chunking", "val_audio_dup_clusters", "doc_bm25_top_term",
-    # back-fill: oldest driver evidence first
+    # back-fill: oldest driver evidence first (list kept at EXACTLY the
+    # 50-entry gate window — names past position 50 would read as
+    # "rotated in" while never being driver-checked)
     "val_audio_neardup", "doc_neardup_simhash", "doc_lang_id",
     "doc_neardup_minhash", "doc_ngram_jaccard", "emb_norm_check",
-    "ev_daily_counts", "ev_sessions", "ev_sliding_counts", "ev_type_stats",
-    "rel_segment_revenue", "doc_exact_dups",
 ]
 VALIDATION_QUERIES = {
     **{k: VALIDATION_QUERIES[k] for k in _DRIVER_UNVERIFIED_FIRST},
